@@ -1,0 +1,40 @@
+"""spectral_tpu — a TPU-native spectral path-tracing framework.
+
+A ground-up re-design of the capabilities of happy737/spectral-raytracer
+(a CPU-threaded recursive Rust path tracer) as a JAX/XLA/Pallas wavefront
+path tracer:
+
+* the per-pixel recursive shader pipeline (reference ``src/shader.rs``)
+  becomes a batched ``[n_rays]`` / ``[n_rays, n_lambda]`` SoA wavefront with
+  an iterative bounce loop,
+* the ``Spectrum`` value type (reference ``src/spectrum.rs``) becomes the
+  minor axis of device arrays, with CIE color matching and XYZ->sRGB
+  conversion running on device,
+* the row-level thread pool (reference ``src/main.rs:1280``) becomes data
+  parallelism over pixel rows across a ``jax.sharding.Mesh``,
+* the progressive accumulation buffer (reference ``src/custom_image.rs``)
+  lives in HBM and is updated in-jit with donated buffers.
+
+Public surface:
+    spectral_tpu.Spectrum            -- host-side spectrum value type
+    spectral_tpu.scene               -- scene schema + presets
+    spectral_tpu.render.Renderer     -- progressive renderer
+    spectral_tpu.parallel            -- mesh / sharding helpers
+"""
+
+from spectral_tpu.spectral.spectrum import (
+    Spectrum,
+    VISIBLE_LIGHT_WAVELENGTH_LOWER_BOUND,
+    VISIBLE_LIGHT_WAVELENGTH_UPPER_BOUND,
+    NBR_OF_SAMPLES_MAX,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Spectrum",
+    "VISIBLE_LIGHT_WAVELENGTH_LOWER_BOUND",
+    "VISIBLE_LIGHT_WAVELENGTH_UPPER_BOUND",
+    "NBR_OF_SAMPLES_MAX",
+    "__version__",
+]
