@@ -1,0 +1,71 @@
+"""Primary ray generation.
+
+Vectorized re-design of the reference's ``ray_generation_shader`` camera
+math (reference ``src/shader.rs:271-293``), preserving its quirks:
+
+* NDC y is flipped and x scaled by aspect ratio;
+* the basis is ``right = forward x up``, ``true_up = right x forward``,
+  and the direction is ``forward*focal - right*x + true_up*y`` — with the
+  reference's (commented "no idea why") **minus** on the right axis;
+* the sub-pixel jitter is one Hammersley offset per *frame*, applied to
+  every pixel (screen-wide jitter, not per-pixel AA).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from spectral_tpu.ops.rng import hammersley
+from spectral_tpu.ops.vecmath import Vec3
+
+PI = jnp.float32(jnp.pi)
+
+
+def generate_primary_rays(
+    cam_pos: jax.Array,
+    cam_dir: jax.Array,
+    cam_up: jax.Array,
+    fov_y_deg: jax.Array,
+    width: int,
+    height: int,
+    frame_id: jax.Array,
+    intended_frames: int,
+) -> tuple[Vec3, Vec3, jax.Array, jax.Array]:
+    """Build the ``[height * width]`` wavefront of camera rays.
+
+    Returns (origins, directions, pixel_x, pixel_y) where pixel_x/y are the
+    uint32 pixel coordinates feeding the PCG3D seeds.
+    """
+    n = height * width
+    py = jax.lax.broadcasted_iota(jnp.uint32, (height, width), 0).reshape(n)
+    px = jax.lax.broadcasted_iota(jnp.uint32, (height, width), 1).reshape(n)
+
+    xf = px.astype(jnp.float32)
+    yf = py.astype(jnp.float32)
+    w = jnp.float32(width)
+    h = jnp.float32(height)
+    aspect_ratio = w / h
+    fov_half_rad = (fov_y_deg / 2.0) / 180.0 * PI
+    focal_distance = 1.0 / jnp.tan(fov_half_rad)
+
+    off_x, off_y = hammersley(frame_id, jnp.uint32(intended_frames))
+
+    y_ndc = -(((yf + off_y) / h) * 2.0 - 1.0)
+    x_ndc = (((xf + off_x) / w) * 2.0 - 1.0) * aspect_ratio
+
+    up = Vec3(cam_up[0], cam_up[1], cam_up[2]).normalize()
+    forward = Vec3(cam_dir[0], cam_dir[1], cam_dir[2]).normalize()
+    right = forward.cross(up).normalize()
+    true_up = right.cross(forward)
+
+    d = forward * focal_distance - right * x_ndc + true_up * y_ndc
+    # reference normalizes in raygen AND in Ray::new
+    d = d.normalize().normalize()
+
+    origin = Vec3(
+        jnp.broadcast_to(cam_pos[0], (n,)),
+        jnp.broadcast_to(cam_pos[1], (n,)),
+        jnp.broadcast_to(cam_pos[2], (n,)),
+    )
+    return origin, d, px, py

@@ -1,0 +1,222 @@
+"""Wavefront spectral path integrator.
+
+This is the TPU-native replacement for the reference's *recursive*
+closest-hit shading (``hit_shader`` -> ``submit_ray`` recursion, reference
+``src/shader.rs:360-495``). The recursion is linear — one continuation ray
+per bounce plus side shadow rays — so it flattens exactly into an
+iterative loop over batched ray state:
+
+    L(pixel) = sum_d  T_d * albedo_d * direct_d
+    T_0 = 1,  T_{d+1} = T_d * albedo_d * g_{d+1}
+
+where ``direct_d`` is the next-event-estimation sum over lights at bounce
+``d`` (diffuse lanes only; the reference's metallic branch has no direct
+lighting — its own TODO, ``src/shader.rs:412-413``), and ``g`` is the
+specular child-distance gate (children shorter than 1e-4 are discarded,
+``src/shader.rs:407``). Ray death (miss / gate / budget) is masked lane
+retirement instead of early return.
+
+Preserved reference quirks (SURVEY.md §2):
+
+* RNG seed ``pcg3d(px, py, frame_id + bounces_left)`` with a *count-down*
+  bounce budget (``src/shader.rs:389-391``);
+* shadow/specular origins offset by ``normal * 1e-5`` but the diffuse
+  continuation starts at the **un-offset** hit point
+  (``src/shader.rs:382, 403, 424, 444``);
+* the nonstandard outgoing-cosine factor on direct light
+  (``src/shader.rs:435``);
+* stochastic specular/diffuse branch on ``rz < metallicness``, cone
+  perturbation only when roughness >= 0.001 (``src/shader.rs:393-401``).
+
+Divergence (documented): the reference clamps each diffuse child's
+*subtree total* with ``max0`` (``src/shader.rs:448``). With non-negative
+spectra (every reachable scene; reflective albedos are additionally
+min1'd) that clamp is a no-op, and the flattened sum cannot express it;
+scenes with negative custom spectra may differ.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from spectral_tpu.ops.geometry import surface_normal, trace, trace_shadow
+from spectral_tpu.ops.rng import random_pcg3d
+from spectral_tpu.ops.sampling import (
+    cosine_hemisphere_bounce,
+    reflect_vec,
+    sample_in_cone,
+)
+from spectral_tpu.ops.vecmath import Vec3
+from spectral_tpu.render.camera import generate_primary_rays
+from spectral_tpu.render.color import spectra_to_rgb
+from spectral_tpu.scene.flatten import RenderConfig, SceneArrays
+
+# reference src/shader.rs:8 and :14
+NEW_RAY_POSITION_OFFSET_DISTANCE = jnp.float32(1e-5)
+SPECULAR_MIN_RAY_DISTANCE = jnp.float32(1e-4)
+
+
+class _BounceState(NamedTuple):
+    origin: Vec3  # [N]
+    direction: Vec3  # [N]
+    throughput: jax.Array  # [N, S]
+    radiance: jax.Array  # [N, S]
+    alive: jax.Array  # [N] bool
+    pending_gate: jax.Array  # [N] bool — parent was specular
+
+
+def _direct_lighting(
+    offset_pos: Vec3,
+    normal: Vec3,
+    incoming: Vec3,
+    scene: SceneArrays,
+    config: RenderConfig,
+) -> jax.Array:
+    """Next-event estimation over all lights (reference
+    ``src/shader.rs:420-439``): per light, an occlusion ray from the
+    offset hit point; unoccluded lights contribute
+    ``spectrum / dist^2 * cos_in * cos_out``."""
+    n = offset_pos.x.shape[0]
+    direct = jnp.zeros((n, config.n_samples), dtype=jnp.float32)
+    cos_out = jnp.maximum((-incoming).dot(normal), 0.0)
+
+    for li in range(config.n_lights):
+        lpos = Vec3(
+            scene.light_pos[li, 0], scene.light_pos[li, 1], scene.light_pos[li, 2]
+        )
+        ldir = Vec3(
+            lpos.x - offset_pos.x, lpos.y - offset_pos.y, lpos.z - offset_pos.z
+        )
+        dist2 = ldir.magnitude_squared()
+        dist = ldir.magnitude()
+        ldn = ldir.normalize()
+        blocked = trace_shadow(offset_pos, ldn, dist, scene)
+        # reference re-normalizes the already-normalized direction
+        cos_in = jnp.maximum(ldn.normalize().dot(normal), 0.0)
+        scale = (cos_in * cos_out) / dist2
+        contrib = scene.light_spec[li][None, :] * scale[:, None]
+        direct = direct + jnp.where(blocked[:, None], 0.0, contrib)
+    return direct
+
+
+def _bounce(
+    state: _BounceState,
+    bounces_left: jax.Array,  # uint32 scalar, the reference's ray.max_bounces
+    frame_id: jax.Array,  # uint32 scalar
+    px: jax.Array,
+    py: jax.Array,
+    scene: SceneArrays,
+    config: RenderConfig,
+) -> _BounceState:
+    o, d, throughput, radiance, alive, pending_gate = state
+
+    res = trace(o, d, scene)
+    # specular child-distance gate from the parent bounce
+    gate_ok = (~pending_gate) | (res.t > SPECULAR_MIN_RAY_DISTANCE)
+    alive = alive & res.hit & gate_ok
+
+    t_safe = jnp.where(alive, res.t, 0.0)
+    ip = o + d * t_safe
+    normal = surface_normal(ip, res.obj_idx, scene)
+
+    m_metal = scene.metallicness[res.obj_idx]
+    m_rough = scene.roughness[res.obj_idx]
+    m_albedo = scene.albedo[res.obj_idx]  # [N, S]
+
+    rx, ry, rz = random_pcg3d(px, py, frame_id + bounces_left)
+    spec = rz < m_metal
+
+    offset_pos = ip + normal * NEW_RAY_POSITION_OFFSET_DISTANCE
+
+    direct = _direct_lighting(offset_pos, normal, d, scene, config)
+    contributes = (alive & ~spec)[:, None]
+    radiance = radiance + jnp.where(
+        contributes, throughput * m_albedo * direct, 0.0
+    )
+
+    # continuation rays
+    refl = reflect_vec(d, normal)
+    cone = sample_in_cone(refl, m_rough, rx, ry)
+    spec_dir = cone.where(m_rough >= 0.001, refl)
+    diff_dir = cosine_hemisphere_bounce(rx, ry, normal)
+    new_dir = spec_dir.where(spec, diff_dir).normalize()  # Ray::new normalizes
+    # diffuse continuation starts at the UN-offset hit point (quirk §2.5)
+    new_origin = offset_pos.where(spec, ip)
+
+    can_bounce = bounces_left > jnp.uint32(1)
+    cont = alive & can_bounce
+    o = new_origin.where(cont, o)
+    d = new_dir.where(cont, d)
+    throughput = jnp.where(cont[:, None], throughput * m_albedo, throughput)
+    pending_gate = jnp.where(cont, spec, pending_gate)
+
+    return _BounceState(o, d, throughput, radiance, cont, pending_gate)
+
+
+def integrate_frame(
+    scene: SceneArrays, config: RenderConfig, frame_id: jax.Array
+) -> jax.Array:
+    """Trace one progressive frame; returns linear RGB ``[H, W, 3]``."""
+    frame_id = jnp.asarray(frame_id, dtype=jnp.uint32)
+    origin, direction, px, py = generate_primary_rays(
+        scene.cam_pos,
+        scene.cam_dir,
+        scene.cam_up,
+        scene.fov_y_deg,
+        config.width,
+        config.height,
+        frame_id,
+        config.intended_frames,
+    )
+    n = config.width * config.height
+    s = config.n_samples
+    state = _BounceState(
+        origin=origin,
+        direction=direction,
+        throughput=jnp.ones((n, s), dtype=jnp.float32),
+        radiance=jnp.zeros((n, s), dtype=jnp.float32),
+        alive=jnp.ones((n,), dtype=bool),
+        pending_gate=jnp.zeros((n,), dtype=bool),
+    )
+
+    if config.n_objects == 0:
+        rgb = jnp.zeros((n, 3), dtype=jnp.float32)
+        return rgb.reshape(config.height, config.width, 3)
+
+    def body(i, st):
+        bounces_left = jnp.uint32(config.max_bounces) - i.astype(jnp.uint32)
+        return _bounce(st, bounces_left, frame_id, px, py, scene, config)
+
+    state = jax.lax.fori_loop(0, config.max_bounces, body, state)
+
+    rgb = spectra_to_rgb(state.radiance, scene.xyz_weights, scene.xyz_to_rgb)
+    return rgb.reshape(config.height, config.width, 3)
+
+
+def accumulate_frame(
+    accum: jax.Array, rgb: jax.Array, frame_id: jax.Array
+) -> jax.Array:
+    """Progressive running-average blend into the ``[H, W, 4]`` buffer with
+    weight ``1 / (frame_id + 1)`` (reference ``src/main.rs:1316-1317``,
+    ``src/custom_image.rs:59-79``)."""
+    frame_id = jnp.asarray(frame_id, dtype=jnp.uint32)
+    ratio = 1.0 / (frame_id + jnp.uint32(1)).astype(jnp.float32)
+    old_factor = 1.0 - ratio
+    new_rgb = accum[..., :3] * old_factor + rgb * ratio
+    new_a = accum[..., 3] * old_factor + ratio  # alpha blends toward 1.0
+    return jnp.concatenate([new_rgb, new_a[..., None]], axis=-1)
+
+
+def render_frame_step(
+    scene: SceneArrays,
+    config: RenderConfig,
+    accum: jax.Array,
+    frame_id: jax.Array,
+) -> jax.Array:
+    """One full progressive iteration: trace + blend. The unit the
+    reference calls ``apply_shader2`` (``src/main.rs:1280-1322``)."""
+    rgb = integrate_frame(scene, config, frame_id)
+    return accumulate_frame(accum, rgb, frame_id)

@@ -1,0 +1,168 @@
+"""Progressive renderer: the orchestration layer.
+
+TPU-native re-design of the reference's render thread (``App::render`` +
+``dispatch_render``, reference ``src/main.rs:1280-1427``): the per-row
+thread pool becomes one jit-compiled device step per progressive frame
+(optionally sharded over a device mesh, see ``spectral_tpu.parallel``);
+the mpsc progress/abort channels become per-frame host callbacks — the
+same frame-granular cooperative abort the reference documents ("the
+current frame will be finished").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spectral_tpu.render import image as image_mod
+from spectral_tpu.render.integrator import render_frame_step
+from spectral_tpu.scene.flatten import RenderConfig, SceneArrays, flatten_scene
+from spectral_tpu.scene.schema import Scene
+
+
+@dataclasses.dataclass
+class RenderProgress:
+    """Per-frame progress report (the reference's ``AppActions`` updates,
+    src/main.rs:1490-1506)."""
+
+    frame_id: int
+    total_frames: int
+    elapsed_s: float
+
+    @property
+    def fraction(self) -> float:
+        return (self.frame_id + 1) / self.total_frames
+
+
+@partial(jax.jit, static_argnums=(1,), donate_argnums=(2,))
+def _step(scene: SceneArrays, config: RenderConfig, accum, frame_id):
+    return render_frame_step(scene, config, accum, frame_id)
+
+
+class Renderer:
+    """Progressive wavefront renderer for a single scene snapshot.
+
+    The scene is flattened once at construction (the reference's uniforms
+    snapshot); frames are then rendered one `1/(frame+1)`-blended
+    iteration at a time, resumable at any frame boundary.
+    """
+
+    def __init__(
+        self,
+        scene: Scene,
+        sharding: jax.sharding.NamedSharding | None = None,
+    ):
+        scene.update_all_spectrum_sample_sizes()
+        self.scene_arrays, self.config = flatten_scene(scene)
+        self.sharding = sharding
+        if sharding is not None:
+            from spectral_tpu.parallel.sharding import shard_scene
+
+            self.scene_arrays, self._accum_sharding = shard_scene(
+                self.scene_arrays, sharding, self.config
+            )
+        else:
+            self._accum_sharding = None
+        self.accum = self._zero_accum()
+        self.next_frame = 0
+
+    def _zero_accum(self):
+        accum = jnp.zeros(
+            (self.config.height, self.config.width, 4), dtype=jnp.float32
+        )
+        if self._accum_sharding is not None:
+            accum = jax.device_put(accum, self._accum_sharding)
+        return accum
+
+    def reset(self) -> None:
+        self.accum = self._zero_accum()
+        self.next_frame = 0
+
+    def render_frames(
+        self,
+        n_frames: int,
+        progress: Callable[[RenderProgress], None] | None = None,
+        abort: Callable[[], bool] | None = None,
+    ) -> np.ndarray:
+        """Render up to ``n_frames`` more progressive iterations.
+
+        ``abort`` is polled once per frame, after the frame completes —
+        frame-granular cancellation exactly like the reference
+        (src/main.rs:1351-1357). Returns the current framebuffer.
+        """
+        begin = time.monotonic()
+        total = self.config.intended_frames
+        for _ in range(n_frames):
+            if self.next_frame >= total:
+                break
+            self.accum = _step(
+                self.scene_arrays,
+                self.config,
+                self.accum,
+                jnp.uint32(self.next_frame),
+            )
+            self.next_frame += 1
+            if progress is not None:
+                jax.block_until_ready(self.accum)
+                progress(
+                    RenderProgress(
+                        self.next_frame - 1, total, time.monotonic() - begin
+                    )
+                )
+            if abort is not None and abort():
+                break
+        return self.framebuffer()
+
+    def render(
+        self,
+        progress: Callable[[RenderProgress], None] | None = None,
+        abort: Callable[[], bool] | None = None,
+    ) -> np.ndarray:
+        """Render all configured iterations (the reference's full
+        ``App::render`` loop)."""
+        return self.render_frames(
+            self.config.intended_frames, progress=progress, abort=abort
+        )
+
+    def framebuffer(self) -> np.ndarray:
+        """Fetch the ``[H, W, 4]`` float32 accumulation buffer to host."""
+        return np.asarray(jax.device_get(self.accum))
+
+    def save_image(self, path) -> None:
+        image_mod.save_image(self.framebuffer(), path)
+
+    # --------------------------------------------------------- checkpoint
+
+    def save_checkpoint(self, path) -> None:
+        """Persist accumulator + frame counter so long renders are
+        resumable (a capability the reference lacks, SURVEY.md §5)."""
+        np.savez(
+            path,
+            accum=self.framebuffer(),
+            next_frame=self.next_frame,
+            intended_frames=self.config.intended_frames,
+            width=self.config.width,
+            height=self.config.height,
+        )
+
+    def load_checkpoint(self, path) -> None:
+        data = np.load(path)
+        if (
+            int(data["width"]) != self.config.width
+            or int(data["height"]) != self.config.height
+            or int(data["intended_frames"]) != self.config.intended_frames
+        ):
+            raise ValueError(
+                "checkpoint was produced by an incompatible render config"
+            )
+        accum = jnp.asarray(data["accum"], dtype=jnp.float32)
+        if self._accum_sharding is not None:
+            accum = jax.device_put(accum, self._accum_sharding)
+        self.accum = accum
+        self.next_frame = int(data["next_frame"])

@@ -1,0 +1,276 @@
+"""Scene -> SoA device arrays.
+
+The reference snapshots its UI scene graph into ``RaytracingUniforms``
+(reference ``src/main.rs:1396-1404``, ``src/shader.rs:33-41``) — an
+``Arc<Vec<Aabb>>`` walked per ray. The TPU-native equivalent is a struct
+of dense device arrays: per-object geometry tables, a per-object material
+table with an ``[n_objects, n_lambda]`` albedo matrix, and a light table —
+so a wavefront of rays intersects *all* objects with vectorized math.
+
+Construction happens on the host in float32 with the reference's exact
+operation order (AABB corner math, sphere center/radius derivation,
+nalgebra's closed-form Euler rotation), so geometry constants match the
+reference bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spectral_tpu.scene.schema import (
+    PlainBox,
+    RotatedBox,
+    Scene,
+    Sphere,
+)
+from spectral_tpu.spectral import cie
+
+F32 = np.float32
+
+# Object type tags.
+OBJ_PLAIN_BOX = 0
+OBJ_SPHERE = 1
+OBJ_ROTATED_BOX = 2
+
+
+def euler_to_rotation_matrix(roll: float, pitch: float, yaw: float) -> np.ndarray:
+    """nalgebra ``Rotation3::from_euler_angles`` (roll=x, pitch=y, yaw=z;
+    applied roll then pitch then yaw, i.e. R = Rz @ Ry @ Rx), closed form
+    in float32. Used by reference ``src/shader.rs:185``."""
+    sr, cr = F32(np.sin(F32(roll))), F32(np.cos(F32(roll)))
+    sp, cp = F32(np.sin(F32(pitch))), F32(np.cos(F32(pitch)))
+    sy, cy = F32(np.sin(F32(yaw))), F32(np.cos(F32(yaw)))
+    return np.array(
+        [
+            [cy * cp, cy * sp * sr - sy * cr, cy * sp * cr + sy * sr],
+            [sy * cp, sy * sp * sr + cy * cr, sy * sp * cr - cy * sr],
+            [-sp, cp * sr, cp * cr],
+        ],
+        dtype=F32,
+    )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SceneArrays:
+    """Device-resident scene tables. All float32 unless noted.
+
+    Geometry is parameterized so one branchless slab test covers both box
+    types: ``local_origin = inv_rot @ (origin - shift)`` then slabs against
+    ``[slab_min, slab_max]``. Plain boxes use world-space min/max with
+    identity rotation (bit-identical to the reference's direct AABB test);
+    rotated boxes use +-half_dim in local space (reference
+    ``src/shader.rs:560-579``).
+    """
+
+    # objects
+    obj_type: jax.Array  # i32 [O]
+    slab_min: jax.Array  # [O, 3]
+    slab_max: jax.Array  # [O, 3]
+    shift: jax.Array  # [O, 3] world->local translation (rotated boxes)
+    inv_rot: jax.Array  # [O, 3, 3]
+    rot: jax.Array  # [O, 3, 3]
+    aabb_min: jax.Array  # [O, 3] world AABB (for culling / accel)
+    aabb_max: jax.Array  # [O, 3]
+    center: jax.Array  # [O, 3] object center (rotated-box normals)
+    half_dim: jax.Array  # [O, 3]
+    sphere_pos: jax.Array  # [O, 3] (reference-derived; zeros for non-spheres)
+    radius: jax.Array  # [O]
+    # materials (per object)
+    metallicness: jax.Array  # [O]
+    roughness: jax.Array  # [O]
+    albedo: jax.Array  # [O, S] reflective spectrum (min1'd if Reflective)
+    # lights
+    light_pos: jax.Array  # [L, 3]
+    light_spec: jax.Array  # [L, S] unclamped
+    # camera
+    cam_pos: jax.Array  # [3]
+    cam_dir: jax.Array  # [3]
+    cam_up: jax.Array  # [3]
+    fov_y_deg: jax.Array  # scalar
+    # color pipeline
+    xyz_weights: jax.Array  # [S, 3] per-sample XYZ integration weights
+    xyz_to_rgb: jax.Array  # [3, 3]
+
+    @property
+    def n_objects(self) -> int:
+        return self.obj_type.shape[0]
+
+    @property
+    def n_lights(self) -> int:
+        return self.light_pos.shape[0]
+
+    @property
+    def n_samples(self) -> int:
+        return self.albedo.shape[1]
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static (hashable) render parameters, passed as jit-static."""
+
+    width: int
+    height: int
+    n_samples: int
+    max_bounces: int
+    intended_frames: int
+    n_objects: int
+    n_lights: int
+
+
+def _sphere_tables(center, radius_in):
+    """Reference derivation chain: ``Aabb::new_sphere`` (src/shader.rs:108-115)
+    stores min/max; ``intersection_shader`` re-derives
+    ``sphere_pos = (min + max) * 0.5`` and ``radius = max.x - sphere_pos.x``
+    (src/shader.rs:305-306). Reproduce both steps in f32."""
+    c = np.asarray(center, dtype=F32)
+    r = F32(radius_in)
+    amin = (c - r).astype(F32)
+    amax = (c + r).astype(F32)
+    sphere_pos = ((amin + amax) * F32(0.5)).astype(F32)
+    radius = F32(amax[0] - sphere_pos[0])
+    return amin, amax, sphere_pos, radius
+
+
+def _rotated_box_world_aabb(center, half, rot):
+    """World AABB of a rotated box from its 8 corners
+    (reference ``Aabb::new_rotated_box``, src/shader.rs:134-166)."""
+    c = np.asarray(center, dtype=F32)
+    corners = []
+    for sx in (-1, 1):
+        for sy in (-1, 1):
+            for sz in (-1, 1):
+                local = np.array(
+                    [sx * half[0], sy * half[1], sz * half[2]], dtype=F32
+                )
+                corners.append((c + (rot @ local).astype(F32)).astype(F32))
+    corners = np.stack(corners)
+    return corners.min(axis=0).astype(F32), corners.max(axis=0).astype(F32)
+
+
+def flatten_scene(scene: Scene) -> tuple[SceneArrays, RenderConfig]:
+    """Snapshot a validated scene into device arrays.
+
+    Hidden objects/lights are filtered out, like the reference's dispatch
+    (src/main.rs:1397-1398).
+    """
+    scene.validate()
+    n_samples = scene.spectrum_number_of_samples
+    objects = scene.visible_objects()
+    lights = scene.visible_lights()
+
+    n_obj = len(objects)
+    obj_type = np.zeros(n_obj, dtype=np.int32)
+    slab_min = np.zeros((n_obj, 3), dtype=F32)
+    slab_max = np.zeros((n_obj, 3), dtype=F32)
+    shift = np.zeros((n_obj, 3), dtype=F32)
+    inv_rot = np.tile(np.eye(3, dtype=F32), (n_obj, 1, 1))
+    rot = np.tile(np.eye(3, dtype=F32), (n_obj, 1, 1))
+    aabb_min = np.zeros((n_obj, 3), dtype=F32)
+    aabb_max = np.zeros((n_obj, 3), dtype=F32)
+    center = np.zeros((n_obj, 3), dtype=F32)
+    half_dim = np.zeros((n_obj, 3), dtype=F32)
+    sphere_pos = np.zeros((n_obj, 3), dtype=F32)
+    radius = np.zeros(n_obj, dtype=F32)
+    metallicness = np.zeros(n_obj, dtype=F32)
+    roughness = np.zeros(n_obj, dtype=F32)
+    albedo = np.zeros((n_obj, n_samples), dtype=F32)
+
+    for i, obj in enumerate(objects):
+        pos = np.asarray(obj.position, dtype=F32)
+        center[i] = pos
+        t = obj.object_type
+        if isinstance(t, PlainBox):
+            obj_type[i] = OBJ_PLAIN_BOX
+            half = np.array(
+                [F32(t.x_length) / 2, F32(t.y_length) / 2, F32(t.z_length) / 2],
+                dtype=F32,
+            )
+            half_dim[i] = half
+            # reference Aabb::new_box (src/shader.rs:120-130)
+            aabb_min[i] = (pos - half).astype(F32)
+            aabb_max[i] = (pos + half).astype(F32)
+            slab_min[i], slab_max[i] = aabb_min[i], aabb_max[i]
+        elif isinstance(t, Sphere):
+            obj_type[i] = OBJ_SPHERE
+            amin, amax, spos, rad = _sphere_tables(pos, t.radius)
+            aabb_min[i], aabb_max[i] = amin, amax
+            slab_min[i], slab_max[i] = amin, amax
+            sphere_pos[i], radius[i] = spos, rad
+        elif isinstance(t, RotatedBox):
+            obj_type[i] = OBJ_ROTATED_BOX
+            half = np.array(
+                [F32(t.x_length) / 2, F32(t.y_length) / 2, F32(t.z_length) / 2],
+                dtype=F32,
+            )
+            half_dim[i] = half
+            r = euler_to_rotation_matrix(t.x_rotation, t.y_rotation, t.z_rotation)
+            rot[i] = r
+            inv_rot[i] = r.T  # Rotation3::inverse == transpose
+            shift[i] = pos
+            slab_min[i], slab_max[i] = (-half).astype(F32), half
+            aabb_min[i], aabb_max[i] = _rotated_box_world_aabb(pos, half, r)
+        else:
+            raise TypeError(f"unknown object type {t!r}")
+
+        mat = obj.material
+        metallicness[i] = F32(mat.metallicness)
+        roughness[i] = F32(mat.roughness)
+        albedo[i] = mat.spectrum.render_spectrum().values
+
+    n_lights = len(lights)
+    light_pos = np.zeros((n_lights, 3), dtype=F32)
+    light_spec = np.zeros((n_lights, n_samples), dtype=F32)
+    for i, light in enumerate(lights):
+        light_pos[i] = np.asarray(light.position, dtype=F32)
+        # unclamped, regardless of effect type (src/shader.rs:205-210)
+        light_spec[i] = light.spectrum.spectrum.values
+
+    # color integration weights: [K, 3] rows from the f32 sample walk,
+    # padded/truncated to an [S, 3] matrix acting on the sample axis.
+    w = cie.xyz_integration_weights(
+        scene.spectrum_lower_bound, scene.spectrum_upper_bound, n_samples
+    )
+    xyz_weights = np.zeros((n_samples, 3), dtype=F32)
+    k = min(len(w), n_samples)
+    xyz_weights[:k] = w[:k]
+
+    arrays = SceneArrays(
+        obj_type=jnp.asarray(obj_type),
+        slab_min=jnp.asarray(slab_min),
+        slab_max=jnp.asarray(slab_max),
+        shift=jnp.asarray(shift),
+        inv_rot=jnp.asarray(inv_rot),
+        rot=jnp.asarray(rot),
+        aabb_min=jnp.asarray(aabb_min),
+        aabb_max=jnp.asarray(aabb_max),
+        center=jnp.asarray(center),
+        half_dim=jnp.asarray(half_dim),
+        sphere_pos=jnp.asarray(sphere_pos),
+        radius=jnp.asarray(radius),
+        metallicness=jnp.asarray(metallicness),
+        roughness=jnp.asarray(roughness),
+        albedo=jnp.asarray(albedo),
+        light_pos=jnp.asarray(light_pos),
+        light_spec=jnp.asarray(light_spec),
+        cam_pos=jnp.asarray(np.asarray(scene.camera.position, dtype=F32)),
+        cam_dir=jnp.asarray(np.asarray(scene.camera.direction, dtype=F32)),
+        cam_up=jnp.asarray(np.asarray(scene.camera.up, dtype=F32)),
+        fov_y_deg=jnp.asarray(F32(scene.camera.fov_y_deg)),
+        xyz_weights=jnp.asarray(xyz_weights),
+        xyz_to_rgb=jnp.asarray(cie.XYZ_TO_RGB_MATRIX),
+    )
+    config = RenderConfig(
+        width=scene.width,
+        height=scene.height,
+        n_samples=n_samples,
+        max_bounces=scene.nbr_of_ray_bounces,
+        intended_frames=scene.nbr_of_iterations,
+        n_objects=n_obj,
+        n_lights=n_lights,
+    )
+    return arrays, config

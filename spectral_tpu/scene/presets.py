@@ -1,0 +1,121 @@
+"""Built-in preset scenes, value-for-value reproductions of the
+reference's two presets (``UIFields::default`` src/main.rs:1638-1759 and
+``UIFields::cornell_box`` src/main.rs:1538-1635)."""
+
+from __future__ import annotations
+
+from spectral_tpu.scene.schema import (
+    Camera,
+    Light,
+    Material,
+    PlainBox,
+    PlainReflective,
+    ReflectiveGreen,
+    ReflectiveRed,
+    RotatedBox,
+    Scene,
+    SceneObject,
+    SceneSpectrum,
+    Solar,
+    Sphere,
+    SpectrumEffectType,
+    NBR_OF_SPECTRUM_SAMPLES_DEFAULT,
+)
+
+
+def default_scene(n_samples: int = NBR_OF_SPECTRUM_SAMPLES_DEFAULT) -> Scene:
+    """Two solar lights, a mirror box, two grey spheres and a floor
+    (reference ``UIFields::default``, src/main.rs:1638-1759)."""
+    sun10 = SceneSpectrum.new(
+        "Close light spectrum", Solar(0.001), SpectrumEffectType.EMISSIVE, n=n_samples
+    )
+    sun1mil = SceneSpectrum.new(
+        "Far away sun spectrum", Solar(100.0), SpectrumEffectType.EMISSIVE, n=n_samples
+    )
+    grey = SceneSpectrum.new(
+        "Grey reflecting spectrum", PlainReflective(0.7),
+        SpectrumEffectType.REFLECTIVE, n=n_samples,
+    )
+    white = SceneSpectrum.new(
+        "White reflecting spectrum", PlainReflective(1.0),
+        SpectrumEffectType.REFLECTIVE, n=n_samples,
+    )
+
+    material_mirror = Material(1.0, 0.2, white, "Perfect Mirror")
+    material_grey = Material(0.0, 0.0, grey, "Grey plastic")
+
+    scene = Scene(
+        camera=Camera(),
+        lights=[
+            Light((0.0, 2.0, -1.0), sun10, "Close light"),
+            Light((0.0, 1_000.0, 0.0), sun1mil, "Far away sun light"),
+        ],
+        objects=[
+            SceneObject((-1.5, 0.0, 1.0), PlainBox(0.25, 3.0, 30.0),
+                        material_mirror, "Left mirror"),
+            SceneObject((0.0, 0.0, 1.0), Sphere(1.0), material_grey, "Left sphere"),
+            SceneObject((1.0, 0.0, 1.0), Sphere(1.0), material_grey, "Right sphere"),
+            SceneObject((0.0, -1.0, 0.0), PlainBox(50.0, 0.1, 50.0),
+                        material_grey, "Floor"),
+        ],
+        spectra=[sun10, sun1mil, grey, white],
+        materials=[material_mirror, material_grey],
+        spectrum_number_of_samples=n_samples,
+    )
+    return scene
+
+
+def cornell_box(n_samples: int = NBR_OF_SPECTRUM_SAMPLES_DEFAULT) -> Scene:
+    """The Cornell box preset (reference ``UIFields::cornell_box``,
+    src/main.rs:1538-1635): grey walls, red/green side walls, one dim solar
+    top light and two rotated boxes."""
+    solar = SceneSpectrum.new(
+        "Solar light spectrum", Solar(0.0001), SpectrumEffectType.EMISSIVE, n=n_samples
+    )
+    grey = SceneSpectrum.new(
+        "Reflective gray", PlainReflective(0.7),
+        SpectrumEffectType.REFLECTIVE, n=n_samples,
+    )
+    red = SceneSpectrum.new(
+        "Reflective red", ReflectiveRed(1.0),
+        SpectrumEffectType.REFLECTIVE, n=n_samples,
+    )
+    green = SceneSpectrum.new(
+        "Reflective green", ReflectiveGreen(1.0),
+        SpectrumEffectType.REFLECTIVE, n=n_samples,
+    )
+
+    material_grey = Material(0.0, 0.0, grey, "Grey plastic")
+    material_green = Material(0.0, 0.0, green, "Green plastic")
+    material_red = Material(0.0, 0.0, red, "Red plastic")
+
+    scene = Scene(
+        camera=Camera(),
+        lights=[Light((0.0, 0.9, 0.0), solar, "Top light")],
+        objects=[
+            SceneObject((0.0, 0.0, 2.0), PlainBox(2.0, 2.0, 2.0),
+                        material_grey, "Central wall"),
+            SceneObject((0.0, 2.0, 0.0), PlainBox(2.0, 2.0, 2.0),
+                        material_grey, "Ceiling"),
+            SceneObject((0.0, -2.0, 0.0), PlainBox(2.0, 2.0, 2.0),
+                        material_grey, "Floor"),
+            SceneObject((-2.0, 0.0, 0.0), PlainBox(2.0, 2.0, 2.0),
+                        material_red, "Left wall"),
+            SceneObject((2.0, 0.0, 0.0), PlainBox(2.0, 2.0, 2.0),
+                        material_green, "Right wall"),
+            SceneObject((0.5, -0.75, -0.5), RotatedBox(0.5, 0.5, 0.5, 0.0, 1.0, 0.0),
+                        material_grey, "Right front box"),
+            SceneObject((-0.5, -0.4, 0.5), RotatedBox(0.5, 1.2, 0.5, 0.0, -0.5, 0.0),
+                        material_grey, "Left back box"),
+        ],
+        spectra=[solar, grey, red, green],
+        materials=[material_grey, material_green, material_red],
+        spectrum_number_of_samples=n_samples,
+    )
+    return scene
+
+
+PRESETS = {
+    "default": default_scene,
+    "cornell": cornell_box,
+}

@@ -1,0 +1,338 @@
+"""Scene description schema.
+
+The UI-facing state of the reference (``UIFields`` and friends,
+reference ``src/main.rs:1511-2167``) re-designed as plain Python
+dataclasses. The field set is the compatibility surface: a reference scene
+maps 1:1 onto these types, and the two built-in presets
+(``spectral_tpu.scene.presets``) reproduce the reference's exactly.
+
+Referential structure (the reference's ``Rc<RefCell<...>>`` graph) is
+plain Python object identity: a ``Light`` holds *the* ``SceneSpectrum``
+object, a ``SceneObject`` holds *the* ``Material``. Legality checking
+(``Scene.validate``) verifies membership by identity, like the reference's
+``check_render_legality`` (``src/main.rs:1452-1484``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import itertools
+from typing import Union
+
+import numpy as np
+
+from spectral_tpu.spectral.spectrum import (
+    Spectrum,
+    VISIBLE_LIGHT_WAVELENGTH_LOWER_BOUND,
+    VISIBLE_LIGHT_WAVELENGTH_UPPER_BOUND,
+)
+
+# Reference src/main.rs:29-34.
+NBR_OF_ITERATIONS_DEFAULT = 100
+NBR_OF_SPECTRUM_SAMPLES_DEFAULT = 32
+NEW_RAY_MAX_BOUNCES_DEFAULT = 30
+NEW_RAY_MAX_BOUNCES_MAX = 100
+
+_id_counter = itertools.count(1)
+
+
+class SceneError(ValueError):
+    """Raised when a scene is in a state the renderer would reject."""
+
+
+class SpectrumEffectType(enum.Enum):
+    """Emissive = true light spectrum; Reflective = per-wavelength albedo
+    (clamped to <= 1 when snapshotted for rendering). Reference
+    ``src/main.rs:1845-1848`` and ``src/spectrum.rs:486-494``."""
+
+    EMISSIVE = "emissive"
+    REFLECTIVE = "reflective"
+
+
+# --- spectrum *type* variants (reference UISpectrumType, src/main.rs:1869-1878)
+
+@dataclasses.dataclass(frozen=True)
+class Custom:
+    """Free-form samples; resampled (lossily) on sample-count change."""
+
+
+@dataclasses.dataclass(frozen=True)
+class Solar:
+    factor: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class PlainReflective:
+    factor: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class Temperature:
+    kelvin: float = 6500.0
+    factor: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class ReflectiveRed:
+    factor: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class ReflectiveGreen:
+    factor: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class ReflectiveBlue:
+    factor: float = 1.0
+
+
+SpectrumType = Union[
+    Custom, Solar, PlainReflective, Temperature,
+    ReflectiveRed, ReflectiveGreen, ReflectiveBlue,
+]
+
+
+def _regenerate(
+    spectrum_type: SpectrumType,
+    current: Spectrum,
+    lo: float,
+    hi: float,
+    n: int,
+) -> Spectrum:
+    """Regenerate a spectrum for a new sample count
+    (reference ``update_all_spectrum_sample_sizes``, src/main.rs:1186-1228)."""
+    if isinstance(spectrum_type, Custom):
+        out = current.copy()
+        out.resample(n)
+        return out
+    if isinstance(spectrum_type, Solar):
+        return Spectrum.new_sunlight_spectrum(lo, hi, n, spectrum_type.factor)
+    if isinstance(spectrum_type, PlainReflective):
+        return Spectrum.new_singular_reflectance_factor(lo, hi, n, spectrum_type.factor)
+    if isinstance(spectrum_type, Temperature):
+        return Spectrum.new_temperature_spectrum(
+            lo, hi, spectrum_type.kelvin, n, spectrum_type.factor
+        )
+    if isinstance(spectrum_type, ReflectiveRed):
+        return Spectrum.new_reflective_spectrum_red(lo, hi, n, spectrum_type.factor)
+    if isinstance(spectrum_type, ReflectiveGreen):
+        return Spectrum.new_reflective_spectrum_green(lo, hi, n, spectrum_type.factor)
+    if isinstance(spectrum_type, ReflectiveBlue):
+        return Spectrum.new_reflective_spectrum_blue(lo, hi, n, spectrum_type.factor)
+    raise TypeError(f"unknown spectrum type {spectrum_type!r}")
+
+
+@dataclasses.dataclass
+class SceneSpectrum:
+    """A named spectrum (reference ``UISpectrum``, src/main.rs:1775-1802)."""
+
+    name: str
+    spectrum_type: SpectrumType
+    effect_type: SpectrumEffectType
+    spectrum: Spectrum
+    id: int = dataclasses.field(default_factory=lambda: next(_id_counter))
+
+    @staticmethod
+    def new(
+        name: str,
+        spectrum_type: SpectrumType,
+        effect_type: SpectrumEffectType,
+        lo: float = VISIBLE_LIGHT_WAVELENGTH_LOWER_BOUND,
+        hi: float = VISIBLE_LIGHT_WAVELENGTH_UPPER_BOUND,
+        n: int = NBR_OF_SPECTRUM_SAMPLES_DEFAULT,
+        values: np.ndarray | None = None,
+    ) -> "SceneSpectrum":
+        if isinstance(spectrum_type, Custom):
+            if values is None:
+                raise SceneError("Custom spectra require explicit values")
+            spectrum = Spectrum.new_from_list(values, lo, hi, n)
+        else:
+            spectrum = _regenerate(spectrum_type, None, lo, hi, n)
+        return SceneSpectrum(name, spectrum_type, effect_type, spectrum)
+
+    def regenerate(self, lo: float, hi: float, n: int) -> None:
+        self.spectrum = _regenerate(self.spectrum_type, self.spectrum, lo, hi, n)
+
+    def render_spectrum(self) -> Spectrum:
+        """Snapshot for rendering: reflective spectra are clamped to <= 1
+        (reference ``From<&UISpectrum> for Spectrum``, src/spectrum.rs:486-494)."""
+        s = self.spectrum.copy()
+        if self.effect_type == SpectrumEffectType.REFLECTIVE:
+            s.min1()
+        return s
+
+    def copy(self) -> "SceneSpectrum":
+        return SceneSpectrum(
+            self.name, self.spectrum_type, self.effect_type, self.spectrum.copy()
+        )
+
+
+@dataclasses.dataclass
+class Material:
+    """Reference ``UIMaterial`` (src/main.rs:2092-2111): stochastic
+    metallic/diffuse branch weight, specular cone roughness, and a
+    reflective spectrum (the per-wavelength albedo)."""
+
+    metallicness: float
+    roughness: float
+    spectrum: SceneSpectrum
+    name: str = "New Material"
+    id: int = dataclasses.field(default_factory=lambda: next(_id_counter))
+
+    def copy(self) -> "Material":
+        return Material(self.metallicness, self.roughness, self.spectrum, self.name)
+
+
+@dataclasses.dataclass
+class Light:
+    """Point light (reference ``UILight``, src/main.rs:1917-1938). The
+    light's spectrum is used *unclamped* regardless of effect type
+    (reference ``From<&UILight> for Light``, src/shader.rs:205-210)."""
+
+    position: tuple[float, float, float]
+    spectrum: SceneSpectrum
+    name: str = "New Light"
+    hidden: bool = False
+
+
+# --- object geometry variants (reference UIObjectType, src/main.rs:2070-2076)
+
+@dataclasses.dataclass(frozen=True)
+class PlainBox:
+    x_length: float = 2.0
+    y_length: float = 2.0
+    z_length: float = 2.0
+
+
+@dataclasses.dataclass(frozen=True)
+class Sphere:
+    radius: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class RotatedBox:
+    x_length: float = 2.0
+    y_length: float = 2.0
+    z_length: float = 2.0
+    x_rotation: float = 0.0
+    y_rotation: float = 0.0
+    z_rotation: float = 0.0
+
+
+ObjectType = Union[PlainBox, Sphere, RotatedBox]
+
+
+@dataclasses.dataclass
+class SceneObject:
+    """Reference ``UIObject`` (src/main.rs:1991-2038)."""
+
+    position: tuple[float, float, float]
+    object_type: ObjectType
+    material: Material
+    name: str = "New Object"
+    hidden: bool = False
+
+
+@dataclasses.dataclass
+class Camera:
+    """Pinhole camera (reference ``UICamera``, src/main.rs:1957-1985)."""
+
+    position: tuple[float, float, float] = (0.0, 0.0, -2.0)
+    direction: tuple[float, float, float] = (0.0, 0.0, 1.0)
+    up: tuple[float, float, float] = (0.0, 1.0, 0.0)
+    fov_y_deg: float = 60.0
+
+
+F32_DELTA = 1e-5  # reference src/shader.rs:7
+
+
+def are_linear_dependent(a, b) -> bool:
+    """Reference ``are_linear_dependent`` (src/main.rs:2198-2203)."""
+    a = np.asarray(a, dtype=np.float32)
+    b = np.asarray(b, dtype=np.float32)
+    cross = np.cross(a, b)
+    return bool(np.all(np.abs(cross) < F32_DELTA))
+
+
+@dataclasses.dataclass
+class Scene:
+    """The full render configuration (reference ``UIFields``,
+    src/main.rs:1511-1535). ``nbr_of_threads`` has no TPU meaning and is
+    accepted for scene-file compatibility only."""
+
+    width: int = 600
+    height: int = 400
+    nbr_of_iterations: int = NBR_OF_ITERATIONS_DEFAULT
+    nbr_of_ray_bounces: int = NEW_RAY_MAX_BOUNCES_DEFAULT
+    camera: Camera = dataclasses.field(default_factory=Camera)
+    lights: list[Light] = dataclasses.field(default_factory=list)
+    objects: list[SceneObject] = dataclasses.field(default_factory=list)
+    spectra: list[SceneSpectrum] = dataclasses.field(default_factory=list)
+    materials: list[Material] = dataclasses.field(default_factory=list)
+    spectrum_lower_bound: float = VISIBLE_LIGHT_WAVELENGTH_LOWER_BOUND
+    spectrum_upper_bound: float = VISIBLE_LIGHT_WAVELENGTH_UPPER_BOUND
+    spectrum_number_of_samples: int = NBR_OF_SPECTRUM_SAMPLES_DEFAULT
+    nbr_of_threads: int = 0  # compat only; parallelism is the device mesh
+
+    # ------------------------------------------------------------- updates
+
+    def update_all_spectrum_sample_sizes(self, n: int | None = None) -> None:
+        """Regenerate every spectrum at the configured sample count
+        (reference src/main.rs:1186-1228)."""
+        if n is not None:
+            self.spectrum_number_of_samples = n
+        n = self.spectrum_number_of_samples
+        for s in self.spectra:
+            s.regenerate(self.spectrum_lower_bound, self.spectrum_upper_bound, n)
+
+    # ------------------------------------------------------------ legality
+
+    def validate(self) -> None:
+        """Raise ``SceneError`` on states the reference's
+        ``check_render_legality`` (src/main.rs:1452-1484) rejects, plus the
+        camera linear-dependence assert (src/main.rs:1407-1412)."""
+        spectra_ids = {id(s) for s in self.spectra}
+        material_ids = {id(m) for m in self.materials}
+
+        for light in self.lights:
+            if id(light.spectrum) not in spectra_ids:
+                raise SceneError(
+                    f"light {light.name!r} references a spectrum not in the scene"
+                )
+        for obj in self.objects:
+            if id(obj.material) not in material_ids:
+                raise SceneError(
+                    f"object {obj.name!r} references a material not in the scene"
+                )
+        for mat in self.materials:
+            if id(mat.spectrum) not in spectra_ids:
+                raise SceneError(
+                    f"material {mat.name!r} references a spectrum not in the scene"
+                )
+        n = self.spectrum_number_of_samples
+        for s in self.spectra:
+            if s.spectrum.get_nbr_of_samples() != n:
+                raise SceneError(
+                    f"spectrum {s.name!r} has {s.spectrum.get_nbr_of_samples()} "
+                    f"samples, scene expects {n}"
+                )
+        if n % 8 != 0 or not 8 <= n <= 128:
+            raise SceneError("spectrum sample count must be a multiple of 8 in [8, 128]")
+        if are_linear_dependent(self.camera.direction, self.camera.up):
+            raise SceneError(
+                "camera view direction and up direction are linearly dependent"
+            )
+        if self.width <= 0 or self.height <= 0:
+            raise SceneError("image dimensions must be positive")
+        if not 1 <= self.nbr_of_ray_bounces <= NEW_RAY_MAX_BOUNCES_MAX:
+            raise SceneError(
+                f"ray bounces must be in [1, {NEW_RAY_MAX_BOUNCES_MAX}]"
+            )
+
+    def visible_objects(self) -> list[SceneObject]:
+        return [o for o in self.objects if not o.hidden]
+
+    def visible_lights(self) -> list[Light]:
+        return [l for l in self.lights if not l.hidden]
