@@ -1,0 +1,80 @@
+"""Headline benchmark: Cornell box throughput on real TPU hardware.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "Mrays/s*lambda", "vs_baseline": N}
+
+The metric is reference-equivalent ray throughput times spectral width —
+each counted ray is one ``submit_ray`` the reference CPU renderer would
+have performed (primary + continuation + NEE shadow rays; retired
+wavefront lanes are NOT counted), times the number of wavelength samples
+carried per ray. Baseline: the driver's north-star target of 100
+Mrays/s*lambda per chip (BASELINE.md; the reference publishes no numbers).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+BASELINE_MRAYS_LAMBDA = 100.0
+
+
+def main() -> None:
+    from spectral_tpu.render.integrator import accumulate_frame, integrate_frame
+    from spectral_tpu.scene import presets
+    from spectral_tpu.scene.flatten import flatten_scene
+
+    # BASELINE.json config #2: Cornell box, 512x512, default spectral width.
+    scene = presets.cornell_box()
+    scene.width = scene.height = 512
+    scene.nbr_of_ray_bounces = 30
+    scene.nbr_of_iterations = 100
+    arrays, config = flatten_scene(scene)
+
+    @partial(jax.jit, static_argnums=(1,), donate_argnums=(2,))
+    def step(scn, cfg, accum, frame_id):
+        rgb, rays = integrate_frame(scn, cfg, frame_id, return_stats=True)
+        return accumulate_frame(accum, rgb, frame_id), rays
+
+    accum = jnp.zeros((config.height, config.width, 4), dtype=jnp.float32)
+
+    # warmup / compile
+    accum, rays_per_frame = step(arrays, config, accum, jnp.uint32(0))
+    rays_per_frame = float(rays_per_frame)
+    jax.block_until_ready(accum)
+
+    n_frames = 20
+    t0 = time.perf_counter()
+    for f in range(1, n_frames + 1):
+        accum, _ = step(arrays, config, accum, jnp.uint32(f))
+    jax.block_until_ready(accum)
+    dt = time.perf_counter() - t0
+
+    total_ray_lambda = rays_per_frame * n_frames * config.n_samples
+    mrays_lambda = total_ray_lambda / dt / 1e6
+    print(
+        json.dumps(
+            {
+                "metric": "cornell512_throughput",
+                "value": round(mrays_lambda, 2),
+                "unit": "Mrays/s*lambda",
+                "vs_baseline": round(mrays_lambda / BASELINE_MRAYS_LAMBDA, 3),
+                "detail": {
+                    "config": "cornell 512x512, 32 lambda, 30 bounces",
+                    "rays_per_frame": rays_per_frame,
+                    "seconds_per_frame": dt / n_frames,
+                    "est_wall_1000_iters_s": round(dt / n_frames * 1000, 1),
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

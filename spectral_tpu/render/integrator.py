@@ -66,6 +66,7 @@ class _BounceState(NamedTuple):
     radiance: jax.Array  # [N, S]
     alive: jax.Array  # [N] bool
     pending_gate: jax.Array  # [N] bool — parent was specular
+    ray_count: jax.Array  # [] f32 — reference-equivalent rays submitted
 
 
 def _direct_lighting(
@@ -111,7 +112,11 @@ def _bounce(
     scene: SceneArrays,
     config: RenderConfig,
 ) -> _BounceState:
-    o, d, throughput, radiance, alive, pending_gate = state
+    o, d, throughput, radiance, alive, pending_gate, ray_count = state
+
+    # reference-equivalent ray accounting: one submit_ray per live lane
+    # (the wavefront traces retired lanes too, but only live ones count)
+    ray_count = ray_count + jnp.sum(alive.astype(jnp.float32))
 
     res = trace(o, d, scene)
     # specular child-distance gate from the parent bounce
@@ -132,6 +137,10 @@ def _bounce(
     offset_pos = ip + normal * NEW_RAY_POSITION_OFFSET_DISTANCE
 
     direct = _direct_lighting(offset_pos, normal, d, scene, config)
+    # one shadow ray per light per live diffuse lane (src/shader.rs:420-439)
+    ray_count = ray_count + jnp.float32(config.n_lights) * jnp.sum(
+        (alive & ~spec).astype(jnp.float32)
+    )
     contributes = (alive & ~spec)[:, None]
     radiance = radiance + jnp.where(
         contributes, throughput * m_albedo * direct, 0.0
@@ -153,13 +162,17 @@ def _bounce(
     throughput = jnp.where(cont[:, None], throughput * m_albedo, throughput)
     pending_gate = jnp.where(cont, spec, pending_gate)
 
-    return _BounceState(o, d, throughput, radiance, cont, pending_gate)
+    return _BounceState(o, d, throughput, radiance, cont, pending_gate, ray_count)
 
 
 def integrate_frame(
-    scene: SceneArrays, config: RenderConfig, frame_id: jax.Array
-) -> jax.Array:
-    """Trace one progressive frame; returns linear RGB ``[H, W, 3]``."""
+    scene: SceneArrays,
+    config: RenderConfig,
+    frame_id: jax.Array,
+    return_stats: bool = False,
+):
+    """Trace one progressive frame; returns linear RGB ``[H, W, 3]``
+    (plus the reference-equivalent submitted-ray count if requested)."""
     frame_id = jnp.asarray(frame_id, dtype=jnp.uint32)
     origin, direction, px, py = generate_primary_rays(
         scene.cam_pos,
@@ -180,11 +193,12 @@ def integrate_frame(
         radiance=jnp.zeros((n, s), dtype=jnp.float32),
         alive=jnp.ones((n,), dtype=bool),
         pending_gate=jnp.zeros((n,), dtype=bool),
+        ray_count=jnp.float32(0.0),
     )
 
     if config.n_objects == 0:
-        rgb = jnp.zeros((n, 3), dtype=jnp.float32)
-        return rgb.reshape(config.height, config.width, 3)
+        rgb = jnp.zeros((config.height, config.width, 3), dtype=jnp.float32)
+        return (rgb, jnp.float32(0.0)) if return_stats else rgb
 
     def body(i, st):
         bounces_left = jnp.uint32(config.max_bounces) - i.astype(jnp.uint32)
@@ -193,7 +207,10 @@ def integrate_frame(
     state = jax.lax.fori_loop(0, config.max_bounces, body, state)
 
     rgb = spectra_to_rgb(state.radiance, scene.xyz_weights, scene.xyz_to_rgb)
-    return rgb.reshape(config.height, config.width, 3)
+    rgb = rgb.reshape(config.height, config.width, 3)
+    if return_stats:
+        return rgb, state.ray_count
+    return rgb
 
 
 def accumulate_frame(

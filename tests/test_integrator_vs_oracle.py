@@ -122,6 +122,7 @@ def test_specular_min_distance_gate():
         alive=jnp.ones(n, dtype=bool),
         # lane 0: specular parent (gated); lane 1: diffuse parent (not gated)
         pending_gate=jnp.array([True, False]),
+        ray_count=jnp.float32(0.0),
     )
     out = _bounce(
         state,
