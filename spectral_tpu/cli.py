@@ -1,0 +1,184 @@
+"""Headless command-line driver.
+
+The framework's app shell (the role of the reference's eframe GUI,
+reference ``src/main.rs:40-71``, re-designed headless): render presets or
+JSON scenes progressively with live progress, periodic previews,
+checkpoint/resume, and optional multi-device meshes.
+
+    python -m spectral_tpu render --preset cornell --out cornell.png
+    python -m spectral_tpu render --scene my.json --mesh 4 --iterations 500
+    python -m spectral_tpu scene dump --preset default --out scene.json
+    python -m spectral_tpu describe --scene my.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from spectral_tpu.utils.text_resources import HELP
+
+
+def _add_render_overrides(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--width", type=int, help=HELP["width"])
+    p.add_argument("--height", type=int, help=HELP["height"])
+    p.add_argument("--iterations", type=int, help=HELP["iterations"])
+    p.add_argument("--bounces", type=int, help=HELP["max_bounces"])
+    p.add_argument("--samples", type=int, help=HELP["spectrum_samples"])
+
+
+def _load_scene(args):
+    from spectral_tpu.scene import presets
+    from spectral_tpu.utils import sceneio
+
+    if args.scene:
+        scene = sceneio.load_scene(args.scene)
+    else:
+        scene = presets.PRESETS[args.preset]()
+    if args.width:
+        scene.width = args.width
+    if args.height:
+        scene.height = args.height
+    if args.iterations:
+        scene.nbr_of_iterations = args.iterations
+    if args.bounces:
+        scene.nbr_of_ray_bounces = args.bounces
+    if getattr(args, "samples", None):
+        scene.spectrum_number_of_samples = args.samples
+        scene.update_all_spectrum_sample_sizes()
+    return scene
+
+
+def cmd_render(args) -> int:
+    from spectral_tpu.render.renderer import Renderer
+
+    scene = _load_scene(args)
+
+    sharding = None
+    if args.mesh:
+        from spectral_tpu.parallel.mesh import make_mesh, row_sharding
+
+        sharding = row_sharding(make_mesh(args.mesh))
+
+    renderer = Renderer(scene, sharding=sharding)
+    if args.resume:
+        renderer.load_checkpoint(args.resume)
+        print(f"resumed at frame {renderer.next_frame}", file=sys.stderr)
+
+    last_preview = [time.monotonic()]
+
+    def progress(p):
+        if not args.quiet:
+            eta = (
+                p.elapsed_s / p.fraction * (1 - p.fraction)
+                if p.fraction > 0
+                else float("inf")
+            )
+            print(
+                f"\rframe {p.frame_id + 1}/{p.total_frames} "
+                f"({p.fraction:5.1%})  elapsed {p.elapsed_s:6.1f}s  "
+                f"eta {eta:6.1f}s",
+                end="",
+                file=sys.stderr,
+                flush=True,
+            )
+        if args.preview_every and time.monotonic() - last_preview[0] > args.preview_every:
+            renderer.save_image(args.out)
+            last_preview[0] = time.monotonic()
+
+    t0 = time.monotonic()
+    renderer.render(progress=progress)
+    if not args.quiet:
+        print(file=sys.stderr)
+    renderer.save_image(args.out)
+    if args.checkpoint:
+        renderer.save_checkpoint(args.checkpoint)
+        print(f"checkpoint -> {args.checkpoint}", file=sys.stderr)
+    print(
+        f"rendered {renderer.next_frame} iterations in "
+        f"{time.monotonic() - t0:.1f}s -> {args.out}",
+        file=sys.stderr,
+    )
+    return 0
+
+
+def cmd_scene_dump(args) -> int:
+    from spectral_tpu.scene import presets
+    from spectral_tpu.utils import sceneio
+
+    scene = presets.PRESETS[args.preset]()
+    sceneio.save_scene(scene, args.out)
+    print(f"wrote {args.out}", file=sys.stderr)
+    return 0
+
+
+def cmd_describe(args) -> int:
+    scene = _load_scene(args)
+    scene.validate()
+    print(f"{scene.width}x{scene.height}, {scene.nbr_of_iterations} iterations, "
+          f"{scene.nbr_of_ray_bounces} bounces, "
+          f"{scene.spectrum_number_of_samples} wavelength samples "
+          f"({scene.spectrum_lower_bound:.0f}-{scene.spectrum_upper_bound:.0f} nm)")
+    print(f"camera: pos {scene.camera.position} dir {scene.camera.direction} "
+          f"fov {scene.camera.fov_y_deg} deg")
+    print(f"{len(scene.lights)} lights:")
+    for l in scene.lights:
+        tag = " [hidden]" if l.hidden else ""
+        print(f"  {l.name}: at {l.position}, spectrum {l.spectrum.name!r}{tag}")
+    print(f"{len(scene.objects)} objects:")
+    for o in scene.objects:
+        tag = " [hidden]" if o.hidden else ""
+        print(f"  {o.name}: {type(o.object_type).__name__} at {o.position}, "
+              f"material {o.material.name!r}{tag}")
+    print(f"{len(scene.materials)} materials, {len(scene.spectra)} spectra")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="spectral_tpu",
+        description="TPU-native spectral path tracer",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    pr = sub.add_parser("render", help="render a scene progressively")
+    src = pr.add_mutually_exclusive_group()
+    src.add_argument("--preset", choices=("default", "cornell"), default="default")
+    src.add_argument("--scene", help="path to a scene JSON file")
+    _add_render_overrides(pr)
+    pr.add_argument("--out", default="render.png",
+                    help="output image (png/jpg/bmp/tiff by extension)")
+    pr.add_argument("--mesh", type=int, default=0,
+                    help="shard over the first N devices (0 = single device)")
+    pr.add_argument("--checkpoint", help=HELP["checkpoint"])
+    pr.add_argument("--resume", help="resume from a checkpoint file")
+    pr.add_argument("--preview-every", type=float, default=0.0,
+                    help="write the output image every N seconds while rendering")
+    pr.add_argument("--quiet", action="store_true")
+    pr.set_defaults(func=cmd_render)
+
+    ps = sub.add_parser("scene", help="scene file utilities")
+    pssub = ps.add_subparsers(dest="scene_command", required=True)
+    pd = pssub.add_parser("dump", help="write a preset as an editable JSON scene")
+    pd.add_argument("--preset", choices=("default", "cornell"), default="default")
+    pd.add_argument("--out", required=True)
+    pd.set_defaults(func=cmd_scene_dump)
+
+    pdesc = sub.add_parser("describe", help="validate and summarize a scene")
+    srcd = pdesc.add_mutually_exclusive_group()
+    srcd.add_argument("--preset", choices=("default", "cornell"), default="default")
+    srcd.add_argument("--scene", help="path to a scene JSON file")
+    _add_render_overrides(pdesc)
+    pdesc.set_defaults(func=cmd_describe)
+
+    return parser
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,87 @@
+"""User-facing help text.
+
+The framework equivalent of the reference's tooltip catalog
+(reference ``src/text_resources.rs:1-125``): one help string per
+UI-facing knob, surfaced through the CLI's ``--help`` and the scene
+schema docs. Wording is our own; coverage mirrors the reference's.
+"""
+
+HELP = {
+    "width": "Output image width in pixels.",
+    "height": "Output image height in pixels.",
+    "iterations": (
+        "Number of progressive refinement passes. Each pass renders the "
+        "whole image once and blends it into the running average; more "
+        "passes mean less noise. Decent results above 100, good above 1000."
+    ),
+    "max_bounces": (
+        "Maximum path depth per camera ray (1-100). A value of 1 gives "
+        "direct lighting only; higher values add indirect illumination at "
+        "increasing cost."
+    ),
+    "spectrum_samples": (
+        "Number of wavelength samples per spectrum (multiple of 8, between "
+        "8 and 128). Spectra are sampled equidistantly over 380-780 nm. "
+        "More samples give smoother color at higher cost."
+    ),
+    "threads": (
+        "Accepted for scene-file compatibility with the reference desktop "
+        "app; on TPU parallelism comes from the device mesh instead."
+    ),
+    "camera.position": "World-space position of the pinhole camera.",
+    "camera.direction": "View direction; must not be parallel to 'up'.",
+    "camera.up": "Approximate up direction used to build the camera basis.",
+    "camera.fov_y_deg": "Vertical field of view in degrees.",
+    "light.position": "World-space position of the point light.",
+    "light.spectrum": (
+        "Emission spectrum of the light. Intensity falls off with the "
+        "squared distance."
+    ),
+    "material.metallicness": (
+        "Probability in [0,1] that a ray reflects specularly instead of "
+        "diffusely at each hit (stochastic branch per bounce)."
+    ),
+    "material.roughness": (
+        "Specular cone width in [0,1]: 0 is a perfect mirror; larger values "
+        "spread reflected rays within a cone of half-angle roughness^2 * 90 "
+        "degrees."
+    ),
+    "material.spectrum": (
+        "Per-wavelength reflectance (albedo). Reflective spectra are "
+        "clamped to at most 1 when the render starts."
+    ),
+    "object.plain_box": (
+        "Axis-aligned box given by center and edge lengths — the cheapest "
+        "primitive to intersect."
+    ),
+    "object.sphere": "Mathematically exact sphere given by center and radius.",
+    "object.rotated_box": (
+        "Box with extra Euler rotation (roll, pitch, yaw in radians) "
+        "applied about its center."
+    ),
+    "spectrum.solar": (
+        "Sunlight-like emission spectrum scaled by a brightness factor. "
+        "Matches the reference's 6500 K blackbody workaround (its measured "
+        "solar table is shipped but bypassed, like upstream)."
+    ),
+    "spectrum.temperature": (
+        "Blackbody (Planck) emission spectrum for a temperature in Kelvin, "
+        "scaled by a brightness factor."
+    ),
+    "spectrum.plain_reflective": "Flat spectrum: the same value at every wavelength.",
+    "spectrum.reflective_red": "Reflects wavelengths above 550 nm (red-ish).",
+    "spectrum.reflective_green": "Reflects wavelengths between 500 and 575 nm.",
+    "spectrum.reflective_blue": "Reflects wavelengths below 475 nm.",
+    "spectrum.custom": (
+        "Free-form per-sample values; resampled (lossily) when the sample "
+        "count changes."
+    ),
+    "abort": (
+        "Rendering aborts at frame granularity: the current progressive "
+        "pass finishes before the render stops."
+    ),
+    "checkpoint": (
+        "Progressive renders can be checkpointed (accumulator + frame "
+        "counter) and resumed later — useful for long hero renders."
+    ),
+}

@@ -1,0 +1,113 @@
+"""Scene JSON round-trip and CLI driver."""
+
+import json
+
+import numpy as np
+import pytest
+
+from spectral_tpu.cli import main
+from spectral_tpu.scene import presets
+from spectral_tpu.scene.flatten import flatten_scene
+from spectral_tpu.scene.schema import Custom, SceneSpectrum, SpectrumEffectType
+from spectral_tpu.utils import sceneio
+
+
+@pytest.mark.parametrize("preset", ["default", "cornell"])
+def test_scene_json_round_trip(preset):
+    scene = presets.PRESETS[preset]()
+    loaded = sceneio.scene_from_dict(sceneio.scene_to_dict(scene))
+    a, ca = flatten_scene(scene)
+    b, cb = flatten_scene(loaded)
+    assert ca == cb
+    for field in (
+        "obj_type", "slab_min", "slab_max", "rot", "sphere_pos", "radius",
+        "metallicness", "roughness", "albedo", "light_pos", "light_spec",
+        "cam_pos", "cam_dir", "cam_up",
+    ):
+        assert np.array_equal(
+            np.asarray(getattr(a, field)), np.asarray(getattr(b, field))
+        ), field
+
+
+def test_custom_spectrum_round_trip(tmp_path):
+    scene = presets.default_scene()
+    vals = np.linspace(0.1, 0.9, 32).astype(np.float32)
+    custom = SceneSpectrum.new(
+        "my custom", Custom(), SpectrumEffectType.REFLECTIVE, values=vals
+    )
+    scene.spectra.append(custom)
+    p = tmp_path / "scene.json"
+    sceneio.save_scene(scene, p)
+    loaded = sceneio.load_scene(p)
+    assert loaded.spectra[-1].name == "my custom"
+    assert np.allclose(loaded.spectra[-1].spectrum.values, vals)
+
+
+def test_rejects_unknown_format():
+    with pytest.raises(ValueError, match="unsupported scene format"):
+        sceneio.scene_from_dict({"format": "something/v9"})
+
+
+def test_cli_render_and_describe(tmp_path, capsys):
+    out = tmp_path / "img.png"
+    ckpt = tmp_path / "c.npz"
+    rc = main([
+        "render", "--preset", "cornell", "--width", "24", "--height", "16",
+        "--iterations", "2", "--bounces", "2", "--samples", "8",
+        "--out", str(out), "--checkpoint", str(ckpt), "--quiet",
+    ])
+    assert rc == 0
+    assert out.exists() and ckpt.exists()
+
+    rc = main(["describe", "--preset", "cornell"])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "Top light" in text and "7 objects" in text
+
+
+def test_cli_scene_dump_and_render(tmp_path):
+    scene_file = tmp_path / "s.json"
+    assert main(["scene", "dump", "--preset", "default", "--out", str(scene_file)]) == 0
+    data = json.loads(scene_file.read_text())
+    assert data["format"] == "spectral_tpu.scene/v1"
+    out = tmp_path / "o.png"
+    rc = main([
+        "render", "--scene", str(scene_file), "--width", "16", "--height", "8",
+        "--iterations", "1", "--bounces", "1", "--out", str(out), "--quiet",
+    ])
+    assert rc == 0 and out.exists()
+
+
+def test_cli_resume(tmp_path):
+    out = tmp_path / "img.png"
+    ckpt = tmp_path / "c.npz"
+    main([
+        "render", "--preset", "default", "--width", "16", "--height", "8",
+        "--iterations", "2", "--bounces", "1", "--out", str(out),
+        "--checkpoint", str(ckpt), "--quiet",
+    ])
+    first = out.read_bytes()
+    # resuming a finished render with the same config is a no-op re-save
+    rc = main([
+        "render", "--preset", "default", "--width", "16", "--height", "8",
+        "--iterations", "2", "--bounces", "1", "--out", str(out),
+        "--resume", str(ckpt), "--quiet",
+    ])
+    assert rc == 0
+    assert out.read_bytes() == first
+
+
+def test_cli_resume_rejects_mismatch(tmp_path):
+    out = tmp_path / "img.png"
+    ckpt = tmp_path / "c.npz"
+    main([
+        "render", "--preset", "default", "--width", "16", "--height", "8",
+        "--iterations", "2", "--bounces", "1", "--out", str(out),
+        "--checkpoint", str(ckpt), "--quiet",
+    ])
+    with pytest.raises(ValueError):
+        main([
+            "render", "--preset", "default", "--width", "32", "--height", "8",
+            "--iterations", "2", "--bounces", "1", "--out", str(out),
+            "--resume", str(ckpt), "--quiet",
+        ])
