@@ -25,7 +25,10 @@ BASELINE_MRAYS_LAMBDA = 100.0
 
 
 def main() -> None:
+    import numpy as np
+
     from spectral_tpu.render.integrator import accumulate_frame, integrate_frame
+    from spectral_tpu.render.pallas_integrator import render_frame_step_pallas
     from spectral_tpu.scene import presets
     from spectral_tpu.scene.flatten import flatten_scene
 
@@ -35,23 +38,30 @@ def main() -> None:
     scene.nbr_of_ray_bounces = 30
     scene.nbr_of_iterations = 100
     arrays, config = flatten_scene(scene)
+    obj_types = tuple(np.asarray(arrays.obj_type).tolist())
 
-    @partial(jax.jit, static_argnums=(1,), donate_argnums=(2,))
-    def step(scn, cfg, accum, frame_id):
-        rgb, rays = integrate_frame(scn, cfg, frame_id, return_stats=True)
-        return accumulate_frame(accum, rgb, frame_id), rays
+    # reference-equivalent ray count per frame, measured once via the
+    # instrumented jnp path (identical per-bounce live-lane statistics)
+    @partial(jax.jit, static_argnums=(1,))
+    def count(scn, cfg, frame_id):
+        _rgb, rays = integrate_frame(scn, cfg, frame_id, return_stats=True)
+        return rays
+
+    rays_per_frame = float(count(arrays, config, jnp.uint32(0)))
+
+    # timed path: the VMEM-resident Pallas megakernel
+    @partial(jax.jit, static_argnums=(1, 4), donate_argnums=(2,))
+    def step(scn, cfg, accum, frame_id, ots):
+        return render_frame_step_pallas(scn, cfg, accum, frame_id, ots)
 
     accum = jnp.zeros((config.height, config.width, 4), dtype=jnp.float32)
-
-    # warmup / compile
-    accum, rays_per_frame = step(arrays, config, accum, jnp.uint32(0))
-    rays_per_frame = float(rays_per_frame)
+    accum = step(arrays, config, accum, jnp.uint32(0), obj_types)  # compile
     jax.block_until_ready(accum)
 
-    n_frames = 20
+    n_frames = 50
     t0 = time.perf_counter()
     for f in range(1, n_frames + 1):
-        accum, _ = step(arrays, config, accum, jnp.uint32(f))
+        accum = step(arrays, config, accum, jnp.uint32(f), obj_types)
     jax.block_until_ready(accum)
     dt = time.perf_counter() - t0
 
@@ -65,7 +75,7 @@ def main() -> None:
                 "unit": "Mrays/s*lambda",
                 "vs_baseline": round(mrays_lambda / BASELINE_MRAYS_LAMBDA, 3),
                 "detail": {
-                    "config": "cornell 512x512, 32 lambda, 30 bounces",
+                    "config": "cornell 512x512, 32 lambda, 30 bounces, pallas megakernel",
                     "rays_per_frame": rays_per_frame,
                     "seconds_per_frame": dt / n_frames,
                     "est_wall_1000_iters_s": round(dt / n_frames * 1000, 1),

@@ -175,8 +175,25 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
+def _enable_compile_cache() -> None:
+    """Persist XLA compilations across CLI invocations (TPU compiles are
+    expensive; the render program is identical run to run)."""
+    import os
+
+    try:
+        import jax
+
+        cache = os.path.expanduser("~/.cache/spectral_tpu_xla")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # cache is best-effort; never block rendering
+        pass
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    _enable_compile_cache()
     return args.func(args)
 
 

@@ -1,0 +1,540 @@
+"""Whole-frame wavefront megakernel (Pallas / Mosaic TPU).
+
+The performance-critical re-design of the bounce loop: where the jnp
+integrator (``spectral_tpu.render.integrator``) round-trips every
+``[n_rays, n_lambda]`` state array through HBM once per bounce (~6 GB per
+512x512x32 frame), this kernel keeps a tile of rays — origins, directions,
+spectral throughput, radiance accumulator, masks — resident in VMEM for
+the *entire* bounce loop. HBM traffic per frame drops to one read of the
+primary rays and one write of the radiance (~90 MB), an ~8x reduction in
+memory volume on the dominant cost.
+
+Layout: lanes are tiled ``[R8, 128]`` (full (8,128) VPU tiles); spectra
+are ``[S, R8, 128]`` — the wavelength axis is a leading batch dimension
+and every spectral op is an unrolled loop over ``S`` fully-packed VPU
+ops. Per-object scene constants are scalar VMEM reads; per-object code is
+specialized at build time on the (static) object type list, so there is
+no runtime type dispatch.
+
+Mosaic workarounds (verified on v5e):
+* no uint32<->float32 casts -> exact conversion via 16-bit halves
+  (``_u32_to_f32``; single final rounding, bit-identical to Rust
+  ``u32 as f32``);
+* no ``asin`` -> the cosine-hemisphere sampler uses the algebraic
+  identities ``sin(asin(sqrt(x))) == sqrt(x)``, ``cos == sqrt(1-x)``
+  (documented micro-divergence from the jnp path; both land within the
+  reference's own 1-ulp coin-flip envelope, see
+  tests/test_integrator_vs_oracle.py).
+
+The kernel matches the reference semantics bounce-for-bounce (same PCG3D
+streams, NEE, specular gate, un-offset diffuse origin quirk) — see
+``spectral_tpu.render.integrator`` for the semantic source of truth and
+reference citations.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from spectral_tpu.scene.flatten import (
+    OBJ_PLAIN_BOX,
+    OBJ_ROTATED_BOX,
+    OBJ_SPHERE,
+    RenderConfig,
+    SceneArrays,
+)
+
+LANE = 128
+DEFAULT_TILE = 8192
+
+_INV_2_32 = np.float32(2.3283064365386963e-10)
+_OFFSET = np.float32(1e-5)
+_SPEC_MIN = np.float32(1e-4)
+_F32_DELTA = np.float32(1e-5)
+_PI = np.float32(np.pi)
+_INF = np.float32(np.inf)
+
+# geom table column layout ([O, 32] float32)
+_SLAB_MIN = 0  # 0-2
+_SLAB_MAX = 3  # 3-5
+_SHIFT = 6  # 6-8: rotbox center / sphere center
+_INV_ROT = 9  # 9-17 row-major
+_ROT = 18  # 18-26 row-major
+_RADIUS = 27
+_METAL = 28
+_ROUGH = 29
+
+
+def _u32_to_f32(u):
+    """Exact uint32 -> float32 (round-to-nearest), Mosaic-safe."""
+    hi = (u >> 16).astype(jnp.int32)
+    lo = (u & jnp.uint32(0xFFFF)).astype(jnp.int32)
+    return hi.astype(jnp.float32) * jnp.float32(65536.0) + lo.astype(jnp.float32)
+
+
+def _pcg3d(x, y, z):
+    mul = jnp.uint32(1664525)
+    add = jnp.uint32(1013904223)
+    x = x * mul + add
+    y = y * mul + add
+    z = z * mul + add
+    x = y * z + x
+    y = z * x + y
+    z = x * y + z
+    x = x ^ (x >> 16)
+    y = y ^ (y >> 16)
+    z = z ^ (z >> 16)
+    x = y * z + x
+    y = z * x + y
+    z = x * y + z
+    return (
+        _u32_to_f32(x) * _INV_2_32,
+        _u32_to_f32(y) * _INV_2_32,
+        _u32_to_f32(z) * _INV_2_32,
+    )
+
+
+def _dot(ax, ay, az, bx, by, bz):
+    return ax * bx + ay * by + az * bz
+
+
+def _normalize(x, y, z):
+    inv = jax.lax.rsqrt(x * x + y * y + z * z)
+    return x * inv, y * inv, z * inv
+
+
+def _slab_t(ox, oy, oz, dx, dy, dz, mnx, mny, mnz, mxx, mxy, mxz):
+    """Reference slab test (src/shader.rs:531-556) on a lane tile.
+    Returns (t_min, t_max, hit)."""
+    t_min = jnp.full_like(ox, -_INF)
+    t_max = jnp.full_like(ox, _INF)
+    for lo, hi, o, d in ((mnx, mxx, ox, dx), (mny, mxy, oy, dy), (mnz, mxz, oz, dz)):
+        inv = 1.0 / d
+        t1 = (lo - o) * inv
+        t2 = (hi - o) * inv
+        swap = inv < 0.0
+        t_near = jnp.where(swap, t2, t1)
+        t_far = jnp.where(swap, t1, t2)
+        t_min = jnp.fmax(t_min, t_near)
+        t_max = jnp.fmin(t_max, t_far)
+    hit = (t_max > t_min) & (t_max >= 0.0)
+    return t_min, t_max, hit
+
+
+def build_megakernel(
+    obj_types: tuple[int, ...],
+    config: RenderConfig,
+    tile: int = DEFAULT_TILE,
+    interpret: bool = False,
+):
+    """Compile-time specialization on the scene structure.
+
+    Args:
+        obj_types: static per-object type tags (the kernel unrolls the
+            object loop with per-type code).
+        config: static render parameters.
+        tile: rays per grid step (multiple of 128).
+    Returns:
+        fn(ox, oy, oz, dx, dy, dz, px, py, frame_id, geom, albedo,
+           light_pos, light_spec) -> radiance [S, NP//128, 128]
+    """
+    n_obj = len(obj_types)
+    n_lights = config.n_lights
+    s_dim = config.n_samples
+    max_bounces = config.max_bounces
+    n_valid = config.width * config.height
+    r8 = tile // LANE
+
+    def trace_tile(geom, ox, oy, oz, dx, dy, dz):
+        """Nearest-hit over all objects. Returns per-lane winner
+        (t, hit, normal, metal, rough, one-hot winner masks)."""
+        t_best = jnp.full_like(ox, _INF)
+        masks = []
+        # pass 1: nearest t
+        cand_ts = []
+        for o in range(n_obj):
+            ot = obj_types[o]
+            if ot == OBJ_SPHERE:
+                spx, spy, spz = geom[o, _SHIFT], geom[o, _SHIFT + 1], geom[o, _SHIFT + 2]
+                rad = geom[o, _RADIUS]
+                ocx, ocy, ocz = ox - spx, oy - spy, oz - spz
+                a = _dot(dx, dy, dz, dx, dy, dz)
+                b = 2.0 * _dot(ocx, ocy, ocz, dx, dy, dz)
+                c = _dot(ocx, ocy, ocz, ocx, ocy, ocz) - rad * rad
+                disc = b * b - 4.0 * a * c
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                t1 = (-b - sq) / (2.0 * a)
+                t2 = (-b + sq) / (2.0 * a)
+                t = jnp.where(t1 >= 0.0, t1, t2)
+                valid = (disc >= 0.0) & (t >= 0.0)
+            else:
+                if ot == OBJ_ROTATED_BOX:
+                    shx, shy, shz = (
+                        geom[o, _SHIFT], geom[o, _SHIFT + 1], geom[o, _SHIFT + 2]
+                    )
+                    rx, ry, rz = ox - shx, oy - shy, oz - shz
+                    ir = [geom[o, _INV_ROT + k] for k in range(9)]
+                    lox = ir[0] * rx + ir[1] * ry + ir[2] * rz
+                    loy = ir[3] * rx + ir[4] * ry + ir[5] * rz
+                    loz = ir[6] * rx + ir[7] * ry + ir[8] * rz
+                    ldx = ir[0] * dx + ir[1] * dy + ir[2] * dz
+                    ldy = ir[3] * dx + ir[4] * dy + ir[5] * dz
+                    ldz = ir[6] * dx + ir[7] * dy + ir[8] * dz
+                else:
+                    lox, loy, loz = ox, oy, oz
+                    ldx, ldy, ldz = dx, dy, dz
+                t_min, t_max, hit = _slab_t(
+                    lox, loy, loz, ldx, ldy, ldz,
+                    geom[o, _SLAB_MIN], geom[o, _SLAB_MIN + 1], geom[o, _SLAB_MIN + 2],
+                    geom[o, _SLAB_MAX], geom[o, _SLAB_MAX + 1], geom[o, _SLAB_MAX + 2],
+                )
+                t = jnp.where(t_min >= 0.0, t_min, t_max)
+                valid = hit
+            valid = valid & (t > 0.0)
+            t = jnp.where(valid, t, _INF)
+            cand_ts.append(t)
+            t_best = jnp.fmin(t_best, t)
+
+        hit = t_best < _INF
+        # pass 2: winner masks (lowest index wins ties, like the
+        # reference's stable sort) + winner attributes
+        taken = jnp.zeros_like(ox, dtype=jnp.float32)
+        nx = jnp.zeros_like(ox)
+        ny = jnp.zeros_like(ox)
+        nz = jnp.zeros_like(ox)
+        metal = jnp.zeros_like(ox)
+        rough = jnp.zeros_like(ox)
+        ipx, ipy, ipz = (
+            ox + dx * jnp.where(hit, t_best, 0.0),
+            oy + dy * jnp.where(hit, t_best, 0.0),
+            oz + dz * jnp.where(hit, t_best, 0.0),
+        )
+        for o in range(n_obj):
+            is_win = (cand_ts[o] == t_best) & hit & (taken == 0.0)
+            taken = jnp.where(is_win, 1.0, taken)
+            masks.append(is_win)
+            ot = obj_types[o]
+            if ot == OBJ_SPHERE:
+                cnx, cny, cnz = _normalize(
+                    ipx - geom[o, _SHIFT], ipy - geom[o, _SHIFT + 1],
+                    ipz - geom[o, _SHIFT + 2],
+                )
+            elif ot == OBJ_PLAIN_BOX:
+                def axis(p, lo, hi):
+                    return jnp.where(
+                        jnp.abs(p - lo) < _F32_DELTA, jnp.float32(-1.0),
+                        jnp.where(jnp.abs(p - hi) < _F32_DELTA,
+                                  jnp.float32(1.0), jnp.float32(0.0)),
+                    )
+                ux = axis(ipx, geom[o, _SLAB_MIN], geom[o, _SLAB_MAX])
+                uy = axis(ipy, geom[o, _SLAB_MIN + 1], geom[o, _SLAB_MAX + 1])
+                uz = axis(ipz, geom[o, _SLAB_MIN + 2], geom[o, _SLAB_MAX + 2])
+                cnx, cny, cnz = _normalize(ux, uy, uz)
+            else:  # rotated box: closest local face, strict < scan order
+                shx, shy, shz = (
+                    geom[o, _SHIFT], geom[o, _SHIFT + 1], geom[o, _SHIFT + 2]
+                )
+                rx_, ry_, rz_ = ipx - shx, ipy - shy, ipz - shz
+                ir = [geom[o, _INV_ROT + k] for k in range(9)]
+                lx = ir[0] * rx_ + ir[1] * ry_ + ir[2] * rz_
+                ly = ir[3] * rx_ + ir[4] * ry_ + ir[5] * rz_
+                lz = ir[6] * rx_ + ir[7] * ry_ + ir[8] * rz_
+                hx = geom[o, _SLAB_MAX]
+                hy = geom[o, _SLAB_MAX + 1]
+                hz = geom[o, _SLAB_MAX + 2]
+                one = jnp.float32(1.0)
+                zero = jnp.float32(0.0)
+                min_d = jnp.abs(hx - lx)
+                lnx = jnp.full_like(lx, one)
+                lny = jnp.zeros_like(lx)
+                lnz = jnp.zeros_like(lx)
+                for dist, cand in (
+                    (jnp.abs(-hx - lx), (-one, zero, zero)),
+                    (jnp.abs(hy - ly), (zero, one, zero)),
+                    (jnp.abs(-hy - ly), (zero, -one, zero)),
+                    (jnp.abs(hz - lz), (zero, zero, one)),
+                    (jnp.abs(-hz - lz), (zero, zero, -one)),
+                ):
+                    closer = dist < min_d
+                    lnx = jnp.where(closer, cand[0], lnx)
+                    lny = jnp.where(closer, cand[1], lny)
+                    lnz = jnp.where(closer, cand[2], lnz)
+                    min_d = jnp.fmin(min_d, dist)
+                r = [geom[o, _ROT + k] for k in range(9)]
+                cnx = r[0] * lnx + r[1] * lny + r[2] * lnz
+                cny = r[3] * lnx + r[4] * lny + r[5] * lnz
+                cnz = r[6] * lnx + r[7] * lny + r[8] * lnz
+            nx = jnp.where(is_win, cnx, nx)
+            ny = jnp.where(is_win, cny, ny)
+            nz = jnp.where(is_win, cnz, nz)
+            metal = jnp.where(is_win, geom[o, _METAL], metal)
+            rough = jnp.where(is_win, geom[o, _ROUGH], rough)
+        return t_best, hit, ipx, ipy, ipz, nx, ny, nz, metal, rough, masks
+
+    def shadow_blocked(geom, ox, oy, oz, dx, dy, dz, max_dist):
+        """Nearest positive hit <= max_dist (reference src/shader.rs:484-489)."""
+        t_best = jnp.full_like(ox, _INF)
+        for o in range(n_obj):
+            ot = obj_types[o]
+            if ot == OBJ_SPHERE:
+                spx, spy, spz = geom[o, _SHIFT], geom[o, _SHIFT + 1], geom[o, _SHIFT + 2]
+                rad = geom[o, _RADIUS]
+                ocx, ocy, ocz = ox - spx, oy - spy, oz - spz
+                a = _dot(dx, dy, dz, dx, dy, dz)
+                b = 2.0 * _dot(ocx, ocy, ocz, dx, dy, dz)
+                c = _dot(ocx, ocy, ocz, ocx, ocy, ocz) - rad * rad
+                disc = b * b - 4.0 * a * c
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                t1 = (-b - sq) / (2.0 * a)
+                t2 = (-b + sq) / (2.0 * a)
+                t = jnp.where(t1 >= 0.0, t1, t2)
+                valid = (disc >= 0.0) & (t >= 0.0)
+            else:
+                if ot == OBJ_ROTATED_BOX:
+                    shx, shy, shz = (
+                        geom[o, _SHIFT], geom[o, _SHIFT + 1], geom[o, _SHIFT + 2]
+                    )
+                    rx, ry, rz = ox - shx, oy - shy, oz - shz
+                    ir = [geom[o, _INV_ROT + k] for k in range(9)]
+                    lox = ir[0] * rx + ir[1] * ry + ir[2] * rz
+                    loy = ir[3] * rx + ir[4] * ry + ir[5] * rz
+                    loz = ir[6] * rx + ir[7] * ry + ir[8] * rz
+                    ldx = ir[0] * dx + ir[1] * dy + ir[2] * dz
+                    ldy = ir[3] * dx + ir[4] * dy + ir[5] * dz
+                    ldz = ir[6] * dx + ir[7] * dy + ir[8] * dz
+                else:
+                    lox, loy, loz = ox, oy, oz
+                    ldx, ldy, ldz = dx, dy, dz
+                t_min, t_max, hit = _slab_t(
+                    lox, loy, loz, ldx, ldy, ldz,
+                    geom[o, _SLAB_MIN], geom[o, _SLAB_MIN + 1], geom[o, _SLAB_MIN + 2],
+                    geom[o, _SLAB_MAX], geom[o, _SLAB_MAX + 1], geom[o, _SLAB_MAX + 2],
+                )
+                t = jnp.where(t_min >= 0.0, t_min, t_max)
+                valid = hit
+            valid = valid & (t > 0.0)
+            t_best = jnp.fmin(t_best, jnp.where(valid, t, _INF))
+        return (t_best < _INF) & (t_best <= max_dist)
+
+    def kernel(
+        frame_ref,  # SMEM (1,1) uint32
+        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # [R8,128] f32
+        px_ref, py_ref,  # [R8,128] uint32
+        geom_ref,  # [O, 32] f32
+        albedo_ref,  # [O, S] f32
+        lpos_ref,  # [L, 4] f32
+        lspec_ref,  # [L, S] f32
+        rad_ref,  # out [S, R8, 128] f32
+        thr_ref,  # scratch [S, R8, 128] f32
+    ):
+        frame_id = frame_ref[0, 0]
+        geom = geom_ref
+        px = px_ref[:]
+        py = py_ref[:]
+
+        # lane validity: global index < n_valid
+        tile_idx = pl.program_id(0)
+        row = jax.lax.broadcasted_iota(jnp.int32, (r8, LANE), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (r8, LANE), 1)
+        gidx = tile_idx * tile + row * LANE + col
+        alive0 = (gidx < n_valid).astype(jnp.float32)
+
+        for s in range(s_dim):
+            rad_ref[s] = jnp.zeros((r8, LANE), jnp.float32)
+            thr_ref[s] = jnp.ones((r8, LANE), jnp.float32)
+
+        def bounce(i, carry):
+            ox, oy, oz, dx, dy, dz, alive, gate = carry
+            bounces_left = jnp.uint32(max_bounces) - i.astype(jnp.uint32)
+
+            (t, hit, ipx, ipy, ipz, nx, ny, nz, metal, rough, masks) = trace_tile(
+                geom, ox, oy, oz, dx, dy, dz
+            )
+            gate_ok = (gate == 0.0) | (t > _SPEC_MIN)
+            alive = alive * hit.astype(jnp.float32) * gate_ok.astype(jnp.float32)
+            live = alive > 0.0
+
+            rx, ry, rz = _pcg3d(px, py, frame_id + bounces_left)
+            spec = rz < metal
+
+            offx = ipx + nx * _OFFSET
+            offy = ipy + ny * _OFFSET
+            offz = ipz + nz * _OFFSET
+
+            cos_out = jnp.maximum(-(dx * nx + dy * ny + dz * nz), 0.0)
+
+            # --- NEE: per-light occlusion + scale; spectra folded per-s
+            scales = []
+            for l in range(n_lights):
+                lx, ly, lz = lpos_ref[l, 0], lpos_ref[l, 1], lpos_ref[l, 2]
+                ldx_, ldy_, ldz_ = lx - offx, ly - offy, lz - offz
+                dist2 = _dot(ldx_, ldy_, ldz_, ldx_, ldy_, ldz_)
+                dist = jnp.sqrt(dist2)
+                lnx, lny, lnz = _normalize(ldx_, ldy_, ldz_)
+                blocked = shadow_blocked(geom, offx, offy, offz, lnx, lny, lnz, dist)
+                # reference re-normalizes the normalized direction
+                l2x, l2y, l2z = _normalize(lnx, lny, lnz)
+                cos_in = jnp.maximum(l2x * nx + l2y * ny + l2z * nz, 0.0)
+                scale = jnp.where(blocked, 0.0, (cos_in * cos_out) / dist2)
+                scales.append(scale)
+
+            contrib = jnp.where(live & (~spec), 1.0, 0.0)
+            for s in range(s_dim):
+                direct_s = jnp.zeros((r8, LANE), jnp.float32)
+                for l in range(n_lights):
+                    direct_s = direct_s + scales[l] * lspec_ref[l, s]
+                alb_s = jnp.zeros((r8, LANE), jnp.float32)
+                for o in range(n_obj):
+                    alb_s = alb_s + jnp.where(masks[o], albedo_ref[o, s], 0.0)
+                thr_s = thr_ref[s]
+                rad_ref[s] = rad_ref[s] + contrib * thr_s * alb_s * direct_s
+                thr_ref[s] = jnp.where(live, thr_s * alb_s, thr_s)
+
+            # --- continuation rays
+            # specular: mirror + optional cone perturbation
+            ndoti = nx * dx + ny * dy + nz * dz
+            refx = dx - 2.0 * ndoti * nx
+            refy = dy - 2.0 * ndoti * ny
+            refz = dz - 2.0 * ndoti * nz
+            # cone sample around the reflection
+            theta_max = rough * rough * (_PI / 2.0)
+            cos_t = (1.0 - rx) + rx * jnp.cos(theta_max)
+            sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+            phi = 2.0 * _PI * ry
+            wx, wy, wz = _normalize(refx, refy, refz)
+            near_z = jnp.abs(wz) < 0.999
+            ax = jnp.where(near_z, 0.0, 1.0)
+            ay = jnp.zeros_like(wx)
+            az = jnp.where(near_z, 1.0, 0.0)
+            vx, vy, vz = _normalize(
+                wy * az - wz * ay, wz * ax - wx * az, wx * ay - wy * ax
+            )
+            ux = vy * wz - vz * wy
+            uy = vz * wx - vx * wz
+            uz = vx * wy - vy * wx
+            cl_x = sin_t * jnp.cos(phi)
+            cl_y = sin_t * jnp.sin(phi)
+            conex, coney, conez = _normalize(
+                ux * cl_x + vx * cl_y + wx * cos_t,
+                uy * cl_x + vy * cl_y + wy * cos_t,
+                uz * cl_x + vz * cl_y + wz * cos_t,
+            )
+            use_cone = rough >= 0.001
+            sdx = jnp.where(use_cone, conex, refx)
+            sdy = jnp.where(use_cone, coney, refy)
+            sdz = jnp.where(use_cone, conez, refz)
+
+            # diffuse: cosine hemisphere about the normal
+            # sin(asin(sqrt(rx))) == sqrt(rx); cos == sqrt(1 - rx)
+            d_sin = jnp.sqrt(jnp.clip(rx, 0.0, 1.0))
+            d_cos = jnp.sqrt(jnp.clip(1.0 - rx, 0.0, 1.0))
+            d_phi = 2.0 * _PI * ry
+            znx, zny, znz = _normalize(nx, ny, nz)
+            near_y = jnp.abs(zny) > 0.9999
+            upx = jnp.where(near_y, 1.0, 0.0)
+            upy = jnp.where(near_y, 0.0, 1.0)
+            upz = jnp.zeros_like(nx)
+            bx, by, bz = _normalize(
+                upy * znz - upz * zny, upz * znx - upx * znz, upx * zny - upy * znx
+            )
+            cx, cy, cz = _normalize(
+                zny * bz - znz * by, znz * bx - znx * bz, znx * by - zny * bx
+            )
+            dl_x = d_sin * jnp.cos(d_phi)
+            dl_y = d_sin * jnp.sin(d_phi)
+            ddx = bx * dl_x + cx * dl_y + znx * d_cos
+            ddy = by * dl_x + cy * dl_y + zny * d_cos
+            ddz = bz * dl_x + cz * dl_y + znz * d_cos
+
+            newdx = jnp.where(spec, sdx, ddx)
+            newdy = jnp.where(spec, sdy, ddy)
+            newdz = jnp.where(spec, sdz, ddz)
+            newdx, newdy, newdz = _normalize(newdx, newdy, newdz)
+            # diffuse continuation starts at the UN-offset hit point
+            newox = jnp.where(spec, offx, ipx)
+            newoy = jnp.where(spec, offy, ipy)
+            newoz = jnp.where(spec, offz, ipz)
+
+            can_bounce = (bounces_left > jnp.uint32(1)).astype(jnp.float32)
+            cont = alive * can_bounce
+            cl = cont > 0.0
+            ox = jnp.where(cl, newox, ox)
+            oy = jnp.where(cl, newoy, oy)
+            oz = jnp.where(cl, newoz, oz)
+            dx = jnp.where(cl, newdx, dx)
+            dy = jnp.where(cl, newdy, dy)
+            dz = jnp.where(cl, newdz, dz)
+            gate = jnp.where(cl, spec.astype(jnp.float32), gate)
+            return (ox, oy, oz, dx, dy, dz, cont, gate)
+
+        def guarded(i, carry):
+            any_alive = jnp.max(carry[6]) > 0.0
+            return jax.lax.cond(any_alive, lambda c: bounce(i, c), lambda c: c, carry)
+
+        carry = (
+            ox_ref[:], oy_ref[:], oz_ref[:],
+            dx_ref[:], dy_ref[:], dz_ref[:],
+            alive0, jnp.zeros((r8, LANE), jnp.float32),
+        )
+        jax.lax.fori_loop(0, max_bounces, guarded, carry)
+
+    @functools.partial(jax.jit, static_argnames=())
+    def run(ox, oy, oz, dx, dy, dz, px, py, frame_id, geom, albedo, lpos, lspec):
+        np_lanes = ox.shape[0] * ox.shape[1]
+        n_tiles = np_lanes // tile
+        ray_spec = pl.BlockSpec(
+            (r8, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+        smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+        out_spec = pl.BlockSpec(
+            (s_dim, r8, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=[
+                smem,  # frame id (1,1)
+                ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec,
+                ray_spec, ray_spec,
+                # scalar-indexed tables live in SMEM
+                smem, smem, smem, smem,
+            ],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (s_dim, np_lanes // LANE, LANE), jnp.float32
+            ),
+            scratch_shapes=[pltpu.VMEM((s_dim, r8, LANE), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            interpret=interpret,
+        )(
+            frame_id.reshape(1, 1), ox, oy, oz, dx, dy, dz, px, py,
+            geom, albedo, lpos, lspec,
+        )
+
+    return run
+
+
+def pack_geometry(scene: SceneArrays) -> jax.Array:
+    """Pack per-object geometry/material scalars into the [O, 32] table."""
+    o = scene.obj_type.shape[0]
+    geom = jnp.zeros((o, 32), dtype=jnp.float32)
+    geom = geom.at[:, _SLAB_MIN:_SLAB_MIN + 3].set(scene.slab_min)
+    geom = geom.at[:, _SLAB_MAX:_SLAB_MAX + 3].set(scene.slab_max)
+    # shift slot: rotbox center / sphere center
+    is_sphere = (scene.obj_type == OBJ_SPHERE)[:, None]
+    shift = jnp.where(is_sphere, scene.sphere_pos, scene.shift)
+    geom = geom.at[:, _SHIFT:_SHIFT + 3].set(shift)
+    geom = geom.at[:, _INV_ROT:_INV_ROT + 9].set(scene.inv_rot.reshape(o, 9))
+    geom = geom.at[:, _ROT:_ROT + 9].set(scene.rot.reshape(o, 9))
+    geom = geom.at[:, _RADIUS].set(scene.radius)
+    geom = geom.at[:, _METAL].set(scene.metallicness)
+    geom = geom.at[:, _ROUGH].set(scene.roughness)
+    return geom

@@ -35,3 +35,50 @@ def shard_scene(
         )
     scene_rep = jax.device_put(scene, replicated(mesh))
     return scene_rep, row_sharding(mesh)
+
+
+def build_sharded_pallas_step(
+    mesh, config: RenderConfig, obj_types: tuple, interpret: bool = False
+):
+    """Row-sharded megakernel step via shard_map.
+
+    Each device runs the VMEM-resident bounce megakernel on its own row
+    slab, generating camera rays in *global* image coordinates from its
+    mesh position — the multi-chip analog of the reference's
+    row-per-thread fan-out, with zero per-frame collectives.
+    """
+    import dataclasses
+
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from spectral_tpu.parallel.mesh import ROW_AXIS
+    from spectral_tpu.render.integrator import accumulate_frame
+    from spectral_tpu.render.pallas_integrator import integrate_frame_pallas
+
+    n_dev = mesh.devices.size
+    local_h = config.height // n_dev
+    local_config = dataclasses.replace(config, height=local_h)
+
+    def shard_fn(scene_local, accum_local, frame_id):
+        idx = jax.lax.axis_index(ROW_AXIS)
+        rgb = integrate_frame_pallas(
+            scene_local,
+            local_config,
+            frame_id,
+            obj_types,
+            interpret=interpret,
+            full_height=config.height,
+            row_offset=idx * local_h,
+        )
+        return accumulate_frame(accum_local, rgb, frame_id)
+
+    mapped = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(ROW_AXIS), P()),
+        out_specs=P(ROW_AXIS),
+        # pallas_call's out_shape carries no varying-mesh-axes annotation
+        check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=(1,))

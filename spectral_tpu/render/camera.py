@@ -31,15 +31,28 @@ def generate_primary_rays(
     height: int,
     frame_id: jax.Array,
     intended_frames: int,
+    full_width: int | None = None,
+    full_height: int | None = None,
+    row_offset=0,
 ) -> tuple[Vec3, Vec3, jax.Array, jax.Array]:
     """Build the ``[height * width]`` wavefront of camera rays.
 
     Returns (origins, directions, pixel_x, pixel_y) where pixel_x/y are the
     uint32 pixel coordinates feeding the PCG3D seeds.
+
+    ``full_width``/``full_height`` are the whole-image dimensions used for
+    the NDC mapping; ``height``/``width`` and ``row_offset`` select the row
+    slab actually generated (for row-sharded rendering, where each device
+    builds rays for its own rows but in global image coordinates).
     """
     n = height * width
-    py = jax.lax.broadcasted_iota(jnp.uint32, (height, width), 0).reshape(n)
+    py = (
+        jax.lax.broadcasted_iota(jnp.uint32, (height, width), 0)
+        + jnp.uint32(row_offset)
+    ).reshape(n)
     px = jax.lax.broadcasted_iota(jnp.uint32, (height, width), 1).reshape(n)
+    width = full_width or width
+    height = full_height or height
 
     xf = px.astype(jnp.float32)
     yf = py.astype(jnp.float32)

@@ -15,18 +15,45 @@ from pathlib import Path
 import numpy as np
 
 
-def accum_to_u8(accum: np.ndarray) -> np.ndarray:
-    """``[H, W, 4]`` float32 -> ``[H, W, 4]`` uint8."""
+def accum_to_u8(accum: np.ndarray, native: bool | None = None) -> np.ndarray:
+    """``[H, W, 4]`` float32 -> ``[H, W, 4]`` uint8.
+
+    Uses the multithreaded C++ converter when available (``native=None``
+    auto-detects); the numpy fallback is semantically identical.
+    """
     data = np.asarray(accum, dtype=np.float32)
+    if native is not False:
+        try:
+            from spectral_tpu.runtime import native as native_mod
+
+            return native_mod.convert_f32_rgba_to_u8(data)
+        except Exception:
+            if native is True:
+                raise
     return (np.clip(data, 0.0, 1.0) * 255.0).astype(np.uint8)
 
 
-def save_image(accum: np.ndarray, path: str | Path) -> Path:
-    """Save the accumulation buffer; format chosen by extension."""
+def save_image(accum: np.ndarray, path: str | Path, native: bool | None = None) -> Path:
+    """Save the accumulation buffer; format chosen by extension.
+
+    PNG output goes through the native C++ encoder when available; other
+    formats (and the fallback) use PIL.
+    """
+    path = Path(path)
+    u8 = accum_to_u8(accum, native=native)
+
+    if path.suffix.lower() == ".png" and native is not False:
+        try:
+            from spectral_tpu.runtime import native as native_mod
+
+            path.write_bytes(native_mod.encode_png_rgba(u8))
+            return path
+        except Exception:
+            if native is True:
+                raise
+
     from PIL import Image
 
-    path = Path(path)
-    u8 = accum_to_u8(accum)
     img = Image.fromarray(u8, mode="RGBA")
     if path.suffix.lower() in (".jpg", ".jpeg", ".bmp"):
         img = img.convert("RGB")  # no alpha channel in these formats

@@ -1,0 +1,99 @@
+"""Pallas-accelerated frame integration.
+
+Same semantics as ``spectral_tpu.render.integrator.integrate_frame`` but
+the whole bounce loop runs inside the VMEM-resident megakernel
+(``spectral_tpu.ops.pallas.megakernel``). The kernel is specialized on
+the static scene *structure* (object type list + render config) and
+cached; scene *values* (positions, spectra, materials) stay runtime
+arrays, so editing a scene without changing its shape reuses the
+compiled kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from spectral_tpu.ops.pallas import megakernel as mk
+from spectral_tpu.render.camera import generate_primary_rays
+from spectral_tpu.render.color import spectra_to_rgb
+from spectral_tpu.render.integrator import accumulate_frame
+from spectral_tpu.scene.flatten import RenderConfig, SceneArrays
+
+
+@functools.lru_cache(maxsize=32)
+def _kernel(obj_types: tuple, config: RenderConfig, tile: int, interpret: bool):
+    return mk.build_megakernel(obj_types, config, tile=tile, interpret=interpret)
+
+
+def _pick_tile(n: int) -> int:
+    """Largest tile (<= DEFAULT) that keeps padding waste small."""
+    tile = mk.DEFAULT_TILE
+    while tile > mk.LANE and n < tile:
+        tile //= 2
+    return tile
+
+
+def integrate_frame_pallas(
+    scene: SceneArrays,
+    config: RenderConfig,
+    frame_id,
+    obj_types: tuple,
+    tile: int | None = None,
+    interpret: bool = False,
+    full_height: int | None = None,
+    row_offset=0,
+) -> jax.Array:
+    """One progressive frame -> linear RGB ``[H, W, 3]``.
+
+    ``obj_types`` must be the static tuple of per-object type tags
+    (``tuple(np.asarray(scene.obj_type).tolist())`` taken outside jit).
+    ``full_height``/``row_offset`` render a row slab of a taller image in
+    global coordinates (row-sharded rendering).
+    """
+    frame_id = jnp.asarray(frame_id, dtype=jnp.uint32)
+    n = config.width * config.height
+    tile = tile or _pick_tile(n)
+    n_pad = -(-n // tile) * tile
+
+    origin, direction, px, py = generate_primary_rays(
+        scene.cam_pos, scene.cam_dir, scene.cam_up, scene.fov_y_deg,
+        config.width, config.height, frame_id, config.intended_frames,
+        full_height=full_height, row_offset=row_offset,
+    )
+
+    def lanes(a, dtype=jnp.float32):
+        a = jnp.asarray(a, dtype)
+        return jnp.pad(a, (0, n_pad - n)).reshape(n_pad // mk.LANE, mk.LANE)
+
+    geom = mk.pack_geometry(scene)
+    lpos = jnp.pad(scene.light_pos, ((0, 0), (0, 1)))  # [L, 4]
+
+    run = _kernel(obj_types, config, tile, interpret)
+    rad = run(
+        lanes(origin.x), lanes(origin.y), lanes(origin.z),
+        lanes(direction.x), lanes(direction.y), lanes(direction.z),
+        lanes(px, jnp.uint32), lanes(py, jnp.uint32),
+        frame_id, geom, scene.albedo, lpos, scene.light_spec,
+    )
+    # [S, NP/128, 128] -> [n, S]
+    rad = rad.reshape(config.n_samples, n_pad).T[:n]
+    rgb = spectra_to_rgb(rad, scene.xyz_weights, scene.xyz_to_rgb)
+    return rgb.reshape(config.height, config.width, 3)
+
+
+def render_frame_step_pallas(
+    scene: SceneArrays,
+    config: RenderConfig,
+    accum: jax.Array,
+    frame_id,
+    obj_types: tuple,
+    interpret: bool = False,
+) -> jax.Array:
+    """Pallas-path equivalent of ``render_frame_step``."""
+    rgb = integrate_frame_pallas(
+        scene, config, frame_id, obj_types, interpret=interpret
+    )
+    return accumulate_frame(accum, rgb, frame_id)

@@ -45,21 +45,46 @@ def _step(scene: SceneArrays, config: RenderConfig, accum, frame_id):
     return render_frame_step(scene, config, accum, frame_id)
 
 
+@partial(jax.jit, static_argnums=(1, 4), donate_argnums=(2,))
+def _step_pallas(scene: SceneArrays, config: RenderConfig, accum, frame_id, obj_types):
+    from spectral_tpu.render.pallas_integrator import render_frame_step_pallas
+
+    return render_frame_step_pallas(scene, config, accum, frame_id, obj_types)
+
+
+def resolve_backend(backend: str) -> str:
+    """'auto' picks the Pallas megakernel on TPU, the portable jnp path on
+    CPU (where Pallas would run interpreted, orders of magnitude slower)."""
+    if backend == "auto":
+        return "pallas" if jax.default_backend() not in ("cpu",) else "jnp"
+    if backend not in ("jnp", "pallas"):
+        raise ValueError(f"unknown backend {backend!r}")
+    return backend
+
+
 class Renderer:
     """Progressive wavefront renderer for a single scene snapshot.
 
     The scene is flattened once at construction (the reference's uniforms
     snapshot); frames are then rendered one `1/(frame+1)`-blended
     iteration at a time, resumable at any frame boundary.
+
+    ``backend``: 'jnp' (portable XLA path), 'pallas' (VMEM-resident
+    megakernel, ~10x faster on TPU), or 'auto'.
     """
 
     def __init__(
         self,
         scene: Scene,
         sharding: jax.sharding.NamedSharding | None = None,
+        backend: str = "auto",
     ):
+        import numpy as _np
+
         scene.update_all_spectrum_sample_sizes()
         self.scene_arrays, self.config = flatten_scene(scene)
+        self.backend = resolve_backend(backend)
+        self.obj_types = tuple(_np.asarray(self.scene_arrays.obj_type).tolist())
         self.sharding = sharding
         if sharding is not None:
             from spectral_tpu.parallel.sharding import shard_scene
@@ -67,10 +92,28 @@ class Renderer:
             self.scene_arrays, self._accum_sharding = shard_scene(
                 self.scene_arrays, sharding, self.config
             )
+            if self.backend == "pallas":
+                from spectral_tpu.parallel.sharding import build_sharded_pallas_step
+
+                self._sharded_step = build_sharded_pallas_step(
+                    sharding.mesh, self.config, self.obj_types
+                )
         else:
             self._accum_sharding = None
         self.accum = self._zero_accum()
         self.next_frame = 0
+
+    def _advance(self, frame_id) -> None:
+        fid = jnp.uint32(frame_id)
+        if self.backend == "pallas":
+            if self.sharding is not None:
+                self.accum = self._sharded_step(self.scene_arrays, self.accum, fid)
+            else:
+                self.accum = _step_pallas(
+                    self.scene_arrays, self.config, self.accum, fid, self.obj_types
+                )
+        else:
+            self.accum = _step(self.scene_arrays, self.config, self.accum, fid)
 
     def _zero_accum(self):
         accum = jnp.zeros(
@@ -101,12 +144,7 @@ class Renderer:
         for _ in range(n_frames):
             if self.next_frame >= total:
                 break
-            self.accum = _step(
-                self.scene_arrays,
-                self.config,
-                self.accum,
-                jnp.uint32(self.next_frame),
-            )
+            self._advance(self.next_frame)
             self.next_frame += 1
             if progress is not None:
                 jax.block_until_ready(self.accum)

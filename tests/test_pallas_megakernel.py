@@ -1,0 +1,81 @@
+"""Pallas megakernel vs the jnp integrator (interpret mode on CPU).
+
+The megakernel must reproduce the jnp path's semantics. Deterministic
+paths (direct lighting) match to f32 rounding; diffuse multi-bounce paths
+sit inside the reference's 1-ulp coin-flip envelope (see
+test_integrator_vs_oracle.py for why exactness is impossible there).
+
+Interpret mode is slow, so scenes here are tiny.
+"""
+
+import numpy as np
+import pytest
+
+from spectral_tpu.render.integrator import integrate_frame
+from spectral_tpu.render.pallas_integrator import integrate_frame_pallas
+from spectral_tpu.scene import presets
+from spectral_tpu.scene.flatten import flatten_scene
+
+
+def _pair(preset, w, h, bounces, samples=8):
+    scene = presets.PRESETS[preset](n_samples=samples)
+    scene.width, scene.height = w, h
+    scene.nbr_of_ray_bounces = bounces
+    scene.nbr_of_iterations = 2
+    arrays, config = flatten_scene(scene)
+    obj_types = tuple(np.asarray(arrays.obj_type).tolist())
+    return arrays, config, obj_types
+
+
+@pytest.mark.parametrize("preset", ["default", "cornell"])
+def test_direct_only_matches_jnp(preset):
+    arrays, config, obj_types = _pair(preset, 16, 8, bounces=1)
+    want = np.asarray(integrate_frame(arrays, config, np.uint32(0)))
+    got = np.asarray(
+        integrate_frame_pallas(arrays, config, np.uint32(0), obj_types, interpret=True)
+    )
+    scale = max(1.0, float(np.abs(want).max()))
+    assert np.abs(got - want).max() / scale < 1e-5
+
+
+def test_multibounce_within_coinflip_envelope():
+    arrays, config, obj_types = _pair("cornell", 16, 8, bounces=3)
+    want = np.asarray(integrate_frame(arrays, config, np.uint32(1)))
+    got = np.asarray(
+        integrate_frame_pallas(arrays, config, np.uint32(1), obj_types, interpret=True)
+    )
+    scale = max(1.0, float(np.abs(want).max()))
+    err = np.abs(got - want).max(axis=-1) / scale
+    flips = int((err > 1e-3).sum())
+    assert flips <= 0.25 * err.size
+    agree = err[err <= 1e-3]
+    assert len(agree) >= 0.75 * err.size
+    assert float(agree.max()) < 1e-3
+
+
+def test_sharded_pallas_step_direct_only():
+    import jax
+    import jax.numpy as jnp
+
+    from spectral_tpu.parallel.mesh import make_mesh, row_sharding
+    from spectral_tpu.parallel.sharding import (
+        build_sharded_pallas_step,
+        shard_scene,
+    )
+    from spectral_tpu.render.integrator import render_frame_step
+
+    if jax.device_count() < 2:
+        pytest.skip("needs multiple devices")
+    arrays, config, obj_types = _pair("cornell", 16, 16, bounces=1)
+    want = np.asarray(
+        render_frame_step(arrays, config, jnp.zeros((16, 16, 4)), jnp.uint32(0))
+    )
+    mesh = make_mesh(8)
+    arr_s, acc_sh = shard_scene(arrays, row_sharding(mesh), config)
+    step = build_sharded_pallas_step(mesh, config, obj_types, interpret=True)
+    got = np.asarray(
+        step(arr_s, jax.device_put(jnp.zeros((16, 16, 4)), acc_sh), jnp.uint32(0))
+    )
+    # global pixel coordinates must be preserved across shards: a row
+    # offset bug would show O(1) errors, compilation noise stays tiny
+    assert np.abs(got - want).max() < 1e-4
