@@ -17,6 +17,7 @@ import argparse
 import sys
 import time
 
+from spectral_tpu.scene.presets import PRESETS
 from spectral_tpu.utils.text_resources import HELP
 
 
@@ -144,7 +145,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     pr = sub.add_parser("render", help="render a scene progressively")
     src = pr.add_mutually_exclusive_group()
-    src.add_argument("--preset", choices=("default", "cornell"), default="default")
+    src.add_argument("--preset", choices=sorted(PRESETS), default="default")
     src.add_argument("--scene", help="path to a scene JSON file")
     _add_render_overrides(pr)
     pr.add_argument("--out", default="render.png",
@@ -161,13 +162,13 @@ def build_parser() -> argparse.ArgumentParser:
     ps = sub.add_parser("scene", help="scene file utilities")
     pssub = ps.add_subparsers(dest="scene_command", required=True)
     pd = pssub.add_parser("dump", help="write a preset as an editable JSON scene")
-    pd.add_argument("--preset", choices=("default", "cornell"), default="default")
+    pd.add_argument("--preset", choices=sorted(PRESETS), default="default")
     pd.add_argument("--out", required=True)
     pd.set_defaults(func=cmd_scene_dump)
 
     pdesc = sub.add_parser("describe", help="validate and summarize a scene")
     srcd = pdesc.add_mutually_exclusive_group()
-    srcd.add_argument("--preset", choices=("default", "cornell"), default="default")
+    srcd.add_argument("--preset", choices=sorted(PRESETS), default="default")
     srcd.add_argument("--scene", help="path to a scene JSON file")
     _add_render_overrides(pdesc)
     pdesc.set_defaults(func=cmd_describe)

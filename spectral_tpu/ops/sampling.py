@@ -49,6 +49,41 @@ def cosine_hemisphere_bounce(random_x, random_y, normal: Vec3) -> Vec3:
     return x * local.x + y * local.y + z * local.z
 
 
+def refract_or_reflect(
+    d: Vec3, normal: Vec3, n_lambda, random_fresnel
+) -> tuple[Vec3, "object", "object"]:
+    """Dielectric interaction (beyond-reference; SURVEY.md §2.12).
+
+    Snell refraction with Schlick-Fresnel reflectance and total internal
+    reflection. ``d`` is the (normalized) incident direction, ``normal``
+    the outward surface normal, ``n_lambda`` the per-lane refractive
+    index, ``random_fresnel`` a uniform [0,1] draw choosing between the
+    reflected and refracted branch (probability = reflectance, so no
+    weight is needed).
+
+    Returns ``(direction, reflected_mask, oriented_normal)`` where
+    ``oriented_normal`` faces against the incident ray (for origin
+    offsetting: reflected rays leave on the incident side, refracted rays
+    on the far side).
+    """
+    cosi_signed = -d.dot(normal)
+    entering = cosi_signed > 0.0
+    sgn = jnp.where(entering, 1.0, -1.0)
+    n_or = normal * sgn
+    cosi = jnp.abs(cosi_signed)
+    eta = jnp.where(entering, 1.0 / n_lambda, n_lambda)
+    k = 1.0 - eta * eta * (1.0 - cosi * cosi)
+    tir = k < 0.0
+    cos_t = jnp.sqrt(jnp.maximum(k, 0.0))
+    r0 = ((n_lambda - 1.0) / (n_lambda + 1.0)) ** 2
+    cos_x = jnp.where(entering, cosi, cos_t)
+    fresnel = r0 + (1.0 - r0) * (1.0 - cos_x) ** 5
+    reflected = tir | (random_fresnel < fresnel)
+    refr = d * eta + n_or * (eta * cosi - cos_t)
+    refl = reflect_vec(d, n_or)
+    return refl.where(reflected, refr), reflected, n_or
+
+
 def sample_in_cone(
     original_direction: Vec3, roughness, random_x, random_y
 ) -> Vec3:

@@ -47,6 +47,7 @@ from spectral_tpu.ops.rng import random_pcg3d
 from spectral_tpu.ops.sampling import (
     cosine_hemisphere_bounce,
     reflect_vec,
+    refract_or_reflect,
     sample_in_cone,
 )
 from spectral_tpu.ops.vecmath import Vec3
@@ -67,6 +68,8 @@ class _BounceState(NamedTuple):
     alive: jax.Array  # [N] bool
     pending_gate: jax.Array  # [N] bool — parent was specular
     ray_count: jax.Array  # [] f32 — reference-equivalent rays submitted
+    hero_idx: jax.Array  # [N] i32 — hero wavelength bin after a dispersive
+    # refraction event (-1 before; beyond-reference, SURVEY.md §2.12)
 
 
 def _direct_lighting(
@@ -112,7 +115,7 @@ def _bounce(
     scene: SceneArrays,
     config: RenderConfig,
 ) -> _BounceState:
-    o, d, throughput, radiance, alive, pending_gate, ray_count = state
+    o, d, throughput, radiance, alive, pending_gate, ray_count, hero_idx = state
 
     # reference-equivalent ray accounting: one submit_ray per live lane
     # (the wavefront traces retired lanes too, but only live ones count)
@@ -130,30 +133,72 @@ def _bounce(
     m_metal = scene.metallicness[res.obj_idx]
     m_rough = scene.roughness[res.obj_idx]
     m_albedo = scene.albedo[res.obj_idx]  # [N, S]
+    m_trans = scene.transmission[res.obj_idx]
+    m_ior = scene.ior[res.obj_idx]
+    m_cauchy = scene.cauchy_b[res.obj_idx]
 
     rx, ry, rz = random_pcg3d(px, py, frame_id + bounces_left)
     spec = rz < m_metal
+    # beyond-reference: refraction branch (zero-probability in reference
+    # scenes, so their stochastic streams are untouched)
+    trans = (~spec) & (rz < m_metal + m_trans)
+
+    # beyond-reference: emissive surfaces (area lights) contribute when hit
+    radiance = radiance + jnp.where(
+        alive[:, None], throughput * scene.emission[res.obj_idx], 0.0
+    )
 
     offset_pos = ip + normal * NEW_RAY_POSITION_OFFSET_DISTANCE
 
     direct = _direct_lighting(offset_pos, normal, d, scene, config)
     # one shadow ray per light per live diffuse lane (src/shader.rs:420-439)
     ray_count = ray_count + jnp.float32(config.n_lights) * jnp.sum(
-        (alive & ~spec).astype(jnp.float32)
+        (alive & ~spec & ~trans).astype(jnp.float32)
     )
-    contributes = (alive & ~spec)[:, None]
+    contributes = (alive & ~spec & ~trans)[:, None]
     radiance = radiance + jnp.where(
         contributes, throughput * m_albedo * direct, 0.0
     )
+
+    # --- hero-wavelength collapse at the first dispersive refraction:
+    # a single ray cannot carry per-wavelength directions, so the path
+    # commits to one uniformly-chosen bin with an S-fold weight (unbiased)
+    s_count = throughput.shape[1]
+    dispersive = m_cauchy > 0.0
+    needs_hero = alive & trans & dispersive & (hero_idx < 0)
+    h_new = jnp.minimum((ry * s_count).astype(jnp.int32), s_count - 1)
+    bins = jax.lax.broadcasted_iota(jnp.int32, (1, s_count), 1)
+    onehot = (bins == h_new[:, None]).astype(jnp.float32)
+    throughput = jnp.where(
+        needs_hero[:, None], throughput * onehot * jnp.float32(s_count), throughput
+    )
+    hero_idx = jnp.where(needs_hero, h_new, hero_idx)
+
+    # wavelength-dependent IOR (Cauchy); non-dispersive lanes use the base
+    lam_nm = jnp.where(
+        hero_idx >= 0,
+        scene.lambda_grid[jnp.maximum(hero_idx, 0)],
+        jnp.float32(587.6),  # d-line; irrelevant when cauchy_b == 0
+    )
+    lam_um2 = (lam_nm * 1e-3) ** 2
+    n_lam = m_ior + m_cauchy / lam_um2
 
     # continuation rays
     refl = reflect_vec(d, normal)
     cone = sample_in_cone(refl, m_rough, rx, ry)
     spec_dir = cone.where(m_rough >= 0.001, refl)
     diff_dir = cosine_hemisphere_bounce(rx, ry, normal)
-    new_dir = spec_dir.where(spec, diff_dir).normalize()  # Ray::new normalizes
+
+    # refraction (Snell + Schlick-Fresnel + total internal reflection)
+    trans_dir, reflects, n_or = refract_or_reflect(d, normal, n_lam, rx)
+    trans_origin_out = ip + n_or * NEW_RAY_POSITION_OFFSET_DISTANCE
+    trans_origin_in = ip - n_or * NEW_RAY_POSITION_OFFSET_DISTANCE
+    trans_origin = trans_origin_out.where(reflects, trans_origin_in)
+
+    new_dir = spec_dir.where(spec, trans_dir.where(trans, diff_dir))
+    new_dir = new_dir.normalize()  # Ray::new normalizes
     # diffuse continuation starts at the UN-offset hit point (quirk §2.5)
-    new_origin = offset_pos.where(spec, ip)
+    new_origin = offset_pos.where(spec, trans_origin.where(trans, ip))
 
     can_bounce = bounces_left > jnp.uint32(1)
     cont = alive & can_bounce
@@ -162,7 +207,9 @@ def _bounce(
     throughput = jnp.where(cont[:, None], throughput * m_albedo, throughput)
     pending_gate = jnp.where(cont, spec, pending_gate)
 
-    return _BounceState(o, d, throughput, radiance, cont, pending_gate, ray_count)
+    return _BounceState(
+        o, d, throughput, radiance, cont, pending_gate, ray_count, hero_idx
+    )
 
 
 def integrate_frame(
@@ -194,6 +241,7 @@ def integrate_frame(
         alive=jnp.ones((n,), dtype=bool),
         pending_gate=jnp.zeros((n,), dtype=bool),
         ray_count=jnp.float32(0.0),
+        hero_idx=jnp.full((n,), -1, dtype=jnp.int32),
     )
 
     if config.n_objects == 0:

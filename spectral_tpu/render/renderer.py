@@ -84,6 +84,18 @@ class Renderer:
         scene.update_all_spectrum_sample_sizes()
         self.scene_arrays, self.config = flatten_scene(scene)
         self.backend = resolve_backend(backend)
+        if self.backend == "pallas" and (
+            _np.asarray(self.scene_arrays.transmission).any()
+            or _np.asarray(self.scene_arrays.emission).any()
+        ):
+            # the megakernel does not implement refraction/emission yet;
+            # fall back to the jnp path rather than render wrong physics
+            if backend == "pallas":
+                raise ValueError(
+                    "the pallas backend does not support transmission/"
+                    "emission materials yet; use backend='jnp'"
+                )
+            self.backend = "jnp"
         self.obj_types = tuple(_np.asarray(self.scene_arrays.obj_type).tolist())
         self.sharding = sharding
         if sharding is not None:

@@ -84,6 +84,11 @@ class SceneArrays:
     metallicness: jax.Array  # [O]
     roughness: jax.Array  # [O]
     albedo: jax.Array  # [O, S] reflective spectrum (min1'd if Reflective)
+    transmission: jax.Array  # [O] refraction branch probability
+    ior: jax.Array  # [O] Cauchy A coefficient
+    cauchy_b: jax.Array  # [O] Cauchy B coefficient (um^2)
+    emission: jax.Array  # [O, S] emitted spectrum (area lights)
+    lambda_grid: jax.Array  # [S] sample wavelengths (nm)
     # lights
     light_pos: jax.Array  # [L, 3]
     light_spec: jax.Array  # [L, S] unclamped
@@ -152,6 +157,14 @@ def _rotated_box_world_aabb(center, half, rot):
     return corners.min(axis=0).astype(F32), corners.max(axis=0).astype(F32)
 
 
+def _lambda_grid(scene: Scene, n: int) -> np.ndarray:
+    """Sample wavelengths, same f32 walk as ``Spectrum.get_wavelengths``."""
+    lo = F32(scene.spectrum_lower_bound)
+    hi = F32(scene.spectrum_upper_bound)
+    step = F32(F32(hi - lo) / F32(n - 1))
+    return np.array([F32(lo + F32(step * F32(i))) for i in range(n)], dtype=F32)
+
+
 def flatten_scene(scene: Scene) -> tuple[SceneArrays, RenderConfig]:
     """Snapshot a validated scene into device arrays.
 
@@ -179,6 +192,10 @@ def flatten_scene(scene: Scene) -> tuple[SceneArrays, RenderConfig]:
     metallicness = np.zeros(n_obj, dtype=F32)
     roughness = np.zeros(n_obj, dtype=F32)
     albedo = np.zeros((n_obj, n_samples), dtype=F32)
+    transmission = np.zeros(n_obj, dtype=F32)
+    ior = np.full(n_obj, F32(1.5), dtype=F32)
+    cauchy_b = np.zeros(n_obj, dtype=F32)
+    emission = np.zeros((n_obj, n_samples), dtype=F32)
 
     for i, obj in enumerate(objects):
         pos = np.asarray(obj.position, dtype=F32)
@@ -221,6 +238,11 @@ def flatten_scene(scene: Scene) -> tuple[SceneArrays, RenderConfig]:
         metallicness[i] = F32(mat.metallicness)
         roughness[i] = F32(mat.roughness)
         albedo[i] = mat.spectrum.render_spectrum().values
+        transmission[i] = F32(mat.transmission)
+        ior[i] = F32(mat.ior)
+        cauchy_b[i] = F32(mat.cauchy_b_um2)
+        if mat.emission is not None:
+            emission[i] = mat.emission.spectrum.values  # unclamped, like lights
 
     n_lights = len(lights)
     light_pos = np.zeros((n_lights, 3), dtype=F32)
@@ -255,6 +277,11 @@ def flatten_scene(scene: Scene) -> tuple[SceneArrays, RenderConfig]:
         metallicness=jnp.asarray(metallicness),
         roughness=jnp.asarray(roughness),
         albedo=jnp.asarray(albedo),
+        transmission=jnp.asarray(transmission),
+        ior=jnp.asarray(ior),
+        cauchy_b=jnp.asarray(cauchy_b),
+        emission=jnp.asarray(emission),
+        lambda_grid=jnp.asarray(_lambda_grid(scene, n_samples)),
         light_pos=jnp.asarray(light_pos),
         light_spec=jnp.asarray(light_spec),
         cam_pos=jnp.asarray(np.asarray(scene.camera.position, dtype=F32)),

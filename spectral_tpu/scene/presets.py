@@ -115,7 +115,74 @@ def cornell_box(n_samples: int = NBR_OF_SPECTRUM_SAMPLES_DEFAULT) -> Scene:
     return scene
 
 
+def prism(n_samples: int = 64) -> Scene:
+    """Glass-prism dispersion demo (beyond-reference capability,
+    BASELINE.json config #3; the reference motivates dispersion in its
+    README but never implements refraction, SURVEY.md §2.12).
+
+    A BK7-like glass slab, rotated so refraction deviates rays, stands
+    between the camera and a narrow bright emissive strip. Viewed through
+    the glass, the strip's image disperses into a spectrum; the scene
+    defaults to 64 wavelength bins so the rainbow is smooth.
+    """
+    from spectral_tpu.scene.schema import Temperature
+
+    emissive = SceneSpectrum.new(
+        "Strip emission", Temperature(6500.0, 0.005),
+        SpectrumEffectType.EMISSIVE, n=n_samples,
+    )
+    fill_light = SceneSpectrum.new(
+        "Fill light", Solar(0.0005), SpectrumEffectType.EMISSIVE, n=n_samples
+    )
+    white = SceneSpectrum.new(
+        "Glass tint", PlainReflective(1.0), SpectrumEffectType.REFLECTIVE,
+        n=n_samples,
+    )
+    grey = SceneSpectrum.new(
+        "Screen grey", PlainReflective(0.7), SpectrumEffectType.REFLECTIVE,
+        n=n_samples,
+    )
+    black = SceneSpectrum.new(
+        "Strip body", PlainReflective(0.0), SpectrumEffectType.REFLECTIVE,
+        n=n_samples,
+    )
+
+    # BK7-ish Cauchy: n(lambda) = 1.5046 + 0.0042 / lambda_um^2
+    glass = Material(
+        0.0, 0.0, white, "BK7 glass",
+        transmission=1.0, ior=1.5046, cauchy_b_um2=0.0042,
+    )
+    screen = Material(0.0, 0.0, grey, "Screen")
+    strip = Material(0.0, 0.0, black, "Emissive strip", emission=emissive)
+
+    return Scene(
+        width=800,
+        height=600,
+        nbr_of_iterations=200,
+        nbr_of_ray_bounces=8,
+        camera=Camera(position=(0.0, 0.0, -3.0)),
+        lights=[Light((0.0, 4.0, -4.0), fill_light, "Fill light")],
+        objects=[
+            # glass slab turned 30 deg about the vertical axis
+            SceneObject((0.0, 0.0, 0.5), RotatedBox(1.2, 2.0, 1.2, 0.0, 0.5236, 0.0),
+                        glass, "Prism"),
+            # narrow vertical emissive strip behind the glass
+            SceneObject((0.0, 0.0, 4.0), PlainBox(0.12, 2.4, 0.1),
+                        strip, "Emissive strip"),
+            # matte backdrop and floor
+            SceneObject((0.0, 0.0, 6.0), PlainBox(20.0, 10.0, 0.2),
+                        screen, "Backdrop"),
+            SceneObject((0.0, -2.0, 0.0), PlainBox(20.0, 0.2, 20.0),
+                        screen, "Floor"),
+        ],
+        spectra=[emissive, fill_light, white, grey, black],
+        materials=[glass, screen, strip],
+        spectrum_number_of_samples=n_samples,
+    )
+
+
 PRESETS = {
     "default": default_scene,
     "cornell": cornell_box,
+    "prism": prism,
 }

@@ -173,16 +173,40 @@ class SceneSpectrum:
 class Material:
     """Reference ``UIMaterial`` (src/main.rs:2092-2111): stochastic
     metallic/diffuse branch weight, specular cone roughness, and a
-    reflective spectrum (the per-wavelength albedo)."""
+    reflective spectrum (the per-wavelength albedo).
+
+    Beyond-reference extensions (all default to the reference's behavior
+    when left at zero; SURVEY.md §2.12 — the reference motivates
+    dispersion in its README but never implements refraction):
+
+    * ``transmission``: probability in [0,1] that a non-metallic
+      interaction refracts through the surface instead of scattering
+      diffusely (with Schlick-Fresnel reflection and total internal
+      reflection).
+    * ``ior`` + ``cauchy_b_um2``: Cauchy dispersion model
+      ``n(lambda) = ior + cauchy_b_um2 / lambda_um^2``. A non-zero
+      Cauchy term makes refraction wavelength-dependent; paths collapse
+      to a hero wavelength at their first dispersive event.
+    * ``emission``: emitted spectrum (area light) added when a path hits
+      the surface — the only way refracted paths can reach light in a
+      next-event-estimation tracer.
+    """
 
     metallicness: float
     roughness: float
     spectrum: SceneSpectrum
     name: str = "New Material"
+    transmission: float = 0.0
+    ior: float = 1.5
+    cauchy_b_um2: float = 0.0
+    emission: SceneSpectrum | None = None
     id: int = dataclasses.field(default_factory=lambda: next(_id_counter))
 
     def copy(self) -> "Material":
-        return Material(self.metallicness, self.roughness, self.spectrum, self.name)
+        return Material(
+            self.metallicness, self.roughness, self.spectrum, self.name,
+            self.transmission, self.ior, self.cauchy_b_um2, self.emission,
+        )
 
 
 @dataclasses.dataclass
@@ -311,6 +335,17 @@ class Scene:
                 raise SceneError(
                     f"material {mat.name!r} references a spectrum not in the scene"
                 )
+            if mat.emission is not None and id(mat.emission) not in spectra_ids:
+                raise SceneError(
+                    f"material {mat.name!r} references an emission spectrum "
+                    "not in the scene"
+                )
+            if not 0.0 <= mat.transmission <= 1.0:
+                raise SceneError(
+                    f"material {mat.name!r} transmission must be in [0, 1]"
+                )
+            if mat.transmission > 0.0 and mat.ior <= 0.0:
+                raise SceneError(f"material {mat.name!r} needs a positive ior")
         n = self.spectrum_number_of_samples
         for s in self.spectra:
             if s.spectrum.get_nbr_of_samples() != n:

@@ -87,6 +87,20 @@ def scene_to_dict(scene: S.Scene) -> dict:
                 "metallicness": m.metallicness,
                 "roughness": m.roughness,
                 "spectrum": spectrum_index[id(m.spectrum)],
+                **(
+                    {
+                        "transmission": m.transmission,
+                        "ior": m.ior,
+                        "cauchy_b_um2": m.cauchy_b_um2,
+                    }
+                    if m.transmission
+                    else {}
+                ),
+                **(
+                    {"emission": spectrum_index[id(m.emission)]}
+                    if m.emission is not None
+                    else {}
+                ),
             }
             for m in scene.materials
         ],
@@ -151,6 +165,12 @@ def scene_from_dict(data: dict) -> S.Scene:
             float(m["roughness"]),
             spectra[int(m["spectrum"])],
             m["name"],
+            transmission=float(m.get("transmission", 0.0)),
+            ior=float(m.get("ior", 1.5)),
+            cauchy_b_um2=float(m.get("cauchy_b_um2", 0.0)),
+            emission=(
+                spectra[int(m["emission"])] if "emission" in m else None
+            ),
         )
         for m in data["materials"]
     ]

@@ -123,6 +123,7 @@ def test_specular_min_distance_gate():
         # lane 0: specular parent (gated); lane 1: diffuse parent (not gated)
         pending_gate=jnp.array([True, False]),
         ray_count=jnp.float32(0.0),
+        hero_idx=jnp.full((n,), -1, jnp.int32),
     )
     out = _bounce(
         state,
