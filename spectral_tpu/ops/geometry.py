@@ -135,16 +135,13 @@ class TraceResult(NamedTuple):
     hit: jax.Array  # [N] bool
 
 
-def trace(origin: Vec3, direction: Vec3, scene: SceneArrays) -> TraceResult:
-    """The reference's ``submit_ray`` trace phase (``src/shader.rs:468-483``):
-    test all objects, keep ``t > 0``, nearest wins (stable ties)."""
-    if scene.obj_type.shape[0] == 0:
-        n = origin.x.shape[0]
-        return TraceResult(
-            jnp.full((n,), _INF),
-            jnp.zeros((n,), dtype=jnp.int32),
-            jnp.zeros((n,), dtype=bool),
-        )
+# Cap on the [n_rays, n_objects] broadcast intermediates (elements). Above
+# this, rays are traced in sequential chunks via lax.map so HBM stays
+# bounded for many-object scenes (e.g. the 1000-sphere stress config).
+_BROADCAST_BUDGET = 32 * 1024 * 1024
+
+
+def _trace_dense(origin: Vec3, direction: Vec3, scene: SceneArrays) -> TraceResult:
     t_box, hit_box = _box_t(origin, direction, scene)
     t_sph, hit_sph = _sphere_t(origin, direction, scene)
 
@@ -156,6 +153,45 @@ def trace(origin: Vec3, direction: Vec3, scene: SceneArrays) -> TraceResult:
     t_hit = jnp.min(t_all, axis=1)
     obj_idx = jnp.argmin(t_all, axis=1).astype(jnp.int32)
     return TraceResult(t_hit, obj_idx, jnp.isfinite(t_hit))
+
+
+def trace(origin: Vec3, direction: Vec3, scene: SceneArrays) -> TraceResult:
+    """The reference's ``submit_ray`` trace phase (``src/shader.rs:468-483``):
+    test all objects, keep ``t > 0``, nearest wins (stable ties).
+
+    Rays x objects is evaluated as one dense broadcast when it fits the
+    memory budget, otherwise in sequential ray chunks (many-object
+    scenes)."""
+    n_obj = scene.obj_type.shape[0]
+    n = origin.x.shape[0]
+    if n_obj == 0:
+        return TraceResult(
+            jnp.full((n,), _INF),
+            jnp.zeros((n,), dtype=jnp.int32),
+            jnp.zeros((n,), dtype=bool),
+        )
+    if n * n_obj <= _BROADCAST_BUDGET:
+        return _trace_dense(origin, direction, scene)
+
+    chunk = max(128, _BROADCAST_BUDGET // n_obj)
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+
+    def pad_split(a):
+        return jnp.pad(a, (0, pad)).reshape(n_chunks, chunk)
+
+    o = Vec3(pad_split(origin.x), pad_split(origin.y), pad_split(origin.z))
+    d = Vec3(pad_split(direction.x), pad_split(direction.y), pad_split(direction.z))
+
+    def body(args):
+        oc, dc = args
+        r = _trace_dense(oc, dc, scene)
+        return r.t, r.obj_idx, r.hit
+
+    t, idx, hit = jax.lax.map(body, (o, d))
+    return TraceResult(
+        t.reshape(-1)[:n], idx.reshape(-1)[:n], hit.reshape(-1)[:n]
+    )
 
 
 def trace_shadow(

@@ -87,13 +87,15 @@ class Renderer:
         if self.backend == "pallas" and (
             _np.asarray(self.scene_arrays.transmission).any()
             or _np.asarray(self.scene_arrays.emission).any()
+            or self.config.n_objects > 64
         ):
-            # the megakernel does not implement refraction/emission yet;
+            # the megakernel does not implement refraction/emission yet and
+            # unrolls the object loop (compile blow-up past ~64 objects);
             # fall back to the jnp path rather than render wrong physics
             if backend == "pallas":
                 raise ValueError(
                     "the pallas backend does not support transmission/"
-                    "emission materials yet; use backend='jnp'"
+                    "emission materials or >64 objects yet; use backend='jnp'"
                 )
             self.backend = "jnp"
         self.obj_types = tuple(_np.asarray(self.scene_arrays.obj_type).tolist())

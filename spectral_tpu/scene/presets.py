@@ -181,8 +181,76 @@ def prism(n_samples: int = 64) -> Scene:
     )
 
 
+def sphere_field(
+    n_spheres: int = 1000, n_samples: int = NBR_OF_SPECTRUM_SAMPLES_DEFAULT
+) -> Scene:
+    """1000-sphere stress scene (BASELINE.json config #4): a deterministic
+    pseudo-random field of spheres with mixed diffuse/mirror materials
+    under two lights — exercises many-object tracing throughput."""
+    import numpy as np
+
+    sun = SceneSpectrum.new(
+        "Sky light", Solar(1.0), SpectrumEffectType.EMISSIVE, n=n_samples
+    )
+    sun2 = SceneSpectrum.new(
+        "Back light", Solar(0.2), SpectrumEffectType.EMISSIVE, n=n_samples
+    )
+    grey = SceneSpectrum.new(
+        "Grey", PlainReflective(0.65), SpectrumEffectType.REFLECTIVE, n=n_samples
+    )
+    red = SceneSpectrum.new(
+        "Red", ReflectiveRed(0.9), SpectrumEffectType.REFLECTIVE, n=n_samples
+    )
+    green = SceneSpectrum.new(
+        "Green", ReflectiveGreen(0.9), SpectrumEffectType.REFLECTIVE, n=n_samples
+    )
+    white = SceneSpectrum.new(
+        "White", PlainReflective(1.0), SpectrumEffectType.REFLECTIVE, n=n_samples
+    )
+
+    materials = [
+        Material(0.0, 0.0, grey, "Matte grey"),
+        Material(0.0, 0.0, red, "Matte red"),
+        Material(0.0, 0.0, green, "Matte green"),
+        Material(1.0, 0.05, white, "Mirror"),
+    ]
+    floor_mat = Material(0.0, 0.0, grey, "Floor")
+
+    rng = np.random.default_rng(1234)
+    objects = [
+        SceneObject((0.0, -1.2, 0.0), PlainBox(200.0, 0.2, 200.0),
+                    floor_mat, "Floor"),
+    ]
+    for i in range(n_spheres):
+        x = float(rng.uniform(-20, 20))
+        z = float(rng.uniform(2, 60))
+        r = float(rng.uniform(0.15, 0.5))
+        y = float(-1.1 + r + rng.uniform(0.0, 1.5))
+        mat = materials[int(rng.integers(0, len(materials)))]
+        objects.append(
+            SceneObject((x, y, z), Sphere(r), mat, f"Sphere {i}")
+        )
+
+    return Scene(
+        width=1024,
+        height=768,
+        nbr_of_iterations=50,
+        nbr_of_ray_bounces=8,
+        camera=Camera(position=(0.0, 1.5, -4.0), direction=(0.0, -0.12, 1.0)),
+        lights=[
+            Light((0.0, 40.0, 0.0), sun, "Sky light"),
+            Light((-15.0, 10.0, -10.0), sun2, "Back light"),
+        ],
+        objects=objects,
+        spectra=[sun, sun2, grey, red, green, white],
+        materials=materials + [floor_mat],
+        spectrum_number_of_samples=n_samples,
+    )
+
+
 PRESETS = {
     "default": default_scene,
     "cornell": cornell_box,
     "prism": prism,
+    "spheres": sphere_field,
 }
