@@ -71,15 +71,10 @@ def cmd_render(args) -> int:
 
     def progress(p):
         if not args.quiet:
-            eta = (
-                p.elapsed_s / p.fraction * (1 - p.fraction)
-                if p.fraction > 0
-                else float("inf")
-            )
             print(
                 f"\rframe {p.frame_id + 1}/{p.total_frames} "
                 f"({p.fraction:5.1%})  elapsed {p.elapsed_s:6.1f}s  "
-                f"eta {eta:6.1f}s",
+                f"eta {p.eta_s:6.1f}s  {p.mpaths_per_s:7.1f} Mpaths/s",
                 end="",
                 file=sys.stderr,
                 flush=True,
@@ -89,7 +84,13 @@ def cmd_render(args) -> int:
             last_preview[0] = time.monotonic()
 
     t0 = time.monotonic()
-    renderer.render(progress=progress)
+    if args.profile:
+        import jax
+
+        with jax.profiler.trace(args.profile):
+            renderer.render(progress=progress, check_finite=args.check_finite)
+    else:
+        renderer.render(progress=progress, check_finite=args.check_finite)
     if not args.quiet:
         print(file=sys.stderr)
     renderer.save_image(args.out)
@@ -157,6 +158,10 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--preview-every", type=float, default=0.0,
                     help="write the output image every N seconds while rendering")
     pr.add_argument("--quiet", action="store_true")
+    pr.add_argument("--check-finite", action="store_true",
+                    help="validate the accumulator each frame; abort on NaN/Inf")
+    pr.add_argument("--profile",
+                    help="capture a jax.profiler trace of the render into DIR")
     pr.set_defaults(func=cmd_render)
 
     ps = sub.add_parser("scene", help="scene file utilities")

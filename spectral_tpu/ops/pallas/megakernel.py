@@ -60,7 +60,7 @@ _F32_DELTA = np.float32(1e-5)
 _PI = np.float32(np.pi)
 _INF = np.float32(np.inf)
 
-# geom table column layout ([O, 32] float32)
+# geom table column layout ([O, GEOM_COLS] float32)
 _SLAB_MIN = 0  # 0-2
 _SLAB_MAX = 3  # 3-5
 _SHIFT = 6  # 6-8: rotbox center / sphere center
@@ -69,6 +69,10 @@ _ROT = 18  # 18-26 row-major
 _RADIUS = 27
 _METAL = 28
 _ROUGH = 29
+_TRANS = 30  # transmission branch probability
+_IOR = 31  # Cauchy A
+_CAUCHY = 32  # Cauchy B (um^2)
+GEOM_COLS = 36
 
 
 def _u32_to_f32(u):
@@ -132,6 +136,8 @@ def build_megakernel(
     config: RenderConfig,
     tile: int = DEFAULT_TILE,
     interpret: bool = False,
+    has_transmission: bool = False,
+    has_emission: bool = False,
 ):
     """Compile-time specialization on the scene structure.
 
@@ -140,9 +146,12 @@ def build_megakernel(
             object loop with per-type code).
         config: static render parameters.
         tile: rays per grid step (multiple of 128).
+        has_transmission/has_emission: enable the dielectric branch /
+            emissive-surface accumulation (static so reference-style
+            scenes pay nothing for the extra physics).
     Returns:
         fn(ox, oy, oz, dx, dy, dz, px, py, frame_id, geom, albedo,
-           light_pos, light_spec) -> radiance [S, NP//128, 128]
+           emission, light_pos, light_spec) -> radiance [S, NP//128, 128]
     """
     n_obj = len(obj_types)
     n_lights = config.n_lights
@@ -150,6 +159,13 @@ def build_megakernel(
     max_bounces = config.max_bounces
     n_valid = config.width * config.height
     r8 = tile // LANE
+    # hero-wavelength grid parameters (exact f32 grid reconstruction:
+    # lambda_i = lo + f32(step * i), matching flatten._lambda_grid)
+    lam_lo = np.float32(config.lambda_lo)
+    lam_step = np.float32(
+        np.float32(np.float32(config.lambda_hi) - lam_lo)
+        / np.float32(s_dim - 1)
+    )
 
     def trace_tile(geom, ox, oy, oz, dx, dy, dz):
         """Nearest-hit over all objects. Returns per-lane winner
@@ -210,6 +226,9 @@ def build_megakernel(
         nz = jnp.zeros_like(ox)
         metal = jnp.zeros_like(ox)
         rough = jnp.zeros_like(ox)
+        transw = jnp.zeros_like(ox)
+        ior = jnp.ones_like(ox)
+        cauchy = jnp.zeros_like(ox)
         ipx, ipy, ipz = (
             ox + dx * jnp.where(hit, t_best, 0.0),
             oy + dy * jnp.where(hit, t_best, 0.0),
@@ -275,7 +294,14 @@ def build_megakernel(
             nz = jnp.where(is_win, cnz, nz)
             metal = jnp.where(is_win, geom[o, _METAL], metal)
             rough = jnp.where(is_win, geom[o, _ROUGH], rough)
-        return t_best, hit, ipx, ipy, ipz, nx, ny, nz, metal, rough, masks
+            if has_transmission:
+                transw = jnp.where(is_win, geom[o, _TRANS], transw)
+                ior = jnp.where(is_win, geom[o, _IOR], ior)
+                cauchy = jnp.where(is_win, geom[o, _CAUCHY], cauchy)
+        return (
+            t_best, hit, ipx, ipy, ipz, nx, ny, nz,
+            metal, rough, transw, ior, cauchy, masks,
+        )
 
     def shadow_blocked(geom, ox, oy, oz, dx, dy, dz, max_dist):
         """Nearest positive hit <= max_dist (reference src/shader.rs:484-489)."""
@@ -326,8 +352,9 @@ def build_megakernel(
         frame_ref,  # SMEM (1,1) uint32
         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # [R8,128] f32
         px_ref, py_ref,  # [R8,128] uint32
-        geom_ref,  # [O, 32] f32
+        geom_ref,  # [O, GEOM_COLS] f32
         albedo_ref,  # [O, S] f32
+        emis_ref,  # [O, S] f32
         lpos_ref,  # [L, 4] f32
         lspec_ref,  # [L, S] f32
         rad_ref,  # out [S, R8, 128] f32
@@ -350,18 +377,37 @@ def build_megakernel(
             thr_ref[s] = jnp.ones((r8, LANE), jnp.float32)
 
         def bounce(i, carry):
-            ox, oy, oz, dx, dy, dz, alive, gate = carry
+            ox, oy, oz, dx, dy, dz, alive, gate, hero = carry
             bounces_left = jnp.uint32(max_bounces) - i.astype(jnp.uint32)
 
-            (t, hit, ipx, ipy, ipz, nx, ny, nz, metal, rough, masks) = trace_tile(
-                geom, ox, oy, oz, dx, dy, dz
-            )
+            (
+                t, hit, ipx, ipy, ipz, nx, ny, nz,
+                metal, rough, transw, ior, cauchy, masks,
+            ) = trace_tile(geom, ox, oy, oz, dx, dy, dz)
             gate_ok = (gate == 0.0) | (t > _SPEC_MIN)
             alive = alive * hit.astype(jnp.float32) * gate_ok.astype(jnp.float32)
             live = alive > 0.0
 
             rx, ry, rz = _pcg3d(px, py, frame_id + bounces_left)
             spec = rz < metal
+            if has_transmission:
+                trans = (~spec) & (rz < metal + transw)
+                # hero-wavelength collapse at the first dispersive event
+                dispersive = cauchy > 0.0
+                needs_hero = live & trans & dispersive & (hero < 0.0)
+                h_new = jnp.minimum(
+                    jnp.floor(ry * jnp.float32(s_dim)), jnp.float32(s_dim - 1)
+                )
+                hero = jnp.where(needs_hero, h_new, hero)
+                lam_nm = jnp.where(
+                    hero >= 0.0, lam_lo + lam_step * jnp.maximum(hero, 0.0),
+                    jnp.float32(587.6),
+                )
+                lam_um2 = (lam_nm * jnp.float32(1e-3)) ** 2
+                n_lam = ior + cauchy / lam_um2
+            else:
+                trans = spec & (~spec)  # all-false
+                needs_hero = None
 
             offx = ipx + nx * _OFFSET
             offy = ipy + ny * _OFFSET
@@ -384,15 +430,27 @@ def build_megakernel(
                 scale = jnp.where(blocked, 0.0, (cos_in * cos_out) / dist2)
                 scales.append(scale)
 
-            contrib = jnp.where(live & (~spec), 1.0, 0.0)
+            live_f = jnp.where(live, 1.0, 0.0)
+            contrib = jnp.where(live & (~spec) & (~trans), 1.0, 0.0)
             for s in range(s_dim):
+                thr_s = thr_ref[s]
+                if has_emission:
+                    emis_s = jnp.zeros((r8, LANE), jnp.float32)
+                    for o in range(n_obj):
+                        emis_s = emis_s + jnp.where(masks[o], emis_ref[o, s], 0.0)
+                    rad_ref[s] = rad_ref[s] + live_f * thr_s * emis_s
+                if has_transmission:
+                    # collapse throughput onto the hero bin (S-fold weight)
+                    pick = jnp.where(
+                        hero == jnp.float32(s), jnp.float32(s_dim), 0.0
+                    )
+                    thr_s = jnp.where(needs_hero, thr_s * pick, thr_s)
                 direct_s = jnp.zeros((r8, LANE), jnp.float32)
                 for l in range(n_lights):
                     direct_s = direct_s + scales[l] * lspec_ref[l, s]
                 alb_s = jnp.zeros((r8, LANE), jnp.float32)
                 for o in range(n_obj):
                     alb_s = alb_s + jnp.where(masks[o], albedo_ref[o, s], 0.0)
-                thr_s = thr_ref[s]
                 rad_ref[s] = rad_ref[s] + contrib * thr_s * alb_s * direct_s
                 thr_ref[s] = jnp.where(live, thr_s * alb_s, thr_s)
 
@@ -452,14 +510,49 @@ def build_megakernel(
             ddy = by * dl_x + cy * dl_y + zny * d_cos
             ddz = bz * dl_x + cz * dl_y + znz * d_cos
 
-            newdx = jnp.where(spec, sdx, ddx)
-            newdy = jnp.where(spec, sdy, ddy)
-            newdz = jnp.where(spec, sdz, ddz)
+            if has_transmission:
+                # dielectric: Snell + Schlick-Fresnel + TIR
+                cosi_signed = -(dx * nx + dy * ny + dz * nz)
+                entering = cosi_signed > 0.0
+                tsgn = jnp.where(entering, 1.0, -1.0)
+                nox_, noy_, noz_ = nx * tsgn, ny * tsgn, nz * tsgn
+                cosi = jnp.abs(cosi_signed)
+                eta = jnp.where(entering, 1.0 / n_lam, n_lam)
+                kk = 1.0 - eta * eta * (1.0 - cosi * cosi)
+                tir_m = kk < 0.0
+                cos_tr = jnp.sqrt(jnp.maximum(kk, 0.0))
+                r0 = ((n_lam - 1.0) / (n_lam + 1.0)) ** 2
+                cos_x = jnp.where(entering, cosi, cos_tr)
+                fres = r0 + (1.0 - r0) * (1.0 - cos_x) ** 5
+                t_reflects = tir_m | (rx < fres)
+                # mirror about the oriented normal (== refl: sign cancels)
+                coef = eta * cosi - cos_tr
+                rfx = dx * eta + nox_ * coef
+                rfy = dy * eta + noy_ * coef
+                rfz = dz * eta + noz_ * coef
+                tdx = jnp.where(t_reflects, refx, rfx)
+                tdy = jnp.where(t_reflects, refy, rfy)
+                tdz = jnp.where(t_reflects, refz, rfz)
+                off_sgn = jnp.where(t_reflects, _OFFSET, -_OFFSET)
+                tox = ipx + nox_ * off_sgn
+                toy = ipy + noy_ * off_sgn
+                toz = ipz + noz_ * off_sgn
+
+                newdx = jnp.where(spec, sdx, jnp.where(trans, tdx, ddx))
+                newdy = jnp.where(spec, sdy, jnp.where(trans, tdy, ddy))
+                newdz = jnp.where(spec, sdz, jnp.where(trans, tdz, ddz))
+                newox = jnp.where(spec, offx, jnp.where(trans, tox, ipx))
+                newoy = jnp.where(spec, offy, jnp.where(trans, toy, ipy))
+                newoz = jnp.where(spec, offz, jnp.where(trans, toz, ipz))
+            else:
+                newdx = jnp.where(spec, sdx, ddx)
+                newdy = jnp.where(spec, sdy, ddy)
+                newdz = jnp.where(spec, sdz, ddz)
+                # diffuse continuation starts at the UN-offset hit point
+                newox = jnp.where(spec, offx, ipx)
+                newoy = jnp.where(spec, offy, ipy)
+                newoz = jnp.where(spec, offz, ipz)
             newdx, newdy, newdz = _normalize(newdx, newdy, newdz)
-            # diffuse continuation starts at the UN-offset hit point
-            newox = jnp.where(spec, offx, ipx)
-            newoy = jnp.where(spec, offy, ipy)
-            newoz = jnp.where(spec, offz, ipz)
 
             can_bounce = (bounces_left > jnp.uint32(1)).astype(jnp.float32)
             cont = alive * can_bounce
@@ -471,7 +564,7 @@ def build_megakernel(
             dy = jnp.where(cl, newdy, dy)
             dz = jnp.where(cl, newdz, dz)
             gate = jnp.where(cl, spec.astype(jnp.float32), gate)
-            return (ox, oy, oz, dx, dy, dz, cont, gate)
+            return (ox, oy, oz, dx, dy, dz, cont, gate, hero)
 
         def guarded(i, carry):
             any_alive = jnp.max(carry[6]) > 0.0
@@ -481,11 +574,15 @@ def build_megakernel(
             ox_ref[:], oy_ref[:], oz_ref[:],
             dx_ref[:], dy_ref[:], dz_ref[:],
             alive0, jnp.zeros((r8, LANE), jnp.float32),
+            jnp.full((r8, LANE), -1.0, jnp.float32),  # hero wavelength bin
         )
         jax.lax.fori_loop(0, max_bounces, guarded, carry)
 
     @functools.partial(jax.jit, static_argnames=())
-    def run(ox, oy, oz, dx, dy, dz, px, py, frame_id, geom, albedo, lpos, lspec):
+    def run(
+        ox, oy, oz, dx, dy, dz, px, py, frame_id,
+        geom, albedo, emission, lpos, lspec,
+    ):
         np_lanes = ox.shape[0] * ox.shape[1]
         n_tiles = np_lanes // tile
         ray_spec = pl.BlockSpec(
@@ -503,7 +600,7 @@ def build_megakernel(
                 ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec,
                 ray_spec, ray_spec,
                 # scalar-indexed tables live in SMEM
-                smem, smem, smem, smem,
+                smem, smem, smem, smem, smem,
             ],
             out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct(
@@ -516,16 +613,17 @@ def build_megakernel(
             interpret=interpret,
         )(
             frame_id.reshape(1, 1), ox, oy, oz, dx, dy, dz, px, py,
-            geom, albedo, lpos, lspec,
+            geom, albedo, emission, lpos, lspec,
         )
 
     return run
 
 
 def pack_geometry(scene: SceneArrays) -> jax.Array:
-    """Pack per-object geometry/material scalars into the [O, 32] table."""
+    """Pack per-object geometry/material scalars into the [O, GEOM_COLS]
+    table."""
     o = scene.obj_type.shape[0]
-    geom = jnp.zeros((o, 32), dtype=jnp.float32)
+    geom = jnp.zeros((o, GEOM_COLS), dtype=jnp.float32)
     geom = geom.at[:, _SLAB_MIN:_SLAB_MIN + 3].set(scene.slab_min)
     geom = geom.at[:, _SLAB_MAX:_SLAB_MAX + 3].set(scene.slab_max)
     # shift slot: rotbox center / sphere center
@@ -537,4 +635,7 @@ def pack_geometry(scene: SceneArrays) -> jax.Array:
     geom = geom.at[:, _RADIUS].set(scene.radius)
     geom = geom.at[:, _METAL].set(scene.metallicness)
     geom = geom.at[:, _ROUGH].set(scene.roughness)
+    geom = geom.at[:, _TRANS].set(scene.transmission)
+    geom = geom.at[:, _IOR].set(scene.ior)
+    geom = geom.at[:, _CAUCHY].set(scene.cauchy_b)
     return geom

@@ -38,7 +38,8 @@ def shard_scene(
 
 
 def build_sharded_pallas_step(
-    mesh, config: RenderConfig, obj_types: tuple, interpret: bool = False
+    mesh, config: RenderConfig, obj_types: tuple, interpret: bool = False,
+    has_transmission: bool = False, has_emission: bool = False,
 ):
     """Row-sharded megakernel step via shard_map.
 
@@ -68,6 +69,8 @@ def build_sharded_pallas_step(
             frame_id,
             obj_types,
             interpret=interpret,
+            has_transmission=has_transmission,
+            has_emission=has_emission,
             full_height=config.height,
             row_offset=idx * local_h,
         )

@@ -24,8 +24,22 @@ from spectral_tpu.scene.flatten import RenderConfig, SceneArrays
 
 
 @functools.lru_cache(maxsize=32)
-def _kernel(obj_types: tuple, config: RenderConfig, tile: int, interpret: bool):
-    return mk.build_megakernel(obj_types, config, tile=tile, interpret=interpret)
+def _kernel(
+    obj_types: tuple,
+    config: RenderConfig,
+    tile: int,
+    interpret: bool,
+    has_transmission: bool,
+    has_emission: bool,
+):
+    return mk.build_megakernel(
+        obj_types,
+        config,
+        tile=tile,
+        interpret=interpret,
+        has_transmission=has_transmission,
+        has_emission=has_emission,
+    )
 
 
 def _pick_tile(n: int) -> int:
@@ -45,11 +59,15 @@ def integrate_frame_pallas(
     interpret: bool = False,
     full_height: int | None = None,
     row_offset=0,
+    has_transmission: bool = False,
+    has_emission: bool = False,
 ) -> jax.Array:
     """One progressive frame -> linear RGB ``[H, W, 3]``.
 
     ``obj_types`` must be the static tuple of per-object type tags
-    (``tuple(np.asarray(scene.obj_type).tolist())`` taken outside jit).
+    (``tuple(np.asarray(scene.obj_type).tolist())`` taken outside jit);
+    likewise ``has_transmission``/``has_emission`` are static feature
+    flags the caller derives outside jit.
     ``full_height``/``row_offset`` render a row slab of a taller image in
     global coordinates (row-sharded rendering).
     """
@@ -71,12 +89,12 @@ def integrate_frame_pallas(
     geom = mk.pack_geometry(scene)
     lpos = jnp.pad(scene.light_pos, ((0, 0), (0, 1)))  # [L, 4]
 
-    run = _kernel(obj_types, config, tile, interpret)
+    run = _kernel(obj_types, config, tile, interpret, has_transmission, has_emission)
     rad = run(
         lanes(origin.x), lanes(origin.y), lanes(origin.z),
         lanes(direction.x), lanes(direction.y), lanes(direction.z),
         lanes(px, jnp.uint32), lanes(py, jnp.uint32),
-        frame_id, geom, scene.albedo, lpos, scene.light_spec,
+        frame_id, geom, scene.albedo, scene.emission, lpos, scene.light_spec,
     )
     # [S, NP/128, 128] -> [n, S]
     rad = rad.reshape(config.n_samples, n_pad).T[:n]
@@ -91,9 +109,12 @@ def render_frame_step_pallas(
     frame_id,
     obj_types: tuple,
     interpret: bool = False,
+    has_transmission: bool = False,
+    has_emission: bool = False,
 ) -> jax.Array:
     """Pallas-path equivalent of ``render_frame_step``."""
     rgb = integrate_frame_pallas(
-        scene, config, frame_id, obj_types, interpret=interpret
+        scene, config, frame_id, obj_types, interpret=interpret,
+        has_transmission=has_transmission, has_emission=has_emission,
     )
     return accumulate_frame(accum, rgb, frame_id)

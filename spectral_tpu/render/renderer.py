@@ -29,15 +29,32 @@ from spectral_tpu.scene.schema import Scene
 @dataclasses.dataclass
 class RenderProgress:
     """Per-frame progress report (the reference's ``AppActions`` updates,
-    src/main.rs:1490-1506)."""
+    src/main.rs:1490-1506) plus first-class throughput counters
+    (SURVEY.md §5: the reference only has wall-clock timing)."""
 
     frame_id: int
     total_frames: int
     elapsed_s: float
+    pixels: int = 0
+    n_samples: int = 0
 
     @property
     def fraction(self) -> float:
         return (self.frame_id + 1) / self.total_frames
+
+    @property
+    def seconds_per_frame(self) -> float:
+        return self.elapsed_s / max(1, self.frame_id + 1)
+
+    @property
+    def mpaths_per_s(self) -> float:
+        """Camera paths per second (millions)."""
+        return self.pixels / max(self.seconds_per_frame, 1e-9) / 1e6
+
+    @property
+    def eta_s(self) -> float:
+        done = self.fraction
+        return self.elapsed_s / done * (1.0 - done) if done > 0 else float("inf")
 
 
 @partial(jax.jit, static_argnums=(1,), donate_argnums=(2,))
@@ -45,11 +62,17 @@ def _step(scene: SceneArrays, config: RenderConfig, accum, frame_id):
     return render_frame_step(scene, config, accum, frame_id)
 
 
-@partial(jax.jit, static_argnums=(1, 4), donate_argnums=(2,))
-def _step_pallas(scene: SceneArrays, config: RenderConfig, accum, frame_id, obj_types):
+@partial(jax.jit, static_argnums=(1, 4, 5, 6), donate_argnums=(2,))
+def _step_pallas(
+    scene: SceneArrays, config: RenderConfig, accum, frame_id, obj_types,
+    has_transmission, has_emission,
+):
     from spectral_tpu.render.pallas_integrator import render_frame_step_pallas
 
-    return render_frame_step_pallas(scene, config, accum, frame_id, obj_types)
+    return render_frame_step_pallas(
+        scene, config, accum, frame_id, obj_types,
+        has_transmission=has_transmission, has_emission=has_emission,
+    )
 
 
 def resolve_backend(backend: str) -> str:
@@ -84,18 +107,17 @@ class Renderer:
         scene.update_all_spectrum_sample_sizes()
         self.scene_arrays, self.config = flatten_scene(scene)
         self.backend = resolve_backend(backend)
-        if self.backend == "pallas" and (
+        self.has_transmission = bool(
             _np.asarray(self.scene_arrays.transmission).any()
-            or _np.asarray(self.scene_arrays.emission).any()
-            or self.config.n_objects > 64
-        ):
-            # the megakernel does not implement refraction/emission yet and
-            # unrolls the object loop (compile blow-up past ~64 objects);
-            # fall back to the jnp path rather than render wrong physics
+        )
+        self.has_emission = bool(_np.asarray(self.scene_arrays.emission).any())
+        if self.backend == "pallas" and self.config.n_objects > 64:
+            # the megakernel unrolls the object loop (compile blow-up past
+            # ~64 objects); fall back to the chunked jnp path
             if backend == "pallas":
                 raise ValueError(
-                    "the pallas backend does not support transmission/"
-                    "emission materials or >64 objects yet; use backend='jnp'"
+                    "the pallas backend does not support >64 objects yet; "
+                    "use backend='jnp'"
                 )
             self.backend = "jnp"
         self.obj_types = tuple(_np.asarray(self.scene_arrays.obj_type).tolist())
@@ -110,7 +132,9 @@ class Renderer:
                 from spectral_tpu.parallel.sharding import build_sharded_pallas_step
 
                 self._sharded_step = build_sharded_pallas_step(
-                    sharding.mesh, self.config, self.obj_types
+                    sharding.mesh, self.config, self.obj_types,
+                    has_transmission=self.has_transmission,
+                    has_emission=self.has_emission,
                 )
         else:
             self._accum_sharding = None
@@ -124,7 +148,8 @@ class Renderer:
                 self.accum = self._sharded_step(self.scene_arrays, self.accum, fid)
             else:
                 self.accum = _step_pallas(
-                    self.scene_arrays, self.config, self.accum, fid, self.obj_types
+                    self.scene_arrays, self.config, self.accum, fid,
+                    self.obj_types, self.has_transmission, self.has_emission,
                 )
         else:
             self.accum = _step(self.scene_arrays, self.config, self.accum, fid)
@@ -146,25 +171,39 @@ class Renderer:
         n_frames: int,
         progress: Callable[[RenderProgress], None] | None = None,
         abort: Callable[[], bool] | None = None,
+        check_finite: bool = False,
     ) -> np.ndarray:
         """Render up to ``n_frames`` more progressive iterations.
 
         ``abort`` is polled once per frame, after the frame completes —
         frame-granular cancellation exactly like the reference
-        (src/main.rs:1351-1357). Returns the current framebuffer.
+        (src/main.rs:1351-1357). ``check_finite`` validates the
+        accumulator per frame and raises on NaN/Inf (numerical failure
+        detection the reference lacks, SURVEY.md §5). Returns the current
+        framebuffer.
         """
         begin = time.monotonic()
         total = self.config.intended_frames
+        pixels = self.config.width * self.config.height
         for _ in range(n_frames):
             if self.next_frame >= total:
                 break
             self._advance(self.next_frame)
             self.next_frame += 1
+            if check_finite:
+                if not bool(jnp.isfinite(self.accum).all()):
+                    raise FloatingPointError(
+                        f"non-finite accumulator after frame {self.next_frame - 1}"
+                    )
             if progress is not None:
                 jax.block_until_ready(self.accum)
                 progress(
                     RenderProgress(
-                        self.next_frame - 1, total, time.monotonic() - begin
+                        self.next_frame - 1,
+                        total,
+                        time.monotonic() - begin,
+                        pixels=pixels,
+                        n_samples=self.config.n_samples,
                     )
                 )
             if abort is not None and abort():
@@ -175,11 +214,15 @@ class Renderer:
         self,
         progress: Callable[[RenderProgress], None] | None = None,
         abort: Callable[[], bool] | None = None,
+        check_finite: bool = False,
     ) -> np.ndarray:
         """Render all configured iterations (the reference's full
         ``App::render`` loop)."""
         return self.render_frames(
-            self.config.intended_frames, progress=progress, abort=abort
+            self.config.intended_frames,
+            progress=progress,
+            abort=abort,
+            check_finite=check_finite,
         )
 
     def framebuffer(self) -> np.ndarray:

@@ -125,6 +125,8 @@ class RenderConfig:
     intended_frames: int
     n_objects: int
     n_lights: int
+    lambda_lo: float = 380.0
+    lambda_hi: float = 780.0
 
 
 def _sphere_tables(center, radius_in):
@@ -299,5 +301,7 @@ def flatten_scene(scene: Scene) -> tuple[SceneArrays, RenderConfig]:
         intended_frames=scene.nbr_of_iterations,
         n_objects=n_obj,
         n_lights=n_lights,
+        lambda_lo=float(scene.spectrum_lower_bound),
+        lambda_hi=float(scene.spectrum_upper_bound),
     )
     return arrays, config

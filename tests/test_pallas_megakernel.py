@@ -53,6 +53,29 @@ def test_multibounce_within_coinflip_envelope():
     assert float(agree.max()) < 1e-3
 
 
+def test_transmission_emission_matches_jnp():
+    """Megakernel v2 physics: refraction + hero wavelength + emission."""
+    scene = presets.prism(n_samples=8)
+    scene.width, scene.height = 12, 8
+    scene.nbr_of_ray_bounces = 4
+    scene.nbr_of_iterations = 2
+    arrays, config = flatten_scene(scene)
+    obj_types = tuple(np.asarray(arrays.obj_type).tolist())
+    want = np.asarray(integrate_frame(arrays, config, np.uint32(0)))
+    got = np.asarray(
+        integrate_frame_pallas(
+            arrays, config, np.uint32(0), obj_types, interpret=True,
+            has_transmission=True, has_emission=True,
+        )
+    )
+    scale = max(1.0, float(np.abs(want).max()))
+    err = np.abs(got - want).max(axis=-1) / scale
+    flips = int((err > 1e-3).sum())
+    assert flips <= 0.1 * err.size
+    agree = err[err <= 1e-3]
+    assert float(agree.max()) < 1e-5  # everything but coin flips is exact-ish
+
+
 def test_sharded_pallas_step_direct_only():
     import jax
     import jax.numpy as jnp
