@@ -168,6 +168,25 @@ class SceneSpectrum:
             self.name, self.spectrum_type, self.effect_type, self.spectrum.copy()
         )
 
+    def preview_colors(
+        self, white_reference: Spectrum | None = None
+    ) -> dict[str, tuple[float, float, float]]:
+        """The color previews the reference's spectrum editor shows
+        (src/main.rs:898-1036): the spectrum's own ('observed') color, the
+        normalized color, and — for reflective spectra — its color under a
+        normalized-white illuminant."""
+        observed = self.spectrum.get_rgb_early()
+        normalized = self.spectrum.normalize().get_rgb_early()
+        out = {"observed": observed, "normalized": normalized}
+        if self.effect_type == SpectrumEffectType.REFLECTIVE:
+            white = white_reference or Spectrum.new_normalized_white(
+                self.spectrum.lowest_wavelength,
+                self.spectrum.highest_wavelength,
+                self.spectrum.nbr_of_samples,
+            )
+            out["reflected"] = (self.render_spectrum() * white).get_rgb_early()
+        return out
+
 
 @dataclasses.dataclass
 class Material:

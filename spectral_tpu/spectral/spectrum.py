@@ -241,6 +241,26 @@ class Spectrum:
         out.intensities = (self.intensities / factor).astype(F32)
         return out
 
+    def rebound(self, lower_bound: float, upper_bound: float) -> None:
+        """Re-anchor the spectrum onto new wavelength bounds, resampling
+        values from the old grid (reversed-lerp lookup semantics; zero
+        outside the old range). The reference declares this operation but
+        leaves it ``todo!()`` (src/spectrum.rs:279-281) — implemented here.
+        """
+        if not lower_bound < upper_bound:
+            raise ValueError("lower_bound must be below upper_bound")
+        lo, hi = F32(lower_bound), F32(upper_bound)
+        n = self.nbr_of_samples
+        step = F32(F32(hi - lo) / F32(n - 1))
+        old = self.copy()
+        arr = np.zeros(NBR_OF_SAMPLES_MAX, dtype=F32)
+        for i in range(n):
+            w = F32(lo + F32(step * F32(i)))
+            arr[i] = F32(old.get_spectral_radiance_by_wavelength(float(w)))
+        self.intensities = arr
+        self.lowest_wavelength = float(lo)
+        self.highest_wavelength = float(hi)
+
     def resample(self, new_sample_amount: int) -> None:
         """Re-sample in place (reference ``src/spectrum.rs:285-325``).
 

@@ -237,3 +237,54 @@ class TestOperators:
         u = s.copy()
         u.min1()
         assert u.values[0] == -1.0 and u.values[2] == 1.0
+
+
+class TestRebound:
+    def test_rebound_narrows_range(self):
+        # reference declares rebound but leaves it todo!(); we implement it
+        s = Spectrum.new_temperature_spectrum(LO, HI, 5000.0, 32, 1.0)
+        before_mid = s.get_spectral_radiance_by_wavelength(580.0)
+        s.rebound(480.0, 680.0)
+        assert s.get_range() == (480.0, 680.0)
+        assert s.nbr_of_samples == 32
+        # value at 580 nm is preserved to lookup accuracy
+        after_mid = s.get_spectral_radiance_by_wavelength(580.0)
+        assert abs(after_mid - before_mid) / before_mid < 0.02
+
+    def test_rebound_outside_is_zero(self):
+        s = Spectrum.new_singular_reflectance_factor(LO, HI, 16, 1.0)
+        s.intensities[16:] = 0.0
+        s.rebound(200.0, 1000.0)
+        assert s.get_spectral_radiance_by_wavelength(250.0) == 0.0
+        assert s.get_spectral_radiance_by_wavelength(550.0) > 0.9
+
+    def test_rebound_rejects_bad_bounds(self):
+        s = Spectrum.new_singular_reflectance_factor(LO, HI, 16, 1.0)
+        with pytest.raises(ValueError):
+            s.rebound(700.0, 500.0)
+
+
+class TestPreviewColors:
+    def test_reflective_preview_has_all_three(self):
+        from spectral_tpu.scene.schema import (
+            PlainReflective, SceneSpectrum, SpectrumEffectType,
+        )
+        sp = SceneSpectrum.new(
+            "g", PlainReflective(0.5), SpectrumEffectType.REFLECTIVE, n=32
+        )
+        colors = sp.preview_colors()
+        assert set(colors) == {"observed", "normalized", "reflected"}
+        r, g, b = colors["normalized"]
+        assert abs(max(r, g, b) - 1.0) < 1e-3
+
+    def test_emissive_preview_has_two(self):
+        from spectral_tpu.scene.schema import (
+            SceneSpectrum, SpectrumEffectType, Temperature,
+        )
+        sp = SceneSpectrum.new(
+            "t", Temperature(3000.0, 1.0), SpectrumEffectType.EMISSIVE, n=32
+        )
+        colors = sp.preview_colors()
+        assert set(colors) == {"observed", "normalized"}
+        r, g, b = colors["observed"]
+        assert r > g > b  # 3000 K is warm
