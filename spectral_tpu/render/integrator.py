@@ -72,12 +72,33 @@ class _BounceState(NamedTuple):
     # refraction event (-1 before; beyond-reference, SURVEY.md §2.12)
 
 
+def make_tracers(scene: SceneArrays, grid=None, grid_static=None):
+    """Bind the intersection backend: brute force (reference semantics) or
+    the uniform-grid DDA for many-object scenes."""
+    if grid is None:
+        return (
+            lambda o, d: trace(o, d, scene),
+            lambda o, d, maxd: trace_shadow(o, d, maxd, scene),
+        )
+    from spectral_tpu.ops.grid_trace import trace_grid
+
+    def tr(o, d):
+        return trace_grid(o, d, scene, grid, grid_static)
+
+    def sh(o, d, maxd):
+        r = tr(o, d)
+        return r.hit & (r.t <= maxd)
+
+    return tr, sh
+
+
 def _direct_lighting(
     offset_pos: Vec3,
     normal: Vec3,
     incoming: Vec3,
     scene: SceneArrays,
     config: RenderConfig,
+    shadow_tracer,
 ) -> jax.Array:
     """Next-event estimation over all lights (reference
     ``src/shader.rs:420-439``): per light, an occlusion ray from the
@@ -97,7 +118,7 @@ def _direct_lighting(
         dist2 = ldir.magnitude_squared()
         dist = ldir.magnitude()
         ldn = ldir.normalize()
-        blocked = trace_shadow(offset_pos, ldn, dist, scene)
+        blocked = shadow_tracer(offset_pos, ldn, dist)
         # reference re-normalizes the already-normalized direction
         cos_in = jnp.maximum(ldn.normalize().dot(normal), 0.0)
         scale = (cos_in * cos_out) / dist2
@@ -114,14 +135,16 @@ def _bounce(
     py: jax.Array,
     scene: SceneArrays,
     config: RenderConfig,
+    tracers=None,
 ) -> _BounceState:
     o, d, throughput, radiance, alive, pending_gate, ray_count, hero_idx = state
+    tracer, shadow_tracer = tracers or make_tracers(scene)
 
     # reference-equivalent ray accounting: one submit_ray per live lane
     # (the wavefront traces retired lanes too, but only live ones count)
     ray_count = ray_count + jnp.sum(alive.astype(jnp.float32))
 
-    res = trace(o, d, scene)
+    res = tracer(o, d)
     # specular child-distance gate from the parent bounce
     gate_ok = (~pending_gate) | (res.t > SPECULAR_MIN_RAY_DISTANCE)
     alive = alive & res.hit & gate_ok
@@ -150,7 +173,7 @@ def _bounce(
 
     offset_pos = ip + normal * NEW_RAY_POSITION_OFFSET_DISTANCE
 
-    direct = _direct_lighting(offset_pos, normal, d, scene, config)
+    direct = _direct_lighting(offset_pos, normal, d, scene, config, shadow_tracer)
     # one shadow ray per light per live diffuse lane (src/shader.rs:420-439)
     ray_count = ray_count + jnp.float32(config.n_lights) * jnp.sum(
         (alive & ~spec & ~trans).astype(jnp.float32)
@@ -217,10 +240,14 @@ def integrate_frame(
     config: RenderConfig,
     frame_id: jax.Array,
     return_stats: bool = False,
+    grid=None,
+    grid_static=None,
 ):
     """Trace one progressive frame; returns linear RGB ``[H, W, 3]``
-    (plus the reference-equivalent submitted-ray count if requested)."""
+    (plus the reference-equivalent submitted-ray count if requested).
+    Passing a ``UniformGrid`` switches intersection to DDA traversal."""
     frame_id = jnp.asarray(frame_id, dtype=jnp.uint32)
+    tracers = make_tracers(scene, grid, grid_static)
     origin, direction, px, py = generate_primary_rays(
         scene.cam_pos,
         scene.cam_dir,
@@ -250,7 +277,9 @@ def integrate_frame(
 
     def body(i, st):
         bounces_left = jnp.uint32(config.max_bounces) - i.astype(jnp.uint32)
-        return _bounce(st, bounces_left, frame_id, px, py, scene, config)
+        return _bounce(
+            st, bounces_left, frame_id, px, py, scene, config, tracers
+        )
 
     state = jax.lax.fori_loop(0, config.max_bounces, body, state)
 
@@ -280,8 +309,10 @@ def render_frame_step(
     config: RenderConfig,
     accum: jax.Array,
     frame_id: jax.Array,
+    grid=None,
+    grid_static=None,
 ) -> jax.Array:
     """One full progressive iteration: trace + blend. The unit the
     reference calls ``apply_shader2`` (``src/main.rs:1280-1322``)."""
-    rgb = integrate_frame(scene, config, frame_id)
+    rgb = integrate_frame(scene, config, frame_id, grid=grid, grid_static=grid_static)
     return accumulate_frame(accum, rgb, frame_id)

@@ -62,6 +62,14 @@ def _step(scene: SceneArrays, config: RenderConfig, accum, frame_id):
     return render_frame_step(scene, config, accum, frame_id)
 
 
+@partial(jax.jit, static_argnums=(1, 5), donate_argnums=(2,))
+def _step_grid(scene: SceneArrays, config: RenderConfig, accum, frame_id,
+               grid, grid_static):
+    return render_frame_step(
+        scene, config, accum, frame_id, grid=grid, grid_static=grid_static
+    )
+
+
 @partial(jax.jit, static_argnums=(1, 4, 5, 6), donate_argnums=(2,))
 def _step_pallas(
     scene: SceneArrays, config: RenderConfig, accum, frame_id, obj_types,
@@ -101,12 +109,25 @@ class Renderer:
         scene: Scene,
         sharding: jax.sharding.NamedSharding | None = None,
         backend: str = "auto",
+        accel: str = "auto",
     ):
         import numpy as _np
 
         scene.update_all_spectrum_sample_sizes()
         self.scene_arrays, self.config = flatten_scene(scene)
         self.backend = resolve_backend(backend)
+        # intersection backend: uniform-grid DDA pays off for many-object
+        # scenes; brute force is both reference-exact and faster for few
+        if accel not in ("auto", "none", "grid"):
+            raise ValueError(f"unknown accel {accel!r}")
+        use_grid = accel == "grid" or (
+            accel == "auto" and self.config.n_objects > 256
+        )
+        self.grid = self.grid_static = None
+        if use_grid and self.config.n_objects > 0:
+            from spectral_tpu.scene.accel import build_grid
+
+            self.grid, self.grid_static = build_grid(self.scene_arrays)
         self.has_transmission = bool(
             _np.asarray(self.scene_arrays.transmission).any()
         )
@@ -151,6 +172,11 @@ class Renderer:
                     self.scene_arrays, self.config, self.accum, fid,
                     self.obj_types, self.has_transmission, self.has_emission,
                 )
+        elif self.grid is not None:
+            self.accum = _step_grid(
+                self.scene_arrays, self.config, self.accum, fid,
+                self.grid, self.grid_static,
+            )
         else:
             self.accum = _step(self.scene_arrays, self.config, self.accum, fid)
 
