@@ -24,8 +24,37 @@ import jax.numpy as jnp
 BASELINE_MRAYS_LAMBDA = 100.0
 
 
+def _arm_watchdog(seconds: int = 540) -> None:
+    """The TPU tunnel can wedge indefinitely if a previous client died
+    mid-claim; emit an explanatory JSON line instead of hanging forever."""
+    import os
+    import signal
+
+    def _timeout(_sig, _frm):
+        print(
+            json.dumps(
+                {
+                    "metric": "cornell512_throughput",
+                    "value": 0.0,
+                    "unit": "Mrays/s*lambda",
+                    "vs_baseline": 0.0,
+                    "error": f"TPU unresponsive for {seconds}s (wedged tunnel?)",
+                }
+            ),
+            flush=True,
+        )
+        os._exit(2)
+
+    signal.signal(signal.SIGALRM, _timeout)
+    signal.alarm(seconds)
+
+
 def main() -> None:
+    import signal
+
     import numpy as np
+
+    _arm_watchdog()
 
     from spectral_tpu.render.integrator import accumulate_frame, integrate_frame
     from spectral_tpu.render.pallas_integrator import render_frame_step_pallas
@@ -65,6 +94,7 @@ def main() -> None:
     jax.block_until_ready(accum)
     dt = time.perf_counter() - t0
 
+    signal.alarm(0)  # measurement done; disarm the watchdog
     total_ray_lambda = rays_per_frame * n_frames * config.n_samples
     mrays_lambda = total_ray_lambda / dt / 1e6
     print(
