@@ -24,29 +24,36 @@ import jax.numpy as jnp
 BASELINE_MRAYS_LAMBDA = 100.0
 
 
-def _arm_watchdog(seconds: int = 540) -> None:
+class BenchTimeout(Exception):
+    pass
+
+
+def _arm_watchdog(seconds: int = 1500) -> None:
     """The TPU tunnel can wedge indefinitely if a previous client died
-    mid-claim; emit an explanatory JSON line instead of hanging forever."""
-    import os
+    mid-claim; raise (so the process unwinds and releases its own claim
+    CLEANLY — a hard exit would orphan the claim and wedge the tunnel for
+    the next client) and emit an explanatory JSON line."""
     import signal
 
     def _timeout(_sig, _frm):
-        print(
-            json.dumps(
-                {
-                    "metric": "cornell512_throughput",
-                    "value": 0.0,
-                    "unit": "Mrays/s*lambda",
-                    "vs_baseline": 0.0,
-                    "error": f"TPU unresponsive for {seconds}s (wedged tunnel?)",
-                }
-            ),
-            flush=True,
+        raise BenchTimeout(
+            f"TPU unresponsive for {seconds}s (wedged tunnel?)"
         )
-        os._exit(2)
 
     signal.signal(signal.SIGALRM, _timeout)
     signal.alarm(seconds)
+
+
+def _enable_compile_cache() -> None:
+    import os
+
+    try:
+        cache = os.path.expanduser("~/.cache/spectral_tpu_xla")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
 
 def main() -> None:
@@ -54,6 +61,7 @@ def main() -> None:
 
     import numpy as np
 
+    _enable_compile_cache()
     _arm_watchdog()
 
     from spectral_tpu.render.integrator import accumulate_frame, integrate_frame
@@ -117,4 +125,19 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BenchTimeout as e:
+        print(
+            json.dumps(
+                {
+                    "metric": "cornell512_throughput",
+                    "value": 0.0,
+                    "unit": "Mrays/s*lambda",
+                    "vs_baseline": 0.0,
+                    "error": str(e),
+                }
+            ),
+            flush=True,
+        )
+        raise SystemExit(2)
