@@ -73,6 +73,8 @@ def scene_to_dict(scene: S.Scene) -> dict:
             "spectrum_samples": scene.spectrum_number_of_samples,
             "spectrum_lower_bound": scene.spectrum_lower_bound,
             "spectrum_upper_bound": scene.spectrum_upper_bound,
+            # reference-app compat only; TPU parallelism is the mesh
+            "threads": scene.nbr_of_threads,
         },
         "camera": {
             "position": list(scene.camera.position),
@@ -217,6 +219,7 @@ def scene_from_dict(data: dict) -> S.Scene:
         spectrum_lower_bound=lo,
         spectrum_upper_bound=hi,
         spectrum_number_of_samples=n,
+        nbr_of_threads=int(st.get("threads", 0)),
     )
 
 
