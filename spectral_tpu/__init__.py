@@ -31,8 +31,34 @@ from spectral_tpu.spectral.spectrum import (
 
 __version__ = "0.1.0"
 
+
+def __getattr__(name):
+    # Lazy top-level conveniences (avoid importing jax at package import)
+    if name == "Renderer":
+        from spectral_tpu.render.renderer import Renderer
+
+        return Renderer
+    if name == "presets":
+        from spectral_tpu.scene import presets
+
+        return presets
+    if name == "load_scene":
+        from spectral_tpu.utils.sceneio import load_scene
+
+        return load_scene
+    if name == "save_scene":
+        from spectral_tpu.utils.sceneio import save_scene
+
+        return save_scene
+    raise AttributeError(f"module 'spectral_tpu' has no attribute {name!r}")
+
+
 __all__ = [
     "Spectrum",
+    "Renderer",
+    "presets",
+    "load_scene",
+    "save_scene",
     "VISIBLE_LIGHT_WAVELENGTH_LOWER_BOUND",
     "VISIBLE_LIGHT_WAVELENGTH_UPPER_BOUND",
     "NBR_OF_SAMPLES_MAX",
