@@ -77,14 +77,13 @@ def main() -> None:
     arrays, config = flatten_scene(scene)
     obj_types = tuple(np.asarray(arrays.obj_type).tolist())
 
-    # reference-equivalent ray count per frame, measured once via the
-    # instrumented jnp path (identical per-bounce live-lane statistics)
+    # reference-equivalent ray counts, measured via the instrumented jnp
+    # path for the SAME frames the timed loop renders (ray survival varies
+    # per frame with the RNG seeds and Hammersley jitter)
     @partial(jax.jit, static_argnums=(1,))
     def count(scn, cfg, frame_id):
         _rgb, rays = integrate_frame(scn, cfg, frame_id, return_stats=True)
         return rays
-
-    rays_per_frame = float(count(arrays, config, jnp.uint32(0)))
 
     # timed path: the VMEM-resident Pallas megakernel
     @partial(jax.jit, static_argnums=(1, 4), donate_argnums=(2,))
@@ -102,8 +101,13 @@ def main() -> None:
     jax.block_until_ready(accum)
     dt = time.perf_counter() - t0
 
+    total_rays = float(
+        sum(float(count(arrays, config, jnp.uint32(f))) for f in range(1, n_frames + 1))
+    )
+    rays_per_frame = total_rays / n_frames
+
     signal.alarm(0)  # measurement done; disarm the watchdog
-    total_ray_lambda = rays_per_frame * n_frames * config.n_samples
+    total_ray_lambda = total_rays * config.n_samples
     mrays_lambda = total_ray_lambda / dt / 1e6
     print(
         json.dumps(

@@ -73,6 +73,9 @@ def integrate_frame_pallas(
     """
     frame_id = jnp.asarray(frame_id, dtype=jnp.uint32)
     n = config.width * config.height
+    if config.n_objects == 0:
+        # nothing to hit: every ray misses -> black frame (jnp-path parity)
+        return jnp.zeros((config.height, config.width, 3), dtype=jnp.float32)
     tile = tile or _pick_tile(n)
     n_pad = -(-n // tile) * tile
 
@@ -88,13 +91,19 @@ def integrate_frame_pallas(
 
     geom = mk.pack_geometry(scene)
     lpos = jnp.pad(scene.light_pos, ((0, 0), (0, 1)))  # [L, 4]
+    lspec = scene.light_spec
+    if config.n_lights == 0:
+        # pallas rejects zero-row tables; ship one zero row (the kernel's
+        # static light loop has zero iterations, so it is never read)
+        lpos = jnp.zeros((1, 4), jnp.float32)
+        lspec = jnp.zeros((1, config.n_samples), jnp.float32)
 
     run = _kernel(obj_types, config, tile, interpret, has_transmission, has_emission)
     rad = run(
         lanes(origin.x), lanes(origin.y), lanes(origin.z),
         lanes(direction.x), lanes(direction.y), lanes(direction.z),
         lanes(px, jnp.uint32), lanes(py, jnp.uint32),
-        frame_id, geom, scene.albedo, scene.emission, lpos, scene.light_spec,
+        frame_id, geom, scene.albedo, scene.emission, lpos, lspec,
     )
     # [S, NP/128, 128] -> [n, S]
     rad = rad.reshape(config.n_samples, n_pad).T[:n]

@@ -84,10 +84,13 @@ def _step_pallas(
 
 
 def resolve_backend(backend: str) -> str:
-    """'auto' picks the Pallas megakernel on TPU, the portable jnp path on
-    CPU (where Pallas would run interpreted, orders of magnitude slower)."""
+    """'auto' picks the Pallas megakernel on TPU (including the axon
+    tunnel platform), the portable jnp path everywhere else — the Mosaic
+    kernel neither compiles for GPU nor runs acceptably interpreted."""
     if backend == "auto":
-        return "pallas" if jax.default_backend() not in ("cpu",) else "jnp"
+        plat = jax.default_backend()
+        is_tpu = plat in ("tpu", "axon") or "tpu" in jax.devices()[0].platform.lower()
+        return "pallas" if is_tpu else "jnp"
     if backend not in ("jnp", "pallas"):
         raise ValueError(f"unknown backend {backend!r}")
     return backend
@@ -113,13 +116,25 @@ class Renderer:
     ):
         import numpy as _np
 
-        scene.update_all_spectrum_sample_sizes()
+        # NOTE: unlike the reference's dispatch (src/main.rs:1377), the
+        # scene is NOT regenerated here — that would silently overwrite
+        # hand-edited spectrum values and mutate the caller's scene.
+        # validate() (inside flatten) still rejects sample-count mismatch;
+        # call scene.update_all_spectrum_sample_sizes() explicitly after
+        # changing the sample count (the CLI does).
         self.scene_arrays, self.config = flatten_scene(scene)
         self.backend = resolve_backend(backend)
         # intersection backend: uniform-grid DDA pays off for many-object
         # scenes; brute force is both reference-exact and faster for few
         if accel not in ("auto", "none", "grid"):
             raise ValueError(f"unknown accel {accel!r}")
+        if accel == "grid":
+            if backend == "pallas":
+                raise ValueError(
+                    "accel='grid' runs on the jnp backend (the megakernel "
+                    "is brute-force); drop backend='pallas' or accel='grid'"
+                )
+            self.backend = "jnp"  # the grid tracer lives on the jnp path
         use_grid = accel == "grid" or (
             accel == "auto" and self.config.n_objects > 256
         )
@@ -263,14 +278,17 @@ class Renderer:
     def save_checkpoint(self, path) -> None:
         """Persist accumulator + frame counter so long renders are
         resumable (a capability the reference lacks, SURVEY.md §5)."""
-        np.savez(
-            path,
-            accum=self.framebuffer(),
-            next_frame=self.next_frame,
-            intended_frames=self.config.intended_frames,
-            width=self.config.width,
-            height=self.config.height,
-        )
+        # write through a file handle: np.savez(path) would silently
+        # append '.npz' to names without it, breaking resume-by-name
+        with open(path, "wb") as f:
+            np.savez(
+                f,
+                accum=self.framebuffer(),
+                next_frame=self.next_frame,
+                intended_frames=self.config.intended_frames,
+                width=self.config.width,
+                height=self.config.height,
+            )
 
     def load_checkpoint(self, path) -> None:
         data = np.load(path)

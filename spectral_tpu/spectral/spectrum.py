@@ -234,12 +234,12 @@ class Spectrum:
         self.intensities[:n] = np.minimum(self.intensities[:n], F32(1.0))
 
     def normalize(self) -> "Spectrum":
-        """Scale so the max RGB channel is 1 (reference ``src/spectrum.rs:371-376``)."""
+        """Scale so the max RGB channel is 1 (reference ``src/spectrum.rs:371-376``).
+        Like the reference's ``Div<f32>``, only active samples are divided
+        (padding keeps its raw values)."""
         r, g, b = self.get_rgb_early()
         factor = F32(max(r, max(g, b)))
-        out = self.copy()
-        out.intensities = (self.intensities / factor).astype(F32)
-        return out
+        return self / float(factor)
 
     def rebound(self, lower_bound: float, upper_bound: float) -> None:
         """Re-anchor the spectrum onto new wavelength bounds, resampling

@@ -95,7 +95,9 @@ def scene_to_dict(scene: S.Scene) -> dict:
                         "ior": m.ior,
                         "cauchy_b_um2": m.cauchy_b_um2,
                     }
-                    if m.transmission
+                    # keep the round trip lossless whenever any dielectric
+                    # field differs from its default
+                    if (m.transmission or m.ior != 1.5 or m.cauchy_b_um2)
                     else {}
                 ),
                 **(

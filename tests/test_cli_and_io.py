@@ -111,3 +111,13 @@ def test_cli_resume_rejects_mismatch(tmp_path):
             "--iterations", "2", "--bounces", "1", "--out", str(out),
             "--resume", str(ckpt), "--quiet",
         ])
+
+
+def test_dielectric_fields_round_trip_without_transmission():
+    # staged glass: transmission 0 but tuned ior/cauchy must survive
+    scene = presets.default_scene()
+    scene.materials[0].ior = 1.8
+    scene.materials[0].cauchy_b_um2 = 0.01
+    loaded = sceneio.scene_from_dict(sceneio.scene_to_dict(scene))
+    assert loaded.materials[0].ior == 1.8
+    assert loaded.materials[0].cauchy_b_um2 == 0.01

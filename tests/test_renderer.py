@@ -112,3 +112,46 @@ def test_sharding_rejects_indivisible_height():
     mesh = make_mesh(8)
     with pytest.raises(ValueError):
         Renderer(_small_scene(h=30), sharding=row_sharding(mesh))
+
+
+def test_checkpoint_arbitrary_extension(tmp_path):
+    # np.savez silently appends .npz to bare paths; ours must not
+    r = Renderer(_small_scene(iters=2))
+    r.render_frames(1)
+    p = tmp_path / "run.ckpt"
+    r.save_checkpoint(p)
+    assert p.exists()
+    r2 = Renderer(_small_scene(iters=2))
+    r2.load_checkpoint(p)
+    assert r2.next_frame == 1
+
+
+def test_renderer_does_not_mutate_scene_spectra():
+    scene = _small_scene()
+    edited = scene.spectra[0].spectrum.values.copy()
+    edited[3] = 123.0
+    scene.spectra[0].spectrum.intensities[3] = 123.0
+    Renderer(scene)
+    assert scene.spectra[0].spectrum.values[3] == 123.0  # edit preserved
+
+
+def test_zero_light_and_zero_object_scenes():
+    scene = _small_scene(iters=1, bounces=2)
+    for l in scene.lights:
+        l.hidden = True
+    img = Renderer(scene).render()
+    assert not np.isnan(img).any()
+
+    scene2 = _small_scene(iters=1)
+    for o in scene2.objects:
+        o.hidden = True
+    img2 = Renderer(scene2).render()
+    assert float(np.abs(img2[..., :3]).max()) == 0.0  # all rays miss -> black
+
+
+def test_grid_accel_conflicts_with_explicit_pallas():
+    from spectral_tpu.scene import presets as P
+
+    scene = _small_scene()
+    with pytest.raises(ValueError, match="accel='grid'"):
+        Renderer(scene, backend="pallas", accel="grid")

@@ -288,3 +288,11 @@ class TestPreviewColors:
         assert set(colors) == {"observed", "normalized"}
         r, g, b = colors["observed"]
         assert r > g > b  # 3000 K is warm
+
+
+def test_normalize_leaves_padding_untouched():
+    # reference Div<f32> divides active samples only (src/spectrum.rs:447)
+    s = Spectrum.new_temperature_spectrum(LO, HI, 5000.0, 32, 1.0)
+    pad_before = s.intensities[32:].copy()
+    out = s.normalize()
+    assert np.array_equal(out.intensities[32:], pad_before)
