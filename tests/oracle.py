@@ -181,6 +181,11 @@ class OracleRenderer:
         self.metallicness = g(scene_arrays.metallicness)
         self.roughness = g(scene_arrays.roughness)
         self.albedo = g(scene_arrays.albedo)
+        self.transmission = g(scene_arrays.transmission)
+        self.ior = g(scene_arrays.ior)
+        self.cauchy_b = g(scene_arrays.cauchy_b)
+        self.emission = g(scene_arrays.emission)
+        self.lambda_grid = g(scene_arrays.lambda_grid)
         self.light_pos = g(scene_arrays.light_pos)
         self.light_spec = g(scene_arrays.light_spec)
         self.cam_pos = g(scene_arrays.cam_pos)
@@ -224,9 +229,10 @@ class OracleRenderer:
         return None
 
     def submit_ray(self, o, d, max_bounces, px, py, frame_id,
-                   skip_hit=False, max_hit_distance=F(np.inf)):
+                   skip_hit=False, max_hit_distance=F(np.inf), hero=-1):
         """Reference submit_ray (src/shader.rs:468-495). Returns
-        (spectrum, hit, hit_distance)."""
+        (spectrum, hit, hit_distance). ``hero`` carries the path's hero
+        wavelength bin through the recursion (beyond-reference physics)."""
         hits = []
         for i in range(self.n_obj):
             # outer world-AABB cull (reference src/shader.rs:472)
@@ -243,7 +249,9 @@ class OracleRenderer:
             if t <= max_hit_distance:
                 if skip_hit:
                     return zero, True, F(0.0)
-                return self.hit_shader(o, d, i, t, max_bounces, px, py, frame_id)
+                return self.hit_shader(
+                    o, d, i, t, max_bounces, px, py, frame_id, hero
+                )
             return zero, False, F(0.0)
         return zero, False, F(0.0)
 
@@ -286,7 +294,7 @@ class OracleRenderer:
 
     # --------------------------------------------------------- hit shader
 
-    def hit_shader(self, o, d, i, t, max_bounces, px, py, frame_id):
+    def hit_shader(self, o, d, i, t, max_bounces, px, py, frame_id, hero=-1):
         ip = (o + d * t).astype(F)
         normal = self._normal(i, ip)
         new_pos = (ip + normal * OFFSET).astype(F)
@@ -302,10 +310,51 @@ class OracleRenderer:
                 else:
                     nd = sample_in_cone(refl, self.roughness[i], rx, ry)
                 spec, _hit, hd = self.submit_ray(
-                    new_pos, norm(nd), max_bounces - 1, px, py, frame_id
+                    new_pos, norm(nd), max_bounces - 1, px, py, frame_id,
+                    hero=hero,
                 )
                 if hd > SPEC_MIN:
                     received = (received + spec).astype(F)
+        elif rz < self.metallicness[i] + self.transmission[i]:
+            # beyond-reference dielectric branch (mirrors the wavefront
+            # integrator: Snell + Schlick-Fresnel + TIR, hero-wavelength
+            # collapse at the first dispersive event)
+            s_count = self.n_samples
+            collapse_here = self.cauchy_b[i] > 0.0 and hero < 0
+            if collapse_here:
+                hero = min(int(ry * s_count), s_count - 1)
+            lam_nm = self.lambda_grid[hero] if hero >= 0 else F(587.6)
+            lam_um2 = F((lam_nm * F(1e-3)) ** 2)
+            n_lam = F(self.ior[i] + self.cauchy_b[i] / lam_um2)
+
+            cosi_signed = F(-d.dot(normal))
+            entering = cosi_signed > 0.0
+            n_or = (normal if entering else -normal).astype(F)
+            cosi = abs(cosi_signed)
+            eta = F(1.0 / n_lam) if entering else n_lam
+            k = F(1.0 - eta * eta * (1.0 - cosi * cosi))
+            tir = k < 0.0
+            cos_t = F(np.sqrt(max(k, 0.0)))
+            r0 = F(((n_lam - 1.0) / (n_lam + 1.0)) ** 2)
+            cos_x = cosi if entering else cos_t
+            fresnel = F(r0 + (1.0 - r0) * (1.0 - cos_x) ** 5)
+            reflects = bool(tir or (rx < fresnel))
+            if reflects:
+                nd = reflect_vec(d, n_or)
+                origin = (ip + n_or * OFFSET).astype(F)
+            else:
+                nd = (d * eta + n_or * F(eta * cosi - cos_t)).astype(F)
+                origin = (ip - n_or * OFFSET).astype(F)
+            if max_bounces > 1:
+                spec, _hit, _hd = self.submit_ray(
+                    origin, norm(nd), max_bounces - 1, px, py, frame_id,
+                    hero=hero,
+                )
+                if collapse_here:
+                    picked = np.zeros(s_count, dtype=F)
+                    picked[hero] = F(s_count)
+                    spec = (spec * picked).astype(F)
+                received = (received + spec).astype(F)
         else:
             for li in range(len(self.light_pos)):
                 direction = (self.light_pos[li] - new_pos).astype(F)
@@ -323,11 +372,16 @@ class OracleRenderer:
             if max_bounces > 1:
                 nd = global_space_random_bounce_direction(rx, ry, normal)
                 spec, _hit, _hd = self.submit_ray(
-                    ip, norm(nd), max_bounces - 1, px, py, frame_id
+                    ip, norm(nd), max_bounces - 1, px, py, frame_id, hero=hero
                 )
                 received = (received + np.maximum(spec, F(0.0))).astype(F)
 
-        return (self.albedo[i] * received).astype(F), True, F(t)
+        # emission (beyond-reference area lights) rides above the albedo
+        return (
+            (self.emission[i] + self.albedo[i] * received).astype(F),
+            True,
+            F(t),
+        )
 
     # ----------------------------------------------------------- ray gen
 

@@ -197,6 +197,27 @@ class TestHeroWavelength:
         assert abs(control) < 0.05, f"control not achromatic: {control:.3f}px"
 
 
+class TestOracleEquivalence:
+    def test_prism_matches_recursive_oracle(self):
+        """Full-path validation of refraction + hero collapse + emission
+        against the independent scalar recursion (tests/oracle.py)."""
+        from tests.oracle import OracleRenderer
+
+        scene = presets.prism(n_samples=8)
+        scene.width, scene.height = 12, 8
+        scene.nbr_of_ray_bounces = 4
+        scene.nbr_of_iterations = 2
+        arrays, config = flatten_scene(scene)
+        got = np.asarray(integrate_frame(arrays, config, np.uint32(0)))
+        want = OracleRenderer(arrays, config).render_frame(0)
+        scale = max(1.0, float(np.abs(want).max()))
+        err = np.abs(got - want).max(axis=-1) / scale
+        flips = int((err > 1e-3).sum())
+        # glass grazing/Fresnel boundaries flip on last-ulp differences
+        assert flips <= 0.15 * err.size
+        assert float(err[err <= 1e-3].max()) < 1e-5
+
+
 class TestCompatUnchanged:
     def test_reference_scene_materials_have_no_new_physics(self):
         for preset in ("default", "cornell"):
