@@ -56,7 +56,30 @@ def _enable_compile_cache() -> None:
         pass
 
 
-def main() -> None:
+def _make_scene(name: str):
+    from spectral_tpu.scene import presets
+
+    if name == "cornell512":
+        scene = presets.cornell_box()
+        scene.width = scene.height = 512
+        scene.nbr_of_ray_bounces = 30
+        scene.nbr_of_iterations = 100
+        return scene, "cornell 512x512, 32 lambda, 30 bounces, pallas megakernel"
+    if name == "hero":
+        # BASELINE config #5 (single-chip slice of the v5e-4 hero render)
+        scene = presets.cornell_box(n_samples=64)
+        scene.width, scene.height = 1920, 1080
+        scene.nbr_of_ray_bounces = 30
+        scene.nbr_of_iterations = 1000
+        return scene, "hero 1920x1080, 64 lambda, 30 bounces, pallas megakernel"
+    if name == "prism":
+        scene = presets.prism(n_samples=64)
+        scene.nbr_of_ray_bounces = 8
+        return scene, "prism 800x600, 64 lambda, dispersion, pallas megakernel"
+    raise SystemExit(f"unknown bench config {name!r}")
+
+
+def main(config_name: str = "cornell512") -> None:
     import signal
 
     import numpy as np
@@ -69,13 +92,11 @@ def main() -> None:
     from spectral_tpu.scene import presets
     from spectral_tpu.scene.flatten import flatten_scene
 
-    # BASELINE.json config #2: Cornell box, 512x512, default spectral width.
-    scene = presets.cornell_box()
-    scene.width = scene.height = 512
-    scene.nbr_of_ray_bounces = 30
-    scene.nbr_of_iterations = 100
+    scene, desc = _make_scene(config_name)
     arrays, config = flatten_scene(scene)
     obj_types = tuple(np.asarray(arrays.obj_type).tolist())
+    has_trans = bool(np.asarray(arrays.transmission).any())
+    has_emis = bool(np.asarray(arrays.emission).any())
 
     # reference-equivalent ray counts, measured via the instrumented jnp
     # path for the SAME frames the timed loop renders (ray survival varies
@@ -86,18 +107,20 @@ def main() -> None:
         return rays
 
     # timed path: the VMEM-resident Pallas megakernel
-    @partial(jax.jit, static_argnums=(1, 4), donate_argnums=(2,))
-    def step(scn, cfg, accum, frame_id, ots):
-        return render_frame_step_pallas(scn, cfg, accum, frame_id, ots)
+    @partial(jax.jit, static_argnums=(1, 4, 5, 6), donate_argnums=(2,))
+    def step(scn, cfg, accum, frame_id, ots, ht, he):
+        return render_frame_step_pallas(
+            scn, cfg, accum, frame_id, ots, has_transmission=ht, has_emission=he
+        )
 
     accum = jnp.zeros((config.height, config.width, 4), dtype=jnp.float32)
-    accum = step(arrays, config, accum, jnp.uint32(0), obj_types)  # compile
+    accum = step(arrays, config, accum, jnp.uint32(0), obj_types, has_trans, has_emis)  # compile
     jax.block_until_ready(accum)
 
     n_frames = 50
     t0 = time.perf_counter()
     for f in range(1, n_frames + 1):
-        accum = step(arrays, config, accum, jnp.uint32(f), obj_types)
+        accum = step(arrays, config, accum, jnp.uint32(f), obj_types, has_trans, has_emis)
     jax.block_until_ready(accum)
     dt = time.perf_counter() - t0
 
@@ -112,12 +135,12 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "cornell512_throughput",
+                "metric": f"{config_name}_throughput",
                 "value": round(mrays_lambda, 2),
                 "unit": "Mrays/s*lambda",
                 "vs_baseline": round(mrays_lambda / BASELINE_MRAYS_LAMBDA, 3),
                 "detail": {
-                    "config": "cornell 512x512, 32 lambda, 30 bounces, pallas megakernel",
+                    "config": desc,
                     "rays_per_frame": rays_per_frame,
                     "seconds_per_frame": dt / n_frames,
                     "est_wall_1000_iters_s": round(dt / n_frames * 1000, 1),
@@ -129,8 +152,10 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    import sys
+
     try:
-        main()
+        main(sys.argv[1] if len(sys.argv) > 1 else "cornell512")
     except BenchTimeout as e:
         print(
             json.dumps(
