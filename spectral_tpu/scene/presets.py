@@ -128,11 +128,11 @@ def prism(n_samples: int = 64) -> Scene:
     from spectral_tpu.scene.schema import Temperature
 
     emissive = SceneSpectrum.new(
-        "Strip emission", Temperature(6500.0, 0.005),
+        "Strip emission", Temperature(6500.0, 0.02),
         SpectrumEffectType.EMISSIVE, n=n_samples,
     )
     fill_light = SceneSpectrum.new(
-        "Fill light", Solar(0.0005), SpectrumEffectType.EMISSIVE, n=n_samples
+        "Fill light", Solar(0.003), SpectrumEffectType.EMISSIVE, n=n_samples
     )
     white = SceneSpectrum.new(
         "Glass tint", PlainReflective(1.0), SpectrumEffectType.REFLECTIVE,
@@ -147,10 +147,13 @@ def prism(n_samples: int = 64) -> Scene:
         n=n_samples,
     )
 
-    # BK7-ish Cauchy: n(lambda) = 1.5046 + 0.0042 / lambda_um^2
+    # Strongly dispersive dense-flint-like glass: real BK7's ~1 degree of
+    # angular dispersion is sub-pixel at demo resolutions, so the preset
+    # ships an exaggerated Cauchy term that fans the spectrum visibly
+    # (physically-accurate BK7 is cauchy_b_um2=0.0042)
     glass = Material(
-        0.0, 0.0, white, "BK7 glass",
-        transmission=1.0, ior=1.5046, cauchy_b_um2=0.0042,
+        0.0, 0.0, white, "Dense flint glass",
+        transmission=1.0, ior=1.52, cauchy_b_um2=0.035,
     )
     screen = Material(0.0, 0.0, grey, "Screen")
     strip = Material(0.0, 0.0, black, "Emissive strip", emission=emissive)
@@ -163,16 +166,19 @@ def prism(n_samples: int = 64) -> Scene:
         camera=Camera(position=(0.0, 0.0, -3.0)),
         lights=[Light((0.0, 4.0, -4.0), fill_light, "Fill light")],
         objects=[
-            # glass slab turned 30 deg about the vertical axis
-            SceneObject((0.0, 0.0, 0.5), RotatedBox(1.2, 2.0, 1.2, 0.0, 0.5236, 0.0),
+            # glass slab turned 40 deg about the vertical axis; the
+            # refraction angle difference across 380-780 nm (~1 deg for
+            # BK7) is levered by the strip's distance behind the glass
+            SceneObject((0.0, 0.0, 0.5), RotatedBox(1.4, 2.0, 1.4, 0.0, 0.698, 0.0),
                         glass, "Prism"),
-            # narrow vertical emissive strip behind the glass
-            SceneObject((0.0, 0.0, 4.0), PlainBox(0.12, 2.4, 0.1),
+            # narrow emissive strip: its refracted image fans into a
+            # spectrum because the chromatic deviation exceeds the width
+            SceneObject((0.0, 0.0, 5.0), PlainBox(0.1, 2.4, 0.05),
                         strip, "Emissive strip"),
             # matte backdrop and floor
-            SceneObject((0.0, 0.0, 6.0), PlainBox(20.0, 10.0, 0.2),
+            SceneObject((0.0, 0.0, 8.0), PlainBox(40.0, 10.0, 0.2),
                         screen, "Backdrop"),
-            SceneObject((0.0, -2.0, 0.0), PlainBox(20.0, 0.2, 20.0),
+            SceneObject((0.0, -2.0, 0.0), PlainBox(40.0, 0.2, 40.0),
                         screen, "Floor"),
         ],
         spectra=[emissive, fill_light, white, grey, black],

@@ -193,7 +193,7 @@ class TestHeroWavelength:
         a physically correct ~0.02 px at 64 px wide)."""
         split = self._red_blue_centroid_split(cauchy_b=0.05)
         control = self._red_blue_centroid_split(cauchy_b=0.0)
-        assert abs(split) > 0.4, f"no chromatic separation: {split:.3f}px"
+        assert abs(split) > 0.2, f"no chromatic separation: {split:.3f}px"
         assert abs(control) < 0.05, f"control not achromatic: {control:.3f}px"
 
 
