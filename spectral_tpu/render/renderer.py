@@ -124,8 +124,12 @@ class Renderer:
         # changing the sample count (the CLI does).
         self.scene_arrays, self.config = flatten_scene(scene)
         self.backend = resolve_backend(backend)
-        # intersection backend: uniform-grid DDA pays off for many-object
-        # scenes; brute force is both reference-exact and faster for few
+        # intersection backend. Measured verdict (see PARITY.md): the
+        # dense/chunked brute force beats the uniform-grid DDA on both CPU
+        # and TPU wavefronts (lockstep stepping + gather costs dominate),
+        # so 'auto' always uses brute force; the grid stays available as a
+        # validated opt-in on CPU. On the TPU its gather-heavy executions
+        # run long enough to trip the worker watchdog, so it is refused.
         if accel not in ("auto", "none", "grid"):
             raise ValueError(f"unknown accel {accel!r}")
         if accel == "grid":
@@ -134,10 +138,14 @@ class Renderer:
                     "accel='grid' runs on the jnp backend (the megakernel "
                     "is brute-force); drop backend='pallas' or accel='grid'"
                 )
+            if self.backend == "pallas":  # i.e. auto-resolved to a TPU
+                raise ValueError(
+                    "accel='grid' is CPU-only: its gather-heavy traversal "
+                    "exceeds the TPU worker's execution limits (and dense "
+                    "brute force is faster there anyway)"
+                )
             self.backend = "jnp"  # the grid tracer lives on the jnp path
-        use_grid = accel == "grid" or (
-            accel == "auto" and self.config.n_objects > 256
-        )
+        use_grid = accel == "grid"
         self.grid = self.grid_static = None
         if use_grid and self.config.n_objects > 0:
             from spectral_tpu.scene.accel import build_grid

@@ -97,13 +97,15 @@ def test_renderer_grid_accel_matches_brute_force():
     assert float(agree.max()) < 1e-3
 
 
-def test_auto_accel_threshold():
+def test_accel_policy():
     from spectral_tpu.render.renderer import Renderer
 
     small = presets.cornell_box()
     small.width, small.height = 8, 8
-    assert Renderer(small).grid is None  # few objects: brute force
+    assert Renderer(small).grid is None
 
+    # measured slower than dense brute force everywhere, so never automatic
     big = presets.sphere_field(n_spheres=400)
     big.width, big.height = 8, 8
-    assert Renderer(big).grid is not None  # many objects: grid DDA
+    assert Renderer(big).grid is None
+    assert Renderer(big, accel="grid").grid is not None  # opt-in (CPU)
