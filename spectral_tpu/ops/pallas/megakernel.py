@@ -138,6 +138,9 @@ def build_megakernel(
     interpret: bool = False,
     has_transmission: bool = False,
     has_emission: bool = False,
+    bounce_start: int = 0,
+    bounce_stop: int | None = None,
+    state_io: bool = False,
 ):
     """Compile-time specialization on the scene structure.
 
@@ -348,33 +351,15 @@ def build_megakernel(
             t_best = jnp.fmin(t_best, jnp.where(valid, t, _INF))
         return (t_best < _INF) & (t_best <= max_dist)
 
-    def kernel(
-        frame_ref,  # SMEM (1,1) uint32
-        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # [R8,128] f32
-        px_ref, py_ref,  # [R8,128] uint32
-        geom_ref,  # [O, GEOM_COLS] f32
-        albedo_ref,  # [O, S] f32
-        emis_ref,  # [O, S] f32
-        lpos_ref,  # [L, 4] f32
-        lspec_ref,  # [L, S] f32
-        rad_ref,  # out [S, R8, 128] f32
-        thr_ref,  # scratch [S, R8, 128] f32
+    def make_body(
+        frame_ref, px_ref, py_ref, geom_ref, albedo_ref, emis_ref,
+        lpos_ref, lspec_ref, rad_ref, thr_ref,
     ):
+        """Bind the per-bounce body to this tile's refs."""
         frame_id = frame_ref[0, 0]
         geom = geom_ref
         px = px_ref[:]
         py = py_ref[:]
-
-        # lane validity: global index < n_valid
-        tile_idx = pl.program_id(0)
-        row = jax.lax.broadcasted_iota(jnp.int32, (r8, LANE), 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (r8, LANE), 1)
-        gidx = tile_idx * tile + row * LANE + col
-        alive0 = (gidx < n_valid).astype(jnp.float32)
-
-        for s in range(s_dim):
-            rad_ref[s] = jnp.zeros((r8, LANE), jnp.float32)
-            thr_ref[s] = jnp.ones((r8, LANE), jnp.float32)
 
         def bounce(i, carry):
             ox, oy, oz, dx, dy, dz, alive, gate, hero = carry
@@ -570,13 +555,79 @@ def build_megakernel(
             any_alive = jnp.max(carry[6]) > 0.0
             return jax.lax.cond(any_alive, lambda c: bounce(i, c), lambda c: c, carry)
 
+        return guarded
+
+    b_start = bounce_start
+    b_stop = max_bounces if bounce_stop is None else bounce_stop
+
+    def kernel(
+        frame_ref,  # SMEM (1,1) uint32
+        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # [R8,128] f32
+        px_ref, py_ref,  # [R8,128] uint32
+        geom_ref,  # [O, GEOM_COLS] f32 (SMEM)
+        albedo_ref,  # [O, S] f32 (SMEM)
+        emis_ref,  # [O, S] f32 (SMEM)
+        lpos_ref,  # [L, 4] f32 (SMEM)
+        lspec_ref,  # [L, S] f32 (SMEM)
+        rad_ref,  # out [S, R8, 128] f32
+        thr_ref,  # scratch [S, R8, 128] f32
+    ):
+        # lane validity: global index < n_valid
+        tile_idx = pl.program_id(0)
+        row = jax.lax.broadcasted_iota(jnp.int32, (r8, LANE), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (r8, LANE), 1)
+        gidx = tile_idx * tile + row * LANE + col
+        alive0 = (gidx < n_valid).astype(jnp.float32)
+
+        for s in range(s_dim):
+            rad_ref[s] = jnp.zeros((r8, LANE), jnp.float32)
+            thr_ref[s] = jnp.ones((r8, LANE), jnp.float32)
+
+        guarded = make_body(
+            frame_ref, px_ref, py_ref, geom_ref, albedo_ref, emis_ref,
+            lpos_ref, lspec_ref, rad_ref, thr_ref,
+        )
         carry = (
             ox_ref[:], oy_ref[:], oz_ref[:],
             dx_ref[:], dy_ref[:], dz_ref[:],
             alive0, jnp.zeros((r8, LANE), jnp.float32),
             jnp.full((r8, LANE), -1.0, jnp.float32),  # hero wavelength bin
         )
-        jax.lax.fori_loop(0, max_bounces, guarded, carry)
+        jax.lax.fori_loop(b_start, b_stop, guarded, carry)
+
+    def kernel_seg(
+        frame_ref,  # SMEM (1,1) uint32
+        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # [R8,128] f32
+        px_ref, py_ref,  # [R8,128] uint32
+        geom_ref, albedo_ref, emis_ref, lpos_ref, lspec_ref,  # SMEM tables
+        thr_in_ref,  # [S, R8, 128] f32
+        rad_in_ref,  # [S, R8, 128] f32
+        alive_in_ref, gate_in_ref, hero_in_ref,  # [R8,128] f32
+        # outputs
+        rad_ref, thr_ref,
+        oxo_ref, oyo_ref, ozo_ref, dxo_ref, dyo_ref, dzo_ref,
+        alive_o_ref, gate_o_ref, hero_o_ref,
+    ):
+        """Bounce-segment variant: full wavefront state in and out, so the
+        host can permute live lanes to the front between segments (tiles
+        that become all-dead then skip their remaining bounces)."""
+        for s in range(s_dim):
+            rad_ref[s] = rad_in_ref[s]
+            thr_ref[s] = thr_in_ref[s]
+
+        guarded = make_body(
+            frame_ref, px_ref, py_ref, geom_ref, albedo_ref, emis_ref,
+            lpos_ref, lspec_ref, rad_ref, thr_ref,
+        )
+        carry = (
+            ox_ref[:], oy_ref[:], oz_ref[:],
+            dx_ref[:], dy_ref[:], dz_ref[:],
+            alive_in_ref[:], gate_in_ref[:], hero_in_ref[:],
+        )
+        out = jax.lax.fori_loop(b_start, b_stop, guarded, carry)
+        oxo_ref[:], oyo_ref[:], ozo_ref[:] = out[0], out[1], out[2]
+        dxo_ref[:], dyo_ref[:], dzo_ref[:] = out[3], out[4], out[5]
+        alive_o_ref[:], gate_o_ref[:], hero_o_ref[:] = out[6], out[7], out[8]
 
     @functools.partial(jax.jit, static_argnames=())
     def run(
@@ -616,7 +667,60 @@ def build_megakernel(
             geom, albedo, emission, lpos, lspec,
         )
 
-    return run
+    if not state_io:
+        return run
+
+    @functools.partial(jax.jit, static_argnames=())
+    def run_seg(
+        ox, oy, oz, dx, dy, dz, px, py, frame_id,
+        geom, albedo, emission, lpos, lspec,
+        thr, rad, alive, gate, hero,
+    ):
+        np_lanes = ox.shape[0] * ox.shape[1]
+        n_tiles = np_lanes // tile
+        ray_spec = pl.BlockSpec(
+            (r8, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+        smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+        spec_spec = pl.BlockSpec(
+            (s_dim, r8, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        )
+        lane_shape = jax.ShapeDtypeStruct((np_lanes // LANE, LANE), jnp.float32)
+        spec_shape = jax.ShapeDtypeStruct(
+            (s_dim, np_lanes // LANE, LANE), jnp.float32
+        )
+        return pl.pallas_call(
+            kernel_seg,
+            grid=(n_tiles,),
+            in_specs=[
+                smem,
+                ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec,
+                ray_spec, ray_spec,
+                smem, smem, smem, smem, smem,
+                spec_spec, spec_spec, ray_spec, ray_spec, ray_spec,
+            ],
+            out_specs=(
+                spec_spec, spec_spec,
+                ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec,
+                ray_spec, ray_spec, ray_spec,
+            ),
+            out_shape=(
+                spec_shape, spec_shape,
+                lane_shape, lane_shape, lane_shape,
+                lane_shape, lane_shape, lane_shape,
+                lane_shape, lane_shape, lane_shape,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            interpret=interpret,
+        )(
+            frame_id.reshape(1, 1), ox, oy, oz, dx, dy, dz, px, py,
+            geom, albedo, emission, lpos, lspec,
+            thr, rad, alive, gate, hero,
+        )
+
+    return run_seg
 
 
 def pack_geometry(scene: SceneArrays) -> jax.Array:

@@ -42,6 +42,30 @@ def _kernel(
     )
 
 
+@functools.lru_cache(maxsize=64)
+def _kernel_seg(
+    obj_types: tuple,
+    config: RenderConfig,
+    tile: int,
+    interpret: bool,
+    has_transmission: bool,
+    has_emission: bool,
+    bounce_start: int,
+    bounce_stop: int | None,
+):
+    return mk.build_megakernel(
+        obj_types,
+        config,
+        tile=tile,
+        interpret=interpret,
+        has_transmission=has_transmission,
+        has_emission=has_emission,
+        bounce_start=bounce_start,
+        bounce_stop=bounce_stop,
+        state_io=True,
+    )
+
+
 def _pick_tile(n: int) -> int:
     """Largest tile (<= DEFAULT) that keeps padding waste small."""
     tile = mk.DEFAULT_TILE
@@ -107,6 +131,105 @@ def integrate_frame_pallas(
     )
     # [S, NP/128, 128] -> [n, S]
     rad = rad.reshape(config.n_samples, n_pad).T[:n]
+    rgb = spectra_to_rgb(rad, scene.xyz_weights, scene.xyz_to_rgb)
+    return rgb.reshape(config.height, config.width, 3)
+
+
+def integrate_frame_pallas_split(
+    scene: SceneArrays,
+    config: RenderConfig,
+    frame_id,
+    obj_types: tuple,
+    split: int,
+    tile: int | None = None,
+    interpret: bool = False,
+    has_transmission: bool = False,
+    has_emission: bool = False,
+) -> jax.Array:
+    """Bounce-split frame integration with live-lane compaction.
+
+    Runs bounces ``[0, split)`` on the full wavefront, then *permutes*
+    live lanes to the front (a pure permutation — no paths are dropped,
+    so the estimator is untouched; bit-identical to the monolithic kernel)
+    and runs bounces ``[split, max)``; tiles that became all-dead skip
+    their remaining bounces via the kernel's tile-level early exit.
+
+    MEASURED VERDICT (v5e, Cornell 512^2x32x30): the lane permutation's
+    minor-axis gathers cost ~40 ms/frame on the TPU's scatter/gather
+    engine — an order of magnitude more than the tail-bounce work it
+    saves (the monolithic kernel runs 5.1 ms/frame). Kept as a validated
+    experimental path; lane occupancy remains the known headroom
+    (PARITY.md known gaps).
+    """
+    frame_id = jnp.asarray(frame_id, dtype=jnp.uint32)
+    n = config.width * config.height
+    if config.n_objects == 0:
+        return jnp.zeros((config.height, config.width, 3), dtype=jnp.float32)
+    tile = tile or _pick_tile(n)
+    n_pad = -(-n // tile) * tile
+    s_dim = config.n_samples
+    rows = n_pad // mk.LANE
+
+    origin, direction, px, py = generate_primary_rays(
+        scene.cam_pos, scene.cam_dir, scene.cam_up, scene.fov_y_deg,
+        config.width, config.height, frame_id, config.intended_frames,
+    )
+
+    def lanes(a, dtype=jnp.float32):
+        a = jnp.asarray(a, dtype)
+        return jnp.pad(a, (0, n_pad - n)).reshape(rows, mk.LANE)
+
+    geom = mk.pack_geometry(scene)
+    lpos = jnp.pad(scene.light_pos, ((0, 0), (0, 1)))
+    lspec = scene.light_spec
+    if config.n_lights == 0:
+        lpos = jnp.zeros((1, 4), jnp.float32)
+        lspec = jnp.zeros((1, s_dim), jnp.float32)
+
+    k1 = _kernel_seg(
+        obj_types, config, tile, interpret, has_transmission, has_emission,
+        0, split,
+    )
+    k2 = _kernel_seg(
+        obj_types, config, tile, interpret, has_transmission, has_emission,
+        split, None,
+    )
+
+    gidx = jnp.arange(n_pad, dtype=jnp.int32).reshape(rows, mk.LANE)
+    alive0 = (gidx < n).astype(jnp.float32)
+    zeros_spec = jnp.zeros((s_dim, rows, mk.LANE), jnp.float32)
+    args = (
+        lanes(origin.x), lanes(origin.y), lanes(origin.z),
+        lanes(direction.x), lanes(direction.y), lanes(direction.z),
+        lanes(px, jnp.uint32), lanes(py, jnp.uint32),
+        frame_id, geom, scene.albedo, scene.emission, lpos, lspec,
+    )
+    (rad1, thr1, ox1, oy1, oz1, dx1, dy1, dz1, alive1, gate1, hero1) = k1(
+        *args,
+        jnp.ones((s_dim, rows, mk.LANE), jnp.float32), zeros_spec,
+        alive0, jnp.zeros((rows, mk.LANE), jnp.float32),
+        jnp.full((rows, mk.LANE), -1.0, jnp.float32),
+    )
+
+    # pack live lanes to the front (stable, so intra-order is preserved)
+    perm = jnp.argsort(-alive1.reshape(n_pad), stable=True)
+
+    def P(a, dtype=None):
+        return a.reshape(n_pad)[perm].reshape(rows, mk.LANE)
+
+    def PS(a):
+        return a.reshape(s_dim, n_pad)[:, perm].reshape(s_dim, rows, mk.LANE)
+
+    out2 = k2(
+        P(ox1), P(oy1), P(oz1), P(dx1), P(dy1), P(dz1),
+        P(lanes(px, jnp.uint32)), P(lanes(py, jnp.uint32)),
+        frame_id, geom, scene.albedo, scene.emission, lpos, lspec,
+        PS(thr1), PS(rad1), P(alive1), P(gate1), P(hero1),
+    )
+    rad2 = out2[0]
+
+    inv = jnp.argsort(perm)
+    rad = rad2.reshape(s_dim, n_pad)[:, inv].T[:n]
     rgb = spectra_to_rgb(rad, scene.xyz_weights, scene.xyz_to_rgb)
     return rgb.reshape(config.height, config.width, 3)
 

@@ -102,3 +102,21 @@ def test_sharded_pallas_step_direct_only():
     # global pixel coordinates must be preserved across shards: a row
     # offset bug would show O(1) errors, compilation noise stays tiny
     assert np.abs(got - want).max() < 1e-4
+
+
+def test_split_compaction_bit_exact():
+    """The bounce-split + live-lane-permutation path must be bit-identical
+    to the monolithic kernel (the permutation carries RNG coordinates with
+    the lanes; no paths are dropped)."""
+    from spectral_tpu.render.pallas_integrator import integrate_frame_pallas_split
+
+    arrays, config, obj_types = _pair("cornell", 16, 8, bounces=6)
+    mono = np.asarray(
+        integrate_frame_pallas(arrays, config, np.uint32(1), obj_types, interpret=True)
+    )
+    split = np.asarray(
+        integrate_frame_pallas_split(
+            arrays, config, np.uint32(1), obj_types, split=3, interpret=True
+        )
+    )
+    assert np.array_equal(mono, split)
