@@ -32,7 +32,13 @@ def _arm_watchdog(seconds: int = 1500) -> None:
     """The TPU tunnel can wedge indefinitely if a previous client died
     mid-claim; raise (so the process unwinds and releases its own claim
     CLEANLY — a hard exit would orphan the claim and wedge the tunnel for
-    the next client) and emit an explanatory JSON line."""
+    the next client) and emit an explanatory JSON line.
+
+    Caveat: a Python-level SIGALRM handler only runs when the interpreter
+    regains control; observed behavior on the axon platform is that its
+    blocking waits poll through Python (the watchdog has fired in practice
+    on a wedged tunnel), but a wait stuck purely in native code would
+    defer it."""
     import signal
 
     def _timeout(_sig, _frm):
@@ -154,13 +160,14 @@ def main(config_name: str = "cornell512") -> None:
 if __name__ == "__main__":
     import sys
 
+    _cfg = sys.argv[1] if len(sys.argv) > 1 else "cornell512"
     try:
-        main(sys.argv[1] if len(sys.argv) > 1 else "cornell512")
+        main(_cfg)
     except BenchTimeout as e:
         print(
             json.dumps(
                 {
-                    "metric": "cornell512_throughput",
+                    "metric": f"{_cfg}_throughput",
                     "value": 0.0,
                     "unit": "Mrays/s*lambda",
                     "vs_baseline": 0.0,

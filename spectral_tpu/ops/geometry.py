@@ -70,6 +70,32 @@ def ray_slabs(origin: Vec3, direction: Vec3, smin: Vec3, smax: Vec3):
     return t_min, t_max, hit
 
 
+def slab_pick(t_min, t_max):
+    """Entry-distance pick shared by both box types (reference
+    ``src/shader.rs:329-355``): nearest slab crossing, falling back to the
+    exit when the origin is inside."""
+    return jnp.where(t_min >= 0.0, t_min, t_max)
+
+
+def sphere_nearest_t(oc: Vec3, d: Vec3, radius):
+    """Nearest non-negative sphere intersection (reference
+    ``src/shader.rs:302-327, 508-527``). ``oc`` is origin - center;
+    all inputs must already be broadcast to a common shape.
+
+    Returns ``(t, valid)``; the caller applies the strict ``t > 0`` rule.
+    """
+    a = d.dot(d)
+    b = 2.0 * oc.dot(d)
+    c = oc.dot(oc) - radius * radius
+    disc = b * b - 4.0 * a * c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t1 = (-b - sq) / (2.0 * a)
+    t2 = (-b + sq) / (2.0 * a)
+    # disc == 0 single-root case coincides with t1 == t2; same select.
+    t = jnp.where(t1 >= 0.0, t1, t2)
+    return t, (disc >= 0.0) & (t >= 0.0)
+
+
 def _box_t(origin: Vec3, direction: Vec3, scene: SceneArrays):
     """Entry distance for both box types over ``[n_rays, n_objects]``.
 
@@ -101,32 +127,21 @@ def _box_t(origin: Vec3, direction: Vec3, scene: SceneArrays):
     smax_b = Vec3(smax.x[None, :], smax.y[None, :], smax.z[None, :])
     t_min, t_max, hit = ray_slabs(local_o, local_d, smin_b, smax_b)
 
-    t = jnp.where(t_min >= 0.0, t_min, t_max)
-    return t, hit
+    return slab_pick(t_min, t_max), hit
 
 
 def _sphere_t(origin: Vec3, direction: Vec3, scene: SceneArrays):
-    """Nearest non-negative sphere intersection over ``[n_rays, n_objects]``
-    (reference ``src/shader.rs:302-327, 508-527``)."""
+    """Nearest non-negative sphere intersection over ``[n_rays, n_objects]``."""
     sp = Vec3.from_array(scene.sphere_pos)
     oc = Vec3(
         origin.x[:, None] - sp.x[None, :],
         origin.y[:, None] - sp.y[None, :],
         origin.z[:, None] - sp.z[None, :],
     )
-    d = direction
-    a = (d.x * d.x + d.y * d.y + d.z * d.z)[:, None]
-    b = 2.0 * (oc.x * d.x[:, None] + oc.y * d.y[:, None] + oc.z * d.z[:, None])
-    c = oc.dot(oc) - (scene.radius * scene.radius)[None, :]
-
-    disc = b * b - 4.0 * a * c
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-    t1 = (-b - sq) / (2.0 * a)
-    t2 = (-b + sq) / (2.0 * a)
-    # disc == 0 single-root case coincides with t1 == t2; same select.
-    t = jnp.where(t1 >= 0.0, t1, t2)
-    hit = (disc >= 0.0) & (t >= 0.0)
-    return t, hit
+    d_b = Vec3(
+        direction.x[:, None], direction.y[:, None], direction.z[:, None]
+    )
+    return sphere_nearest_t(oc, d_b, scene.radius[None, :])
 
 
 class TraceResult(NamedTuple):

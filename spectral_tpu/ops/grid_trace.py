@@ -19,7 +19,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from spectral_tpu.ops.geometry import TraceResult, ray_slabs
+from spectral_tpu.ops.geometry import (
+    TraceResult,
+    ray_slabs,
+    slab_pick,
+    sphere_nearest_t,
+)
 from spectral_tpu.ops.vecmath import Vec3, matrix_rows, rotate
 from spectral_tpu.scene.accel import GridStatic, UniformGrid
 from spectral_tpu.scene.flatten import OBJ_SPHERE, SceneArrays
@@ -44,20 +49,10 @@ def _intersect_gathered(
     local_o = rotate(inv_rows, origin - shift)
     local_d = rotate(inv_rows, direction)
     t_min, t_max, hit_slab = ray_slabs(local_o, local_d, smin, smax)
-    t_box = jnp.where(t_min >= 0.0, t_min, t_max)
+    t_box = slab_pick(t_min, t_max)
 
     sp = Vec3.from_array(scene.sphere_pos).take(obj)
-    rad = scene.radius[obj]
-    oc = origin - sp
-    a = direction.dot(direction)
-    b = 2.0 * oc.dot(direction)
-    c = oc.dot(oc) - rad * rad
-    disc = b * b - 4.0 * a * c
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-    t1 = (-b - sq) / (2.0 * a)
-    t2 = (-b + sq) / (2.0 * a)
-    t_sph = jnp.where(t1 >= 0.0, t1, t2)
-    hit_sph = (disc >= 0.0) & (t_sph >= 0.0)
+    t_sph, hit_sph = sphere_nearest_t(origin - sp, direction, scene.radius[obj])
 
     is_sphere = scene.obj_type[obj] == OBJ_SPHERE
     t = jnp.where(is_sphere, t_sph, t_box)

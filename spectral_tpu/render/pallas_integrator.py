@@ -66,10 +66,16 @@ def _kernel_seg(
     )
 
 
+# Mosaic requires block shapes with the last two dims divisible by (8, 128):
+# a tile is r8 x 128 lanes, so the smallest legal tile is 8 * 128.
+_MIN_TILE = 8 * mk.LANE
+
+
 def _pick_tile(n: int) -> int:
-    """Largest tile (<= DEFAULT) that keeps padding waste small."""
+    """Largest tile (<= DEFAULT) that keeps padding waste small, clamped to
+    the smallest Mosaic-legal block (8 sublanes x 128 lanes)."""
     tile = mk.DEFAULT_TILE
-    while tile > mk.LANE and n < tile:
+    while tile > _MIN_TILE and n < tile:
         tile //= 2
     return tile
 
@@ -214,15 +220,16 @@ def integrate_frame_pallas_split(
     # pack live lanes to the front (stable, so intra-order is preserved)
     perm = jnp.argsort(-alive1.reshape(n_pad), stable=True)
 
-    def P(a, dtype=None):
+    def P(a):
         return a.reshape(n_pad)[perm].reshape(rows, mk.LANE)
 
     def PS(a):
         return a.reshape(s_dim, n_pad)[:, perm].reshape(s_dim, rows, mk.LANE)
 
+    px_lanes, py_lanes = args[6], args[7]
     out2 = k2(
         P(ox1), P(oy1), P(oz1), P(dx1), P(dy1), P(dz1),
-        P(lanes(px, jnp.uint32)), P(lanes(py, jnp.uint32)),
+        P(px_lanes), P(py_lanes),
         frame_id, geom, scene.albedo, scene.emission, lpos, lspec,
         PS(thr1), PS(rad1), P(alive1), P(gate1), P(hero1),
     )

@@ -83,14 +83,17 @@ def _step_pallas(
     )
 
 
+def _is_tpu_platform() -> bool:
+    plat = jax.default_backend()
+    return plat in ("tpu", "axon") or "tpu" in jax.devices()[0].platform.lower()
+
+
 def resolve_backend(backend: str) -> str:
     """'auto' picks the Pallas megakernel on TPU (including the axon
     tunnel platform), the portable jnp path everywhere else — the Mosaic
     kernel neither compiles for GPU nor runs acceptably interpreted."""
     if backend == "auto":
-        plat = jax.default_backend()
-        is_tpu = plat in ("tpu", "axon") or "tpu" in jax.devices()[0].platform.lower()
-        return "pallas" if is_tpu else "jnp"
+        return "pallas" if _is_tpu_platform() else "jnp"
     if backend not in ("jnp", "pallas"):
         raise ValueError(f"unknown backend {backend!r}")
     return backend
@@ -138,7 +141,7 @@ class Renderer:
                     "accel='grid' runs on the jnp backend (the megakernel "
                     "is brute-force); drop backend='pallas' or accel='grid'"
                 )
-            if self.backend == "pallas":  # i.e. auto-resolved to a TPU
+            if _is_tpu_platform():  # regardless of the requested backend
                 raise ValueError(
                     "accel='grid' is CPU-only: its gather-heavy traversal "
                     "exceeds the TPU worker's execution limits (and dense "
