@@ -137,6 +137,27 @@ def cmd_describe(args) -> int:
     return 0
 
 
+def cmd_compare(args) -> int:
+    """Pixel RMSE between two images (the BASELINE accuracy metric)."""
+    import numpy as np
+    from PIL import Image
+
+    def load(p):
+        return np.asarray(Image.open(p).convert("RGB"), dtype=np.float32) / 255.0
+
+    a, b = load(args.a), load(args.b)
+    if a.shape != b.shape:
+        print(f"size mismatch: {a.shape} vs {b.shape}", file=sys.stderr)
+        return 1
+    diff = a - b
+    rmse = float(np.sqrt(np.mean(diff**2)))
+    mae = float(np.abs(diff).mean())
+    p99 = float(np.quantile(np.abs(diff).max(axis=-1), 0.99))
+    print(f"rmse {rmse:.5f}  mae {mae:.5f}  p99|diff| {p99:.5f}  "
+          f"(units: [0,1] pixel intensity)")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
         prog="spectral_tpu",
@@ -170,6 +191,11 @@ def build_parser() -> argparse.ArgumentParser:
     pd.add_argument("--preset", choices=sorted(PRESETS), default="default")
     pd.add_argument("--out", required=True)
     pd.set_defaults(func=cmd_scene_dump)
+
+    pc = sub.add_parser("compare", help="pixel RMSE between two images")
+    pc.add_argument("a")
+    pc.add_argument("b")
+    pc.set_defaults(func=cmd_compare)
 
     pdesc = sub.add_parser("describe", help="validate and summarize a scene")
     srcd = pdesc.add_mutually_exclusive_group()

@@ -121,3 +121,19 @@ def test_dielectric_fields_round_trip_without_transmission():
     loaded = sceneio.scene_from_dict(sceneio.scene_to_dict(scene))
     assert loaded.materials[0].ior == 1.8
     assert loaded.materials[0].cauchy_b_um2 == 0.01
+
+
+def test_cli_compare(tmp_path, capsys):
+    import numpy as np
+    from PIL import Image
+
+    a = np.zeros((8, 8, 3), np.uint8)
+    b = a.copy()
+    b[0, 0] = 255
+    Image.fromarray(a).save(tmp_path / "a.png")
+    Image.fromarray(b).save(tmp_path / "b.png")
+    assert main(["compare", str(tmp_path / "a.png"), str(tmp_path / "b.png")]) == 0
+    out = capsys.readouterr().out
+    assert "rmse" in out
+    # one of 64 pixels fully different in 3 channels: rmse = sqrt(3/192)
+    assert "0.125" in out
