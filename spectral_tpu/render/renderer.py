@@ -96,6 +96,11 @@ def resolve_backend(backend: str) -> str:
         return "pallas" if _is_tpu_platform() else "jnp"
     if backend not in ("jnp", "pallas"):
         raise ValueError(f"unknown backend {backend!r}")
+    if backend == "pallas" and not _is_tpu_platform():
+        raise ValueError(
+            "backend='pallas' requires a TPU (the Mosaic megakernel does "
+            "not compile for CPU/GPU); use backend='auto' or 'jnp'"
+        )
     return backend
 
 

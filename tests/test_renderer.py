@@ -153,5 +153,16 @@ def test_grid_accel_conflicts_with_explicit_pallas():
     from spectral_tpu.scene import presets as P
 
     scene = _small_scene()
-    with pytest.raises(ValueError, match="accel='grid'"):
+    # on CPU hosts the explicit-pallas request is refused first; either
+    # way the conflicting combination must raise
+    with pytest.raises(ValueError, match="accel='grid'|requires a TPU"):
         Renderer(scene, backend="pallas", accel="grid")
+
+
+def test_explicit_pallas_on_cpu_raises():
+    import jax
+
+    if "tpu" in jax.devices()[0].platform.lower():
+        pytest.skip("TPU host")
+    with pytest.raises(ValueError, match="requires a TPU"):
+        Renderer(_small_scene(), backend="pallas")
