@@ -133,7 +133,17 @@ def cmd_describe(args) -> int:
         tag = " [hidden]" if o.hidden else ""
         print(f"  {o.name}: {type(o.object_type).__name__} at {o.position}, "
               f"material {o.material.name!r}{tag}")
-    print(f"{len(scene.materials)} materials, {len(scene.spectra)} spectra")
+    print(f"{len(scene.materials)} materials:")
+    for m in scene.materials:
+        extra = ""
+        if m.transmission:
+            extra += (f", transmission {m.transmission} (ior {m.ior}"
+                      f"{', cauchy ' + str(m.cauchy_b_um2) if m.cauchy_b_um2 else ''})")
+        if m.emission is not None:
+            extra += f", emission {m.emission.name!r}"
+        print(f"  {m.name}: metallicness {m.metallicness}, "
+              f"roughness {m.roughness}{extra}")
+    print(f"{len(scene.spectra)} spectra")
     return 0
 
 

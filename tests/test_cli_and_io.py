@@ -137,3 +137,21 @@ def test_cli_compare(tmp_path, capsys):
     assert "rmse" in out
     # one of 64 pixels fully different in 3 channels: rmse = sqrt(3/192)
     assert "0.125" in out
+
+
+def test_cli_profile_writes_trace(tmp_path):
+    out = tmp_path / "img.png"
+    prof = tmp_path / "trace"
+    rc = main([
+        "render", "--preset", "default", "--width", "16", "--height", "8",
+        "--iterations", "1", "--bounces", "1", "--out", str(out),
+        "--profile", str(prof), "--quiet",
+    ])
+    assert rc == 0
+    assert any(prof.rglob("*"))  # jax wrote trace artifacts
+
+
+def test_cli_describe_shows_dielectric_fields(capsys):
+    assert main(["describe", "--preset", "prism"]) == 0
+    text = capsys.readouterr().out
+    assert "transmission 1.0" in text and "emission 'Strip emission'" in text

@@ -174,3 +174,18 @@ def test_different_frames_differ():
     f0 = np.asarray(integrate_frame(arrays, config, np.uint32(0)))
     f1 = np.asarray(integrate_frame(arrays, config, np.uint32(1)))
     assert not np.array_equal(f0, f1)  # jitter + RNG must vary per frame
+
+
+def test_sphere_field_subset_matches_oracle():
+    """Mixed diffuse/mirror materials at moderate object count (chunked
+    trace path feeds the same integrator)."""
+    scene = presets.sphere_field(n_spheres=25)
+    scene.width, scene.height = 10, 8
+    scene.nbr_of_ray_bounces = 2
+    scene.nbr_of_iterations = 3
+    got, want = _render_both(scene, frame_id=2)
+    scale = max(1.0, float(np.abs(want).max()))
+    err = np.abs(got - want).max(axis=-1) / scale
+    flips = int((err > 1e-3).sum())
+    assert flips <= 0.25 * err.size
+    assert float(err[err <= 1e-3].max()) < 1e-3
