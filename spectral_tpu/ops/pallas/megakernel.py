@@ -72,6 +72,8 @@ _ROUGH = 29
 _TRANS = 30  # transmission branch probability
 _IOR = 31  # Cauchy A
 _CAUCHY = 32  # Cauchy B (um^2)
+_MATID = 33  # material table index (fori object loop)
+_TYPE = 34  # object type tag as f32 (fori object loop)
 GEOM_COLS = 36
 
 
@@ -141,6 +143,7 @@ def build_megakernel(
     bounce_start: int = 0,
     bounce_stop: int | None = None,
     state_io: bool = False,
+    object_loop: str = "auto",
 ):
     """Compile-time specialization on the scene structure.
 
@@ -162,6 +165,20 @@ def build_megakernel(
     max_bounces = config.max_bounces
     n_valid = config.width * config.height
     r8 = tile // LANE
+    n_materials = config.n_materials
+    # object-loop strategy: unrolled per-type code for small scenes (zero
+    # runtime dispatch), a fori_loop with runtime type/material selects for
+    # many-object scenes (compile size stays constant in n_obj)
+    if object_loop == "auto":
+        object_loop = "fori" if n_obj > 64 else "unrolled"
+    if object_loop not in ("unrolled", "fori"):
+        raise ValueError(f"unknown object_loop {object_loop!r}")
+    use_fori = object_loop == "fori"
+    if use_fori and not 0 < n_materials <= 32:
+        raise ValueError(
+            "the fori object loop selects materials by index and supports "
+            f"1..32 distinct materials (scene has {n_materials})"
+        )
     # hero-wavelength grid parameters (exact f32 grid reconstruction:
     # lambda_i = lo + f32(step * i), matching flatten._lambda_grid)
     lam_lo = np.float32(config.lambda_lo)
@@ -351,8 +368,171 @@ def build_megakernel(
             t_best = jnp.fmin(t_best, jnp.where(valid, t, _INF))
         return (t_best < _INF) & (t_best <= max_dist)
 
+    def _candidate_fori(geom, o, ox, oy, oz, dx, dy, dz):
+        """One object's (t, valid) with runtime type dispatch (both the
+        generic local-slab box test and the sphere quadratic are evaluated;
+        the type tag selects). Scalars come from dynamic SMEM reads."""
+        tag = geom[o, _TYPE]
+        shx = geom[o, _SHIFT]
+        shy = geom[o, _SHIFT + 1]
+        shz = geom[o, _SHIFT + 2]
+        rx_, ry_, rz_ = ox - shx, oy - shy, oz - shz
+        ir = [geom[o, _INV_ROT + k] for k in range(9)]
+        lox = ir[0] * rx_ + ir[1] * ry_ + ir[2] * rz_
+        loy = ir[3] * rx_ + ir[4] * ry_ + ir[5] * rz_
+        loz = ir[6] * rx_ + ir[7] * ry_ + ir[8] * rz_
+        ldx = ir[0] * dx + ir[1] * dy + ir[2] * dz
+        ldy = ir[3] * dx + ir[4] * dy + ir[5] * dz
+        ldz = ir[6] * dx + ir[7] * dy + ir[8] * dz
+        t_min, t_max, hit_slab = _slab_t(
+            lox, loy, loz, ldx, ldy, ldz,
+            geom[o, _SLAB_MIN], geom[o, _SLAB_MIN + 1], geom[o, _SLAB_MIN + 2],
+            geom[o, _SLAB_MAX], geom[o, _SLAB_MAX + 1], geom[o, _SLAB_MAX + 2],
+        )
+        t_box = jnp.where(t_min >= 0.0, t_min, t_max)
+
+        rad = geom[o, _RADIUS]
+        a = _dot(dx, dy, dz, dx, dy, dz)
+        b = 2.0 * _dot(rx_, ry_, rz_, dx, dy, dz)  # shift slot == center
+        c = _dot(rx_, ry_, rz_, rx_, ry_, rz_) - rad * rad
+        disc = b * b - 4.0 * a * c
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t1 = (-b - sq) / (2.0 * a)
+        t2 = (-b + sq) / (2.0 * a)
+        t_sph = jnp.where(t1 >= 0.0, t1, t2)
+        v_sph = (disc >= 0.0) & (t_sph >= 0.0)
+
+        is_sphere = tag == jnp.float32(OBJ_SPHERE)
+        t = jnp.where(is_sphere, t_sph, t_box)
+        # NOTE: select between i1 vectors does not legalize in Mosaic;
+        # compose the type dispatch with boolean algebra instead
+        valid = ((is_sphere & v_sph) | ((~is_sphere) & hit_slab)) & (t > 0.0)
+        return tag, t, valid, (lox, loy, loz), ir
+
+    def trace_tile_fori(geom, m_scal, ox, oy, oz, dx, dy, dz):
+        """fori-loop nearest hit: constant compile size in n_obj. Strict
+        ``t < t_best`` keeps the lowest object index on ties (ascending
+        visit order), matching the unrolled kernel and the reference."""
+        init = (
+            jnp.full((r8, LANE), _INF),  # t_best
+            jnp.zeros((r8, LANE), jnp.float32),  # winner material id
+            jnp.zeros((r8, LANE), jnp.float32),  # nx
+            jnp.zeros((r8, LANE), jnp.float32),  # ny
+            jnp.zeros((r8, LANE), jnp.float32),  # nz
+        )
+
+        def body(o, carry):
+            t_best, win_mat, nx, ny, nz = carry
+            tag, t_o, valid, _local, ir = _candidate_fori(
+                geom, o, ox, oy, oz, dx, dy, dz
+            )
+            closer = valid & (t_o < t_best)
+
+            ipx = ox + dx * t_o
+            ipy = oy + dy * t_o
+            ipz = oz + dz * t_o
+            # sphere normal
+            snx, sny, snz = _normalize(
+                ipx - geom[o, _SHIFT], ipy - geom[o, _SHIFT + 1],
+                ipz - geom[o, _SHIFT + 2],
+            )
+            # plain box normal: axis-epsilon test against the world slabs
+            def axis(p, lo, hi):
+                return jnp.where(
+                    jnp.abs(p - lo) < _F32_DELTA, jnp.float32(-1.0),
+                    jnp.where(jnp.abs(p - hi) < _F32_DELTA,
+                              jnp.float32(1.0), jnp.float32(0.0)),
+                )
+            ux = axis(ipx, geom[o, _SLAB_MIN], geom[o, _SLAB_MAX])
+            uy = axis(ipy, geom[o, _SLAB_MIN + 1], geom[o, _SLAB_MAX + 1])
+            uz = axis(ipz, geom[o, _SLAB_MIN + 2], geom[o, _SLAB_MAX + 2])
+            pnx, pny, pnz = _normalize(ux, uy, uz)
+            # rotated box normal: closest local face, strict < scan order
+            rx_, ry_, rz_ = (
+                ipx - geom[o, _SHIFT], ipy - geom[o, _SHIFT + 1],
+                ipz - geom[o, _SHIFT + 2],
+            )
+            lx = ir[0] * rx_ + ir[1] * ry_ + ir[2] * rz_
+            ly = ir[3] * rx_ + ir[4] * ry_ + ir[5] * rz_
+            lz = ir[6] * rx_ + ir[7] * ry_ + ir[8] * rz_
+            hx = geom[o, _SLAB_MAX]
+            hy = geom[o, _SLAB_MAX + 1]
+            hz = geom[o, _SLAB_MAX + 2]
+            one = jnp.float32(1.0)
+            zero = jnp.float32(0.0)
+            min_d = jnp.abs(hx - lx)
+            lnx = jnp.full((r8, LANE), one)
+            lny = jnp.zeros((r8, LANE), jnp.float32)
+            lnz = jnp.zeros((r8, LANE), jnp.float32)
+            for dist, cand in (
+                (jnp.abs(-hx - lx), (-one, zero, zero)),
+                (jnp.abs(hy - ly), (zero, one, zero)),
+                (jnp.abs(-hy - ly), (zero, -one, zero)),
+                (jnp.abs(hz - lz), (zero, zero, one)),
+                (jnp.abs(-hz - lz), (zero, zero, -one)),
+            ):
+                c2 = dist < min_d
+                lnx = jnp.where(c2, cand[0], lnx)
+                lny = jnp.where(c2, cand[1], lny)
+                lnz = jnp.where(c2, cand[2], lnz)
+                min_d = jnp.fmin(min_d, dist)
+            r = [geom[o, _ROT + k] for k in range(9)]
+            rnx = r[0] * lnx + r[1] * lny + r[2] * lnz
+            rny = r[3] * lnx + r[4] * lny + r[5] * lnz
+            rnz = r[6] * lnx + r[7] * lny + r[8] * lnz
+
+            is_sphere = tag == jnp.float32(OBJ_SPHERE)
+            is_plain = tag == jnp.float32(OBJ_PLAIN_BOX)
+            cnx = jnp.where(is_sphere, snx, jnp.where(is_plain, pnx, rnx))
+            cny = jnp.where(is_sphere, sny, jnp.where(is_plain, pny, rny))
+            cnz = jnp.where(is_sphere, snz, jnp.where(is_plain, pnz, rnz))
+
+            return (
+                jnp.where(closer, t_o, t_best),
+                jnp.where(closer, geom[o, _MATID], win_mat),
+                jnp.where(closer, cnx, nx),
+                jnp.where(closer, cny, ny),
+                jnp.where(closer, cnz, nz),
+            )
+
+        t_best, win_mat, nx, ny, nz = jax.lax.fori_loop(0, n_obj, body, init)
+        hit = t_best < _INF
+        t_safe = jnp.where(hit, t_best, 0.0)
+        ipx = ox + dx * t_safe
+        ipy = oy + dy * t_safe
+        ipz = oz + dz * t_safe
+        # winner material scalars: unrolled select over the material table
+        metal = jnp.zeros((r8, LANE), jnp.float32)
+        rough = jnp.zeros((r8, LANE), jnp.float32)
+        transw = jnp.zeros((r8, LANE), jnp.float32)
+        ior = jnp.ones((r8, LANE), jnp.float32)
+        cauchy = jnp.zeros((r8, LANE), jnp.float32)
+        for m in range(n_materials):
+            is_m = win_mat == jnp.float32(m)
+            metal = jnp.where(is_m, m_scal[m, 0], metal)
+            rough = jnp.where(is_m, m_scal[m, 1], rough)
+            if has_transmission:
+                transw = jnp.where(is_m, m_scal[m, 2], transw)
+                ior = jnp.where(is_m, m_scal[m, 3], ior)
+                cauchy = jnp.where(is_m, m_scal[m, 4], cauchy)
+        return (
+            t_best, hit, ipx, ipy, ipz, nx, ny, nz,
+            metal, rough, transw, ior, cauchy, win_mat,
+        )
+
+    def shadow_blocked_fori(geom, ox, oy, oz, dx, dy, dz, max_dist):
+        def body(o, t_best):
+            _tag, t_o, valid, _l, _ir = _candidate_fori(
+                geom, o, ox, oy, oz, dx, dy, dz
+            )
+            return jnp.fmin(t_best, jnp.where(valid, t_o, _INF))
+
+        t_best = jax.lax.fori_loop(0, n_obj, body, jnp.full((r8, LANE), _INF))
+        return (t_best < _INF) & (t_best <= max_dist)
+
     def make_body(
         frame_ref, px_ref, py_ref, geom_ref, albedo_ref, emis_ref,
+        m_alb_ref, m_emis_ref, m_scal_ref,
         lpos_ref, lspec_ref, rad_ref, thr_ref,
     ):
         """Bind the per-bounce body to this tile's refs."""
@@ -365,10 +545,18 @@ def build_megakernel(
             ox, oy, oz, dx, dy, dz, alive, gate, hero = carry
             bounces_left = jnp.uint32(max_bounces) - i.astype(jnp.uint32)
 
-            (
-                t, hit, ipx, ipy, ipz, nx, ny, nz,
-                metal, rough, transw, ior, cauchy, masks,
-            ) = trace_tile(geom, ox, oy, oz, dx, dy, dz)
+            if use_fori:
+                (
+                    t, hit, ipx, ipy, ipz, nx, ny, nz,
+                    metal, rough, transw, ior, cauchy, win_mat,
+                ) = trace_tile_fori(geom, m_scal_ref, ox, oy, oz, dx, dy, dz)
+                masks = None
+            else:
+                (
+                    t, hit, ipx, ipy, ipz, nx, ny, nz,
+                    metal, rough, transw, ior, cauchy, masks,
+                ) = trace_tile(geom, ox, oy, oz, dx, dy, dz)
+                win_mat = None
             gate_ok = (gate == 0.0) | (t > _SPEC_MIN)
             alive = alive * hit.astype(jnp.float32) * gate_ok.astype(jnp.float32)
             live = alive > 0.0
@@ -408,7 +596,14 @@ def build_megakernel(
                 dist2 = _dot(ldx_, ldy_, ldz_, ldx_, ldy_, ldz_)
                 dist = jnp.sqrt(dist2)
                 lnx, lny, lnz = _normalize(ldx_, ldy_, ldz_)
-                blocked = shadow_blocked(geom, offx, offy, offz, lnx, lny, lnz, dist)
+                if use_fori:
+                    blocked = shadow_blocked_fori(
+                        geom, offx, offy, offz, lnx, lny, lnz, dist
+                    )
+                else:
+                    blocked = shadow_blocked(
+                        geom, offx, offy, offz, lnx, lny, lnz, dist
+                    )
                 # reference re-normalizes the normalized direction
                 l2x, l2y, l2z = _normalize(lnx, lny, lnz)
                 cos_in = jnp.maximum(l2x * nx + l2y * ny + l2z * nz, 0.0)
@@ -417,12 +612,25 @@ def build_megakernel(
 
             live_f = jnp.where(live, 1.0, 0.0)
             contrib = jnp.where(live & (~spec) & (~trans), 1.0, 0.0)
+            if use_fori:
+                # winner-material one-hot masks (M is small by contract)
+                mat_masks = [
+                    win_mat == jnp.float32(m) for m in range(n_materials)
+                ]
             for s in range(s_dim):
                 thr_s = thr_ref[s]
                 if has_emission:
                     emis_s = jnp.zeros((r8, LANE), jnp.float32)
-                    for o in range(n_obj):
-                        emis_s = emis_s + jnp.where(masks[o], emis_ref[o, s], 0.0)
+                    if use_fori:
+                        for m in range(n_materials):
+                            emis_s = emis_s + jnp.where(
+                                mat_masks[m], m_emis_ref[m, s], 0.0
+                            )
+                    else:
+                        for o in range(n_obj):
+                            emis_s = emis_s + jnp.where(
+                                masks[o], emis_ref[o, s], 0.0
+                            )
                     rad_ref[s] = rad_ref[s] + live_f * thr_s * emis_s
                 if has_transmission:
                     # collapse throughput onto the hero bin (S-fold weight)
@@ -434,8 +642,14 @@ def build_megakernel(
                 for l in range(n_lights):
                     direct_s = direct_s + scales[l] * lspec_ref[l, s]
                 alb_s = jnp.zeros((r8, LANE), jnp.float32)
-                for o in range(n_obj):
-                    alb_s = alb_s + jnp.where(masks[o], albedo_ref[o, s], 0.0)
+                if use_fori:
+                    for m in range(n_materials):
+                        alb_s = alb_s + jnp.where(
+                            mat_masks[m], m_alb_ref[m, s], 0.0
+                        )
+                else:
+                    for o in range(n_obj):
+                        alb_s = alb_s + jnp.where(masks[o], albedo_ref[o, s], 0.0)
                 rad_ref[s] = rad_ref[s] + contrib * thr_s * alb_s * direct_s
                 thr_ref[s] = jnp.where(live, thr_s * alb_s, thr_s)
 
@@ -567,6 +781,9 @@ def build_megakernel(
         geom_ref,  # [O, GEOM_COLS] f32 (SMEM)
         albedo_ref,  # [O, S] f32 (SMEM)
         emis_ref,  # [O, S] f32 (SMEM)
+        m_alb_ref,  # [M, S] f32 (SMEM)
+        m_emis_ref,  # [M, S] f32 (SMEM)
+        m_scal_ref,  # [M, 8] f32 (SMEM)
         lpos_ref,  # [L, 4] f32 (SMEM)
         lspec_ref,  # [L, S] f32 (SMEM)
         rad_ref,  # out [S, R8, 128] f32
@@ -585,6 +802,7 @@ def build_megakernel(
 
         guarded = make_body(
             frame_ref, px_ref, py_ref, geom_ref, albedo_ref, emis_ref,
+            m_alb_ref, m_emis_ref, m_scal_ref,
             lpos_ref, lspec_ref, rad_ref, thr_ref,
         )
         carry = (
@@ -599,7 +817,9 @@ def build_megakernel(
         frame_ref,  # SMEM (1,1) uint32
         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # [R8,128] f32
         px_ref, py_ref,  # [R8,128] uint32
-        geom_ref, albedo_ref, emis_ref, lpos_ref, lspec_ref,  # SMEM tables
+        geom_ref, albedo_ref, emis_ref,
+        m_alb_ref, m_emis_ref, m_scal_ref,
+        lpos_ref, lspec_ref,  # SMEM tables
         thr_in_ref,  # [S, R8, 128] f32
         rad_in_ref,  # [S, R8, 128] f32
         alive_in_ref, gate_in_ref, hero_in_ref,  # [R8,128] f32
@@ -617,6 +837,7 @@ def build_megakernel(
 
         guarded = make_body(
             frame_ref, px_ref, py_ref, geom_ref, albedo_ref, emis_ref,
+            m_alb_ref, m_emis_ref, m_scal_ref,
             lpos_ref, lspec_ref, rad_ref, thr_ref,
         )
         carry = (
@@ -632,7 +853,7 @@ def build_megakernel(
     @functools.partial(jax.jit, static_argnames=())
     def run(
         ox, oy, oz, dx, dy, dz, px, py, frame_id,
-        geom, albedo, emission, lpos, lspec,
+        geom, albedo, emission, m_albedo, m_emission, m_scalars, lpos, lspec,
     ):
         np_lanes = ox.shape[0] * ox.shape[1]
         n_tiles = np_lanes // tile
@@ -651,7 +872,7 @@ def build_megakernel(
                 ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec,
                 ray_spec, ray_spec,
                 # scalar-indexed tables live in SMEM
-                smem, smem, smem, smem, smem,
+                smem, smem, smem, smem, smem, smem, smem, smem,
             ],
             out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct(
@@ -664,7 +885,8 @@ def build_megakernel(
             interpret=interpret,
         )(
             frame_id.reshape(1, 1), ox, oy, oz, dx, dy, dz, px, py,
-            geom, albedo, emission, lpos, lspec,
+            geom, albedo, emission, m_albedo, m_emission, m_scalars,
+            lpos, lspec,
         )
 
     if not state_io:
@@ -673,7 +895,7 @@ def build_megakernel(
     @functools.partial(jax.jit, static_argnames=())
     def run_seg(
         ox, oy, oz, dx, dy, dz, px, py, frame_id,
-        geom, albedo, emission, lpos, lspec,
+        geom, albedo, emission, m_albedo, m_emission, m_scalars, lpos, lspec,
         thr, rad, alive, gate, hero,
     ):
         np_lanes = ox.shape[0] * ox.shape[1]
@@ -696,7 +918,7 @@ def build_megakernel(
                 smem,
                 ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec,
                 ray_spec, ray_spec,
-                smem, smem, smem, smem, smem,
+                smem, smem, smem, smem, smem, smem, smem, smem,
                 spec_spec, spec_spec, ray_spec, ray_spec, ray_spec,
             ],
             out_specs=(
@@ -716,7 +938,8 @@ def build_megakernel(
             interpret=interpret,
         )(
             frame_id.reshape(1, 1), ox, oy, oz, dx, dy, dz, px, py,
-            geom, albedo, emission, lpos, lspec,
+            geom, albedo, emission, m_albedo, m_emission, m_scalars,
+            lpos, lspec,
             thr, rad, alive, gate, hero,
         )
 
@@ -742,4 +965,6 @@ def pack_geometry(scene: SceneArrays) -> jax.Array:
     geom = geom.at[:, _TRANS].set(scene.transmission)
     geom = geom.at[:, _IOR].set(scene.ior)
     geom = geom.at[:, _CAUCHY].set(scene.cauchy_b)
+    geom = geom.at[:, _MATID].set(scene.mat_id.astype(jnp.float32))
+    geom = geom.at[:, _TYPE].set(scene.obj_type.astype(jnp.float32))
     return geom

@@ -31,6 +31,7 @@ def _kernel(
     interpret: bool,
     has_transmission: bool,
     has_emission: bool,
+    object_loop: str = "auto",
 ):
     return mk.build_megakernel(
         obj_types,
@@ -39,6 +40,7 @@ def _kernel(
         interpret=interpret,
         has_transmission=has_transmission,
         has_emission=has_emission,
+        object_loop=object_loop,
     )
 
 
@@ -91,6 +93,7 @@ def integrate_frame_pallas(
     row_offset=0,
     has_transmission: bool = False,
     has_emission: bool = False,
+    object_loop: str = "auto",
 ) -> jax.Array:
     """One progressive frame -> linear RGB ``[H, W, 3]``.
 
@@ -128,12 +131,25 @@ def integrate_frame_pallas(
         lpos = jnp.zeros((1, 4), jnp.float32)
         lspec = jnp.zeros((1, config.n_samples), jnp.float32)
 
-    run = _kernel(obj_types, config, tile, interpret, has_transmission, has_emission)
+    # the fori object loop reads materials via the indirection tables; the
+    # per-object [O, S] tables would waste scarce SMEM there, so ship
+    # single-row dummies (never read) in that mode
+    albedo_in, emission_in = scene.albedo, scene.emission
+    if object_loop == "fori" or (object_loop == "auto" and len(obj_types) > 64):
+        albedo_in = scene.albedo[:1]
+        emission_in = scene.emission[:1]
+
+    run = _kernel(
+        obj_types, config, tile, interpret, has_transmission, has_emission,
+        object_loop,
+    )
     rad = run(
         lanes(origin.x), lanes(origin.y), lanes(origin.z),
         lanes(direction.x), lanes(direction.y), lanes(direction.z),
         lanes(px, jnp.uint32), lanes(py, jnp.uint32),
-        frame_id, geom, scene.albedo, scene.emission, lpos, lspec,
+        frame_id, geom, albedo_in, emission_in,
+        scene.mat_albedo, scene.mat_emission, scene.mat_scalars,
+        lpos, lspec,
     )
     # [S, NP/128, 128] -> [n, S]
     rad = rad.reshape(config.n_samples, n_pad).T[:n]
@@ -204,11 +220,17 @@ def integrate_frame_pallas_split(
     gidx = jnp.arange(n_pad, dtype=jnp.int32).reshape(rows, mk.LANE)
     alive0 = (gidx < n).astype(jnp.float32)
     zeros_spec = jnp.zeros((s_dim, rows, mk.LANE), jnp.float32)
+    albedo_in, emission_in = scene.albedo, scene.emission
+    if len(obj_types) > 64:
+        albedo_in = scene.albedo[:1]
+        emission_in = scene.emission[:1]
     args = (
         lanes(origin.x), lanes(origin.y), lanes(origin.z),
         lanes(direction.x), lanes(direction.y), lanes(direction.z),
         lanes(px, jnp.uint32), lanes(py, jnp.uint32),
-        frame_id, geom, scene.albedo, scene.emission, lpos, lspec,
+        frame_id, geom, albedo_in, emission_in,
+        scene.mat_albedo, scene.mat_emission, scene.mat_scalars,
+        lpos, lspec,
     )
     (rad1, thr1, ox1, oy1, oz1, dx1, dy1, dz1, alive1, gate1, hero1) = k1(
         *args,
@@ -230,7 +252,9 @@ def integrate_frame_pallas_split(
     out2 = k2(
         P(ox1), P(oy1), P(oz1), P(dx1), P(dy1), P(dz1),
         P(px_lanes), P(py_lanes),
-        frame_id, geom, scene.albedo, scene.emission, lpos, lspec,
+        frame_id, geom, albedo_in, emission_in,
+        scene.mat_albedo, scene.mat_emission, scene.mat_scalars,
+        lpos, lspec,
         PS(thr1), PS(rad1), P(alive1), P(gate1), P(hero1),
     )
     rad2 = out2[0]

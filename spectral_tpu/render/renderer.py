@@ -163,13 +163,18 @@ class Renderer:
             _np.asarray(self.scene_arrays.transmission).any()
         )
         self.has_emission = bool(_np.asarray(self.scene_arrays.emission).any())
-        if self.backend == "pallas" and self.config.n_objects > 64:
-            # the megakernel unrolls the object loop (compile blow-up past
-            # ~64 objects); fall back to the chunked jnp path
+        if (
+            self.backend == "pallas"
+            and self.config.n_objects > 64
+            and not 0 < self.config.n_materials <= 32
+        ):
+            # many-object scenes use the kernel's fori object loop, which
+            # selects materials by index and supports up to 32 of them;
+            # beyond that, fall back to the chunked jnp path
             if backend == "pallas":
                 raise ValueError(
-                    "the pallas backend does not support >64 objects yet; "
-                    "use backend='jnp'"
+                    "the pallas backend supports >64 objects only with at "
+                    "most 32 distinct materials; use backend='jnp'"
                 )
             self.backend = "jnp"
         self.obj_types = tuple(_np.asarray(self.scene_arrays.obj_type).tolist())

@@ -89,6 +89,12 @@ class SceneArrays:
     cauchy_b: jax.Array  # [O] Cauchy B coefficient (um^2)
     emission: jax.Array  # [O, S] emitted spectrum (area lights)
     lambda_grid: jax.Array  # [S] sample wavelengths (nm)
+    # material indirection (many-object kernels select per-material rather
+    # than per-object spectra; scenes share few materials across objects)
+    mat_id: jax.Array  # [O] i32 index into the material tables
+    mat_albedo: jax.Array  # [M, S]
+    mat_emission: jax.Array  # [M, S]
+    mat_scalars: jax.Array  # [M, 8]: metal, rough, trans, ior, cauchy, pad
     # lights
     light_pos: jax.Array  # [L, 3]
     light_spec: jax.Array  # [L, S] unclamped
@@ -127,6 +133,7 @@ class RenderConfig:
     n_lights: int
     lambda_lo: float = 380.0
     lambda_hi: float = 780.0
+    n_materials: int = 0
 
 
 def _sphere_tables(center, radius_in):
@@ -198,6 +205,9 @@ def flatten_scene(scene: Scene) -> tuple[SceneArrays, RenderConfig]:
     ior = np.full(n_obj, F32(1.5), dtype=F32)
     cauchy_b = np.zeros(n_obj, dtype=F32)
     emission = np.zeros((n_obj, n_samples), dtype=F32)
+    mat_id = np.zeros(n_obj, dtype=np.int32)
+    material_index: dict[int, int] = {}
+    material_list: list[int] = []
 
     for i, obj in enumerate(objects):
         pos = np.asarray(obj.position, dtype=F32)
@@ -245,6 +255,10 @@ def flatten_scene(scene: Scene) -> tuple[SceneArrays, RenderConfig]:
         cauchy_b[i] = F32(mat.cauchy_b_um2)
         if mat.emission is not None:
             emission[i] = mat.emission.spectrum.values  # unclamped, like lights
+        if id(mat) not in material_index:
+            material_index[id(mat)] = len(material_list)
+            material_list.append(i)  # representative object row
+        mat_id[i] = material_index[id(mat)]
 
     n_lights = len(lights)
     light_pos = np.zeros((n_lights, 3), dtype=F32)
@@ -284,6 +298,26 @@ def flatten_scene(scene: Scene) -> tuple[SceneArrays, RenderConfig]:
         cauchy_b=jnp.asarray(cauchy_b),
         emission=jnp.asarray(emission),
         lambda_grid=jnp.asarray(_lambda_grid(scene, n_samples)),
+        mat_id=jnp.asarray(mat_id),
+        mat_albedo=jnp.asarray(albedo[material_list].reshape(-1, n_samples)),
+        mat_emission=jnp.asarray(emission[material_list].reshape(-1, n_samples)),
+        mat_scalars=jnp.asarray(
+            np.stack(
+                [
+                    metallicness[material_list],
+                    roughness[material_list],
+                    transmission[material_list],
+                    ior[material_list],
+                    cauchy_b[material_list],
+                    np.zeros(len(material_list), F32),
+                    np.zeros(len(material_list), F32),
+                    np.zeros(len(material_list), F32),
+                ],
+                axis=1,
+            ).astype(F32)
+            if material_list
+            else np.zeros((0, 8), F32)
+        ),
         light_pos=jnp.asarray(light_pos),
         light_spec=jnp.asarray(light_spec),
         cam_pos=jnp.asarray(np.asarray(scene.camera.position, dtype=F32)),
@@ -303,5 +337,6 @@ def flatten_scene(scene: Scene) -> tuple[SceneArrays, RenderConfig]:
         n_lights=n_lights,
         lambda_lo=float(scene.spectrum_lower_bound),
         lambda_hi=float(scene.spectrum_upper_bound),
+        n_materials=len(material_list),
     )
     return arrays, config

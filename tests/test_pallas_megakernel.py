@@ -120,3 +120,31 @@ def test_split_compaction_bit_exact():
         )
     )
     assert np.array_equal(mono, split)
+
+
+@pytest.mark.parametrize("preset,n", [("cornell", None), ("spheres", 12)])
+def test_fori_object_loop_matches_jnp(preset, n):
+    """The fori object loop (many-object scenes: runtime type dispatch +
+    material indirection) must reproduce the jnp integrator across all
+    three primitive types and mixed materials."""
+    if preset == "spheres":
+        scene = presets.sphere_field(n_spheres=n)
+    else:
+        scene = presets.PRESETS[preset](n_samples=8)
+    scene.width, scene.height = 12, 8
+    scene.nbr_of_ray_bounces = 3
+    scene.nbr_of_iterations = 2
+    arrays, config = flatten_scene(scene)
+    obj_types = tuple(np.asarray(arrays.obj_type).tolist())
+    want = np.asarray(integrate_frame(arrays, config, np.uint32(1)))
+    got = np.asarray(
+        integrate_frame_pallas(
+            arrays, config, np.uint32(1), obj_types, interpret=True,
+            object_loop="fori",
+        )
+    )
+    scale = max(1.0, float(np.abs(want).max()))
+    err = np.abs(got - want).max(axis=-1) / scale
+    flips = int((err > 1e-3).sum())
+    assert flips <= 0.1 * err.size
+    assert float(err[err <= 1e-3].max()) < 1e-5
