@@ -82,6 +82,10 @@ def _make_scene(name: str):
         scene = presets.prism(n_samples=64)
         scene.nbr_of_ray_bounces = 8
         return scene, "prism 800x600, 64 lambda, dispersion, pallas megakernel"
+    if name == "spheres":
+        scene = presets.sphere_field(n_spheres=1000)
+        scene.nbr_of_iterations = 100
+        return scene, "1000 spheres 1024x768, 32 lambda, 8 bounces, fori megakernel"
     raise SystemExit(f"unknown bench config {name!r}")
 
 
