@@ -157,7 +157,10 @@ def build_megakernel(
             scenes pay nothing for the extra physics).
     Returns:
         fn(ox, oy, oz, dx, dy, dz, px, py, frame_id, geom, albedo,
-           emission, light_pos, light_spec) -> radiance [S, NP//128, 128]
+           emission, mat_albedo, mat_emission, mat_scalars, light_pos,
+           light_spec) -> radiance [S, NP//128, 128]
+        (with ``state_io`` the fn also takes/returns the full wavefront
+        state; see ``kernel_seg``)
     """
     n_obj = len(obj_types)
     n_lights = config.n_lights
@@ -501,14 +504,16 @@ def build_megakernel(
         ipx = ox + dx * t_safe
         ipy = oy + dy * t_safe
         ipz = oz + dz * t_safe
-        # winner material scalars: unrolled select over the material table
+        # winner material: one-hot masks (computed once; the per-s albedo
+        # and emission selects in the bounce body reuse them)
+        mat_masks = [win_mat == jnp.float32(m) for m in range(n_materials)]
         metal = jnp.zeros((r8, LANE), jnp.float32)
         rough = jnp.zeros((r8, LANE), jnp.float32)
         transw = jnp.zeros((r8, LANE), jnp.float32)
         ior = jnp.ones((r8, LANE), jnp.float32)
         cauchy = jnp.zeros((r8, LANE), jnp.float32)
         for m in range(n_materials):
-            is_m = win_mat == jnp.float32(m)
+            is_m = mat_masks[m]
             metal = jnp.where(is_m, m_scal[m, 0], metal)
             rough = jnp.where(is_m, m_scal[m, 1], rough)
             if has_transmission:
@@ -517,7 +522,7 @@ def build_megakernel(
                 cauchy = jnp.where(is_m, m_scal[m, 4], cauchy)
         return (
             t_best, hit, ipx, ipy, ipz, nx, ny, nz,
-            metal, rough, transw, ior, cauchy, win_mat,
+            metal, rough, transw, ior, cauchy, mat_masks,
         )
 
     def shadow_blocked_fori(geom, ox, oy, oz, dx, dy, dz, max_dist):
@@ -548,7 +553,7 @@ def build_megakernel(
             if use_fori:
                 (
                     t, hit, ipx, ipy, ipz, nx, ny, nz,
-                    metal, rough, transw, ior, cauchy, win_mat,
+                    metal, rough, transw, ior, cauchy, mat_masks,
                 ) = trace_tile_fori(geom, m_scal_ref, ox, oy, oz, dx, dy, dz)
                 masks = None
             else:
@@ -556,7 +561,7 @@ def build_megakernel(
                     t, hit, ipx, ipy, ipz, nx, ny, nz,
                     metal, rough, transw, ior, cauchy, masks,
                 ) = trace_tile(geom, ox, oy, oz, dx, dy, dz)
-                win_mat = None
+                mat_masks = None
             gate_ok = (gate == 0.0) | (t > _SPEC_MIN)
             alive = alive * hit.astype(jnp.float32) * gate_ok.astype(jnp.float32)
             live = alive > 0.0
@@ -612,11 +617,6 @@ def build_megakernel(
 
             live_f = jnp.where(live, 1.0, 0.0)
             contrib = jnp.where(live & (~spec) & (~trans), 1.0, 0.0)
-            if use_fori:
-                # winner-material one-hot masks (M is small by contract)
-                mat_masks = [
-                    win_mat == jnp.float32(m) for m in range(n_materials)
-                ]
             for s in range(s_dim):
                 thr_s = thr_ref[s]
                 if has_emission:

@@ -134,10 +134,14 @@ def integrate_frame_pallas(
     # the fori object loop reads materials via the indirection tables; the
     # per-object [O, S] tables would waste scarce SMEM there, so ship
     # single-row dummies (never read) in that mode
-    albedo_in, emission_in = scene.albedo, scene.emission
-    if object_loop == "fori" or (object_loop == "auto" and len(obj_types) > 64):
-        albedo_in = scene.albedo[:1]
-        emission_in = scene.emission[:1]
+    # each object-loop strategy reads exactly one family of material
+    # tables; ship one-row dummies for the other so SMEM stays lean
+    fori = object_loop == "fori" or (object_loop == "auto" and len(obj_types) > 64)
+    albedo_in = scene.albedo[:1] if fori else scene.albedo
+    emission_in = scene.emission[:1] if fori else scene.emission
+    m_alb = scene.mat_albedo if fori else scene.mat_albedo[:1]
+    m_emis = scene.mat_emission if fori else scene.mat_emission[:1]
+    m_scal = scene.mat_scalars if fori else scene.mat_scalars[:1]
 
     run = _kernel(
         obj_types, config, tile, interpret, has_transmission, has_emission,
@@ -148,7 +152,7 @@ def integrate_frame_pallas(
         lanes(direction.x), lanes(direction.y), lanes(direction.z),
         lanes(px, jnp.uint32), lanes(py, jnp.uint32),
         frame_id, geom, albedo_in, emission_in,
-        scene.mat_albedo, scene.mat_emission, scene.mat_scalars,
+        m_alb, m_emis, m_scal,
         lpos, lspec,
     )
     # [S, NP/128, 128] -> [n, S]

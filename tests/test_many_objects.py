@@ -45,6 +45,8 @@ def test_sphere_field_preset_flattens():
 
 
 def test_sphere_field_renders_small():
+    import jax
+
     from spectral_tpu.render.renderer import Renderer
 
     scene = presets.sphere_field(n_spheres=200)
@@ -52,19 +54,24 @@ def test_sphere_field_renders_small():
     scene.nbr_of_iterations = 1
     scene.nbr_of_ray_bounces = 2
     r = Renderer(scene)
-    assert r.backend == "jnp"  # >64 objects falls back from pallas
+    # few materials: many-object scenes stay on pallas (fori loop) on TPU
+    # and use the portable jnp path on CPU
+    want = "pallas" if "tpu" in jax.devices()[0].platform.lower() else "jnp"
+    assert r.backend == want
     img = r.render()
     assert not np.isnan(img).any()
     assert float(img[..., :3].max()) > 0.05
 
 
-def test_pallas_rejects_many_objects_explicitly():
-    import jax
+def test_fori_kernel_rejects_too_many_materials():
+    # the fori object loop's material indirection caps at 32 distinct
+    # materials; the builder must refuse beyond that (platform-independent)
+    from spectral_tpu.ops.pallas.megakernel import build_megakernel
+    from spectral_tpu.scene.flatten import RenderConfig
 
-    from spectral_tpu.render.renderer import Renderer
-
-    scene = presets.sphere_field(n_spheres=100)
-    scene.width, scene.height = 16, 8
-    # on CPU hosts the explicit-pallas request is refused even earlier
-    with pytest.raises(ValueError, match="64 objects|requires a TPU"):
-        Renderer(scene, backend="pallas")
+    config = RenderConfig(
+        width=16, height=8, n_samples=8, max_bounces=2, intended_frames=1,
+        n_objects=100, n_lights=1, n_materials=40,
+    )
+    with pytest.raises(ValueError, match="32 distinct materials"):
+        build_megakernel(tuple([1] * 100), config, object_loop="fori")
