@@ -189,3 +189,15 @@ def test_sphere_field_subset_matches_oracle():
     flips = int((err > 1e-3).sum())
     assert flips <= 0.25 * err.size
     assert float(err[err <= 1e-3].max()) < 1e-3
+
+
+def test_max_spectral_width_direct_only():
+    """128 wavelength samples (the reference's maximum) through the whole
+    pipeline, exact at one bounce."""
+    scene = presets.default_scene(n_samples=128)
+    scene.width, scene.height = 12, 8
+    scene.nbr_of_ray_bounces = 1
+    scene.nbr_of_iterations = 2
+    got, want = _render_both(scene, frame_id=0)
+    scale = max(1.0, float(np.abs(want).max()))
+    assert float(np.abs(got - want).max() / scale) < 1e-3
