@@ -37,15 +37,17 @@ def _load_scene(args):
         scene = sceneio.load_scene(args.scene)
     else:
         scene = presets.PRESETS[args.preset]()
-    if args.width:
+    # "is not None", not truthiness: an explicit 0 must reach
+    # Scene.validate() and be rejected loudly, not silently ignored.
+    if args.width is not None:
         scene.width = args.width
-    if args.height:
+    if args.height is not None:
         scene.height = args.height
-    if args.iterations:
+    if args.iterations is not None:
         scene.nbr_of_iterations = args.iterations
-    if args.bounces:
+    if args.bounces is not None:
         scene.nbr_of_ray_bounces = args.bounces
-    if getattr(args, "samples", None):
+    if getattr(args, "samples", None) is not None:
         scene.spectrum_number_of_samples = args.samples
         scene.update_all_spectrum_sample_sizes()
     return scene

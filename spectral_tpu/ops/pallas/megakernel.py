@@ -650,7 +650,13 @@ def build_megakernel(
                 else:
                     for o in range(n_obj):
                         alb_s = alb_s + jnp.where(masks[o], albedo_ref[o, s], 0.0)
-                rad_ref[s] = rad_ref[s] + contrib * thr_s * alb_s * direct_s
+                # select, not multiply-by-mask: 0 * NaN = NaN, and a NaN
+                # direct_s on a masked lane (e.g. dist2 == 0 on a dead or
+                # specular lane) must not poison the accumulator — mirror
+                # integrator.py's jnp.where(contributes, ...) semantics.
+                rad_ref[s] = rad_ref[s] + jnp.where(
+                    contrib > 0.0, thr_s * alb_s * direct_s, 0.0
+                )
                 thr_ref[s] = jnp.where(live, thr_s * alb_s, thr_s)
 
             # --- continuation rays

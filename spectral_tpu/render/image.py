@@ -30,6 +30,10 @@ def accum_to_u8(accum: np.ndarray, native: bool | None = None) -> np.ndarray:
         except Exception:
             if native is True:
                 raise
+    # NaN -> 0 to match the native C++ converter and the reference's Rust
+    # `as u8` saturating cast (NaN as u8 == 0); np.clip passes NaN through
+    # and NaN->uint8 is platform-undefined.
+    data = np.nan_to_num(data, nan=0.0)
     return (np.clip(data, 0.0, 1.0) * 255.0).astype(np.uint8)
 
 

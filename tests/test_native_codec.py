@@ -17,12 +17,14 @@ def test_u8_conversion_matches_numpy():
     rng = np.random.default_rng(0)
     data = rng.uniform(-0.5, 1.5, size=(33, 47, 4)).astype(np.float32)
     data[0, 0, 0] = np.nan
+    data[5, 5, 2] = np.inf
+    data[7, 3, 1] = -np.inf
     got = native.convert_f32_rgba_to_u8(data)
     want = image_mod.accum_to_u8(data, native=False)
-    # NaN maps to 0 in both (np.clip(NaN)->NaN->astype is UB; our numpy
-    # fallback relies on clip propagating NaN then cast; verify native)
-    assert got[0, 0, 0] == 0
-    got[0, 0, 0] = want[0, 0, 0]
+    # NaN maps to 0 deterministically in BOTH paths (the fallback
+    # nan_to_nums before clipping; NaN->uint8 would be UB otherwise).
+    assert got[0, 0, 0] == 0 and want[0, 0, 0] == 0
+    assert got[5, 5, 2] == 255 and got[7, 3, 1] == 0
     assert np.array_equal(got, want)
 
 
