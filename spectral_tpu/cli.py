@@ -54,6 +54,8 @@ def _load_scene(args):
 
 
 def cmd_render(args) -> int:
+    import signal
+
     from spectral_tpu.render.renderer import Renderer
 
     scene = _load_scene(args)
@@ -68,6 +70,24 @@ def cmd_render(args) -> int:
     if args.resume:
         renderer.load_checkpoint(args.resume)
         print(f"resumed at frame {renderer.next_frame}", file=sys.stderr)
+
+    # Graceful abort (the reference's Abort button, src/main.rs:1238-1247,
+    # text_resources.rs:112-113): first Ctrl-C finishes the current frame,
+    # saves the image plus a resumable checkpoint, and exits cleanly; a
+    # second Ctrl-C falls through to the normal KeyboardInterrupt.
+    stop = {"requested": False}
+
+    def _on_sigint(_sig, _frm):
+        if stop["requested"]:
+            raise KeyboardInterrupt
+        stop["requested"] = True
+        print(
+            "\nabort requested — finishing the current frame "
+            "(Ctrl-C again to force quit)",
+            file=sys.stderr,
+        )
+
+    prev_handler = signal.signal(signal.SIGINT, _on_sigint)
 
     last_preview = [time.monotonic()]
 
@@ -86,24 +106,40 @@ def cmd_render(args) -> int:
             last_preview[0] = time.monotonic()
 
     t0 = time.monotonic()
-    if args.profile:
-        import jax
+    abort = lambda: stop["requested"]  # noqa: E731 — polled once per frame
+    try:
+        if args.profile:
+            import jax
 
-        with jax.profiler.trace(args.profile):
-            renderer.render(progress=progress, check_finite=args.check_finite)
-    else:
-        renderer.render(progress=progress, check_finite=args.check_finite)
+            with jax.profiler.trace(args.profile):
+                renderer.render(
+                    progress=progress, abort=abort,
+                    check_finite=args.check_finite,
+                )
+        else:
+            renderer.render(
+                progress=progress, abort=abort, check_finite=args.check_finite
+            )
+    finally:
+        signal.signal(signal.SIGINT, prev_handler)
     if not args.quiet:
         print(file=sys.stderr)
     renderer.save_image(args.out)
-    if args.checkpoint:
-        renderer.save_checkpoint(args.checkpoint)
-        print(f"checkpoint -> {args.checkpoint}", file=sys.stderr)
+    aborted = stop["requested"]
+    checkpoint = args.checkpoint
+    if checkpoint is None and aborted:
+        checkpoint = f"{args.out}.ckpt.npz"  # auto-save: the abort is resumable
+    if checkpoint:
+        renderer.save_checkpoint(checkpoint)
+        print(f"checkpoint -> {checkpoint}", file=sys.stderr)
+    verb = "aborted after" if aborted else "rendered"
     print(
-        f"rendered {renderer.next_frame} iterations in "
+        f"{verb} {renderer.next_frame} iterations in "
         f"{time.monotonic() - t0:.1f}s -> {args.out}",
         file=sys.stderr,
     )
+    if aborted and checkpoint:
+        print(f"resume with --resume {checkpoint}", file=sys.stderr)
     return 0
 
 
@@ -175,6 +211,13 @@ def build_parser() -> argparse.ArgumentParser:
         prog="spectral_tpu",
         description="TPU-native spectral path tracer",
     )
+    parser.add_argument(
+        "--platform",
+        choices=("cpu", "tpu", "axon"),
+        help="force the JAX platform (this host's env-var override is "
+        "ignored by the pinned TPU plugin; this flag claims the platform "
+        "programmatically before backend init)",
+    )
     sub = parser.add_subparsers(dest="command", required=True)
 
     pr = sub.add_parser("render", help="render a scene progressively")
@@ -237,6 +280,10 @@ def _enable_compile_cache() -> None:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     _enable_compile_cache()
     return args.func(args)
 

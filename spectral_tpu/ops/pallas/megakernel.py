@@ -371,11 +371,53 @@ def build_megakernel(
             t_best = jnp.fmin(t_best, jnp.where(valid, t, _INF))
         return (t_best < _INF) & (t_best <= max_dist)
 
-    def _candidate_fori(geom, o, ox, oy, oz, dx, dy, dz):
-        """One object's (t, valid) with runtime type dispatch (both the
-        generic local-slab box test and the sphere quadratic are evaluated;
-        the type tag selects). Scalars come from dynamic SMEM reads."""
-        tag = geom[o, _TYPE]
+    # contiguous same-type object runs: the fori loop is emitted once per
+    # run with a minimal per-type body (no runtime type dispatch, no wasted
+    # rotation/quadratic math), while the ascending visit order — and with
+    # it the reference's lowest-index-wins tie rule — is preserved exactly.
+    type_runs: tuple[tuple[int, int, int], ...] = ()
+    if use_fori:
+        _runs = []
+        _i = 0
+        while _i < n_obj:
+            _j = _i
+            while _j < n_obj and obj_types[_j] == obj_types[_i]:
+                _j += 1
+            _runs.append((obj_types[_i], _i, _j))
+            _i = _j
+        type_runs = tuple(_runs)
+
+    def _sphere_t(geom, o, ox, oy, oz, dx, dy, dz, twoa, foura):
+        """Sphere quadratic (reference src/shader.rs:508-529); ``2a``/``4a``
+        are hoisted per trace call (bit-identical association)."""
+        cx_ = geom[o, _SHIFT]
+        cy_ = geom[o, _SHIFT + 1]
+        cz_ = geom[o, _SHIFT + 2]
+        rad = geom[o, _RADIUS]
+        rx_, ry_, rz_ = ox - cx_, oy - cy_, oz - cz_
+        b = 2.0 * _dot(rx_, ry_, rz_, dx, dy, dz)
+        c = _dot(rx_, ry_, rz_, rx_, ry_, rz_) - rad * rad
+        disc = b * b - foura * c
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t1 = (-b - sq) / twoa
+        t2 = (-b + sq) / twoa
+        t = jnp.where(t1 >= 0.0, t1, t2)
+        valid = (disc >= 0.0) & (t > 0.0)
+        return t, valid, (cx_, cy_, cz_)
+
+    def _plain_box_t(geom, o, ox, oy, oz, dx, dy, dz):
+        """World-space slab test — plain boxes carry an identity rotation
+        and zero shift, so the local frame IS the world frame."""
+        t_min, t_max, hit = _slab_t(
+            ox, oy, oz, dx, dy, dz,
+            geom[o, _SLAB_MIN], geom[o, _SLAB_MIN + 1], geom[o, _SLAB_MIN + 2],
+            geom[o, _SLAB_MAX], geom[o, _SLAB_MAX + 1], geom[o, _SLAB_MAX + 2],
+        )
+        t = jnp.where(t_min >= 0.0, t_min, t_max)
+        return t, hit & (t > 0.0)
+
+    def _rot_box_t(geom, o, ox, oy, oz, dx, dy, dz):
+        """Local-frame slab test for rotated boxes."""
         shx = geom[o, _SHIFT]
         shy = geom[o, _SHIFT + 1]
         shz = geom[o, _SHIFT + 2]
@@ -387,35 +429,22 @@ def build_megakernel(
         ldx = ir[0] * dx + ir[1] * dy + ir[2] * dz
         ldy = ir[3] * dx + ir[4] * dy + ir[5] * dz
         ldz = ir[6] * dx + ir[7] * dy + ir[8] * dz
-        t_min, t_max, hit_slab = _slab_t(
+        t_min, t_max, hit = _slab_t(
             lox, loy, loz, ldx, ldy, ldz,
             geom[o, _SLAB_MIN], geom[o, _SLAB_MIN + 1], geom[o, _SLAB_MIN + 2],
             geom[o, _SLAB_MAX], geom[o, _SLAB_MAX + 1], geom[o, _SLAB_MAX + 2],
         )
-        t_box = jnp.where(t_min >= 0.0, t_min, t_max)
-
-        rad = geom[o, _RADIUS]
-        a = _dot(dx, dy, dz, dx, dy, dz)
-        b = 2.0 * _dot(rx_, ry_, rz_, dx, dy, dz)  # shift slot == center
-        c = _dot(rx_, ry_, rz_, rx_, ry_, rz_) - rad * rad
-        disc = b * b - 4.0 * a * c
-        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-        t1 = (-b - sq) / (2.0 * a)
-        t2 = (-b + sq) / (2.0 * a)
-        t_sph = jnp.where(t1 >= 0.0, t1, t2)
-        v_sph = (disc >= 0.0) & (t_sph >= 0.0)
-
-        is_sphere = tag == jnp.float32(OBJ_SPHERE)
-        t = jnp.where(is_sphere, t_sph, t_box)
-        # NOTE: select between i1 vectors does not legalize in Mosaic;
-        # compose the type dispatch with boolean algebra instead
-        valid = ((is_sphere & v_sph) | ((~is_sphere) & hit_slab)) & (t > 0.0)
-        return tag, t, valid, (lox, loy, loz), ir
+        t = jnp.where(t_min >= 0.0, t_min, t_max)
+        return t, hit & (t > 0.0), ir
 
     def trace_tile_fori(geom, m_scal, ox, oy, oz, dx, dy, dz):
-        """fori-loop nearest hit: constant compile size in n_obj. Strict
-        ``t < t_best`` keeps the lowest object index on ties (ascending
-        visit order), matching the unrolled kernel and the reference."""
+        """Per-type-run fori nearest hit: constant compile size in n_obj.
+        Strict ``t < t_best`` keeps the lowest object index on ties
+        (ascending visit order), matching the unrolled kernel and the
+        reference."""
+        a = _dot(dx, dy, dz, dx, dy, dz)  # loop-invariant per trace
+        twoa = 2.0 * a
+        foura = 4.0 * a
         init = (
             jnp.full((r8, LANE), _INF),  # t_best
             jnp.zeros((r8, LANE), jnp.float32),  # winner material id
@@ -424,37 +453,55 @@ def build_megakernel(
             jnp.zeros((r8, LANE), jnp.float32),  # nz
         )
 
-        def body(o, carry):
+        def accum(carry, o, t_o, valid, cnx, cny, cnz):
             t_best, win_mat, nx, ny, nz = carry
-            tag, t_o, valid, _local, ir = _candidate_fori(
-                geom, o, ox, oy, oz, dx, dy, dz
-            )
             closer = valid & (t_o < t_best)
+            return (
+                jnp.where(closer, t_o, t_best),
+                jnp.where(closer, geom[o, _MATID], win_mat),
+                jnp.where(closer, cnx, nx),
+                jnp.where(closer, cny, ny),
+                jnp.where(closer, cnz, nz),
+            )
 
+        def sphere_body(o, carry):
+            t_o, valid, (cx_, cy_, cz_) = _sphere_t(
+                geom, o, ox, oy, oz, dx, dy, dz, twoa, foura
+            )
+            snx, sny, snz = _normalize(
+                (ox + dx * t_o) - cx_,
+                (oy + dy * t_o) - cy_,
+                (oz + dz * t_o) - cz_,
+            )
+            return accum(carry, o, t_o, valid, snx, sny, snz)
+
+        def axis(p, lo, hi):
+            return jnp.where(
+                jnp.abs(p - lo) < _F32_DELTA, jnp.float32(-1.0),
+                jnp.where(jnp.abs(p - hi) < _F32_DELTA,
+                          jnp.float32(1.0), jnp.float32(0.0)),
+            )
+
+        def plain_body(o, carry):
+            t_o, valid = _plain_box_t(geom, o, ox, oy, oz, dx, dy, dz)
             ipx = ox + dx * t_o
             ipy = oy + dy * t_o
             ipz = oz + dz * t_o
-            # sphere normal
-            snx, sny, snz = _normalize(
-                ipx - geom[o, _SHIFT], ipy - geom[o, _SHIFT + 1],
-                ipz - geom[o, _SHIFT + 2],
-            )
-            # plain box normal: axis-epsilon test against the world slabs
-            def axis(p, lo, hi):
-                return jnp.where(
-                    jnp.abs(p - lo) < _F32_DELTA, jnp.float32(-1.0),
-                    jnp.where(jnp.abs(p - hi) < _F32_DELTA,
-                              jnp.float32(1.0), jnp.float32(0.0)),
-                )
             ux = axis(ipx, geom[o, _SLAB_MIN], geom[o, _SLAB_MAX])
             uy = axis(ipy, geom[o, _SLAB_MIN + 1], geom[o, _SLAB_MAX + 1])
             uz = axis(ipz, geom[o, _SLAB_MIN + 2], geom[o, _SLAB_MAX + 2])
             pnx, pny, pnz = _normalize(ux, uy, uz)
+            return accum(carry, o, t_o, valid, pnx, pny, pnz)
+
+        def rot_body(o, carry):
+            t_o, valid, ir = _rot_box_t(geom, o, ox, oy, oz, dx, dy, dz)
+            ipx = ox + dx * t_o
+            ipy = oy + dy * t_o
+            ipz = oz + dz * t_o
             # rotated box normal: closest local face, strict < scan order
-            rx_, ry_, rz_ = (
-                ipx - geom[o, _SHIFT], ipy - geom[o, _SHIFT + 1],
-                ipz - geom[o, _SHIFT + 2],
-            )
+            rx_ = ipx - geom[o, _SHIFT]
+            ry_ = ipy - geom[o, _SHIFT + 1]
+            rz_ = ipz - geom[o, _SHIFT + 2]
             lx = ir[0] * rx_ + ir[1] * ry_ + ir[2] * rz_
             ly = ir[3] * rx_ + ir[4] * ry_ + ir[5] * rz_
             lz = ir[6] * rx_ + ir[7] * ry_ + ir[8] * rz_
@@ -483,22 +530,21 @@ def build_megakernel(
             rnx = r[0] * lnx + r[1] * lny + r[2] * lnz
             rny = r[3] * lnx + r[4] * lny + r[5] * lnz
             rnz = r[6] * lnx + r[7] * lny + r[8] * lnz
+            return accum(carry, o, t_o, valid, rnx, rny, rnz)
 
-            is_sphere = tag == jnp.float32(OBJ_SPHERE)
-            is_plain = tag == jnp.float32(OBJ_PLAIN_BOX)
-            cnx = jnp.where(is_sphere, snx, jnp.where(is_plain, pnx, rnx))
-            cny = jnp.where(is_sphere, sny, jnp.where(is_plain, pny, rny))
-            cnz = jnp.where(is_sphere, snz, jnp.where(is_plain, pnz, rnz))
-
-            return (
-                jnp.where(closer, t_o, t_best),
-                jnp.where(closer, geom[o, _MATID], win_mat),
-                jnp.where(closer, cnx, nx),
-                jnp.where(closer, cny, ny),
-                jnp.where(closer, cnz, nz),
-            )
-
-        t_best, win_mat, nx, ny, nz = jax.lax.fori_loop(0, n_obj, body, init)
+        bodies = {
+            OBJ_SPHERE: sphere_body,
+            OBJ_PLAIN_BOX: plain_body,
+            OBJ_ROTATED_BOX: rot_body,
+        }
+        carry = init
+        for run_tag, start, stop in type_runs:
+            body = bodies[run_tag]
+            if stop - start == 1:  # static index: direct SMEM reads
+                carry = body(start, carry)
+            else:
+                carry = jax.lax.fori_loop(start, stop, body, carry)
+        t_best, win_mat, nx, ny, nz = carry
         hit = t_best < _INF
         t_safe = jnp.where(hit, t_best, 0.0)
         ipx = ox + dx * t_safe
@@ -526,13 +572,37 @@ def build_megakernel(
         )
 
     def shadow_blocked_fori(geom, ox, oy, oz, dx, dy, dz, max_dist):
-        def body(o, t_best):
-            _tag, t_o, valid, _l, _ir = _candidate_fori(
-                geom, o, ox, oy, oz, dx, dy, dz
+        """Occlusion test, per-type-run fori (no normals, no materials)."""
+        a = _dot(dx, dy, dz, dx, dy, dz)
+        twoa = 2.0 * a
+        foura = 4.0 * a
+
+        def sphere_body(o, t_best):
+            t_o, valid, _c = _sphere_t(
+                geom, o, ox, oy, oz, dx, dy, dz, twoa, foura
             )
             return jnp.fmin(t_best, jnp.where(valid, t_o, _INF))
 
-        t_best = jax.lax.fori_loop(0, n_obj, body, jnp.full((r8, LANE), _INF))
+        def plain_body(o, t_best):
+            t_o, valid = _plain_box_t(geom, o, ox, oy, oz, dx, dy, dz)
+            return jnp.fmin(t_best, jnp.where(valid, t_o, _INF))
+
+        def rot_body(o, t_best):
+            t_o, valid, _ir = _rot_box_t(geom, o, ox, oy, oz, dx, dy, dz)
+            return jnp.fmin(t_best, jnp.where(valid, t_o, _INF))
+
+        bodies = {
+            OBJ_SPHERE: sphere_body,
+            OBJ_PLAIN_BOX: plain_body,
+            OBJ_ROTATED_BOX: rot_body,
+        }
+        t_best = jnp.full((r8, LANE), _INF)
+        for run_tag, start, stop in type_runs:
+            body = bodies[run_tag]
+            if stop - start == 1:
+                t_best = body(start, t_best)
+            else:
+                t_best = jax.lax.fori_loop(start, stop, body, t_best)
         return (t_best < _INF) & (t_best <= max_dist)
 
     def make_body(

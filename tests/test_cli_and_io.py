@@ -155,3 +155,56 @@ def test_cli_describe_shows_dielectric_fields(capsys):
     assert main(["describe", "--preset", "prism"]) == 0
     text = capsys.readouterr().out
     assert "transmission 1.0" in text and "emission 'Strip emission'" in text
+
+
+def test_cli_sigint_aborts_gracefully_and_resumes(tmp_path):
+    """First Ctrl-C finishes the current frame, saves image + auto
+    checkpoint, exits 0; the checkpoint then resumes to completion
+    (reference abort semantics, src/main.rs:1351-1357 +
+    text_resources.rs:112-113)."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    out = tmp_path / "img.png"
+    base = [
+        sys.executable, "-m", "spectral_tpu", "--platform", "cpu",
+        "render", "--preset", "default", "--width", "16", "--height", "8",
+        "--iterations", "60", "--bounces", "2", "--samples", "8",
+        "--out", str(out),
+    ]
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    proc = subprocess.Popen(base, stderr=subprocess.PIPE, env=env)
+    # wait for the first per-frame progress report, then interrupt
+    buf = b""
+    deadline = time.monotonic() + 180
+    while b"frame " not in buf:
+        assert time.monotonic() < deadline, buf.decode(errors="replace")
+        chunk = proc.stderr.read1(4096)
+        if not chunk:
+            time.sleep(0.05)
+            continue
+        buf += chunk
+    proc.send_signal(signal.SIGINT)
+    _, rest = proc.communicate(timeout=120)
+    buf += rest or b""
+    text = buf.decode(errors="replace")
+    assert proc.returncode == 0, text
+    assert "abort requested" in text and "aborted after" in text
+    assert out.exists()
+    ckpt = tmp_path / "img.png.ckpt.npz"
+    assert ckpt.exists(), text
+
+    data = np.load(ckpt)
+    frames_done = int(data["next_frame"])
+    assert 0 < frames_done < 60
+
+    # the auto-saved checkpoint resumes in-process (conftest already on CPU)
+    rc = main([
+        "render", "--preset", "default", "--width", "16", "--height", "8",
+        "--iterations", "60", "--bounces", "2", "--samples", "8",
+        "--out", str(out), "--resume", str(ckpt), "--quiet",
+    ])
+    assert rc == 0
