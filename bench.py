@@ -89,7 +89,7 @@ def _make_scene(name: str):
     raise SystemExit(f"unknown bench config {name!r}")
 
 
-def main(config_name: str = "cornell512") -> None:
+def main(config_name: str = "cornell512", tile: int | None = None) -> None:
     import signal
 
     import numpy as np
@@ -108,36 +108,52 @@ def main(config_name: str = "cornell512") -> None:
     has_trans = bool(np.asarray(arrays.transmission).any())
     has_emis = bool(np.asarray(arrays.emission).any())
 
-    # reference-equivalent ray counts, measured via the instrumented jnp
-    # path for the SAME frames the timed loop renders (ray survival varies
-    # per frame with the RNG seeds and Hammersley jitter)
+    # reference-equivalent ray counts + per-bounce live-lane occupancy,
+    # measured via the instrumented jnp path for the SAME frames the timed
+    # loop renders (ray survival varies per frame with the RNG seeds and
+    # Hammersley jitter)
     @partial(jax.jit, static_argnums=(1,))
     def count(scn, cfg, frame_id):
-        _rgb, rays = integrate_frame(scn, cfg, frame_id, return_stats=True)
-        return rays
+        _rgb, rays, hist = integrate_frame(
+            scn, cfg, frame_id, return_stats=True, return_occupancy=True
+        )
+        return rays, hist
 
     # timed path: the VMEM-resident Pallas megakernel
-    @partial(jax.jit, static_argnums=(1, 4, 5, 6), donate_argnums=(2,))
-    def step(scn, cfg, accum, frame_id, ots, ht, he):
+    @partial(jax.jit, static_argnums=(1, 4, 5, 6, 7), donate_argnums=(2,))
+    def step(scn, cfg, accum, frame_id, ots, ht, he, tl):
         return render_frame_step_pallas(
-            scn, cfg, accum, frame_id, ots, has_transmission=ht, has_emission=he
+            scn, cfg, accum, frame_id, ots, has_transmission=ht,
+            has_emission=he, tile=tl,
         )
 
     accum = jnp.zeros((config.height, config.width, 4), dtype=jnp.float32)
-    accum = step(arrays, config, accum, jnp.uint32(0), obj_types, has_trans, has_emis)  # compile
+    accum = step(
+        arrays, config, accum, jnp.uint32(0), obj_types, has_trans, has_emis,
+        tile,
+    )  # compile
     jax.block_until_ready(accum)
 
     n_frames = 50
     t0 = time.perf_counter()
     for f in range(1, n_frames + 1):
-        accum = step(arrays, config, accum, jnp.uint32(f), obj_types, has_trans, has_emis)
+        accum = step(
+            arrays, config, accum, jnp.uint32(f), obj_types, has_trans,
+            has_emis, tile,
+        )
     jax.block_until_ready(accum)
     dt = time.perf_counter() - t0
 
-    total_rays = float(
-        sum(float(count(arrays, config, jnp.uint32(f))) for f in range(1, n_frames + 1))
-    )
+    total_rays = 0.0
+    occupancy = np.zeros((config.max_bounces,), np.float64)
+    for f in range(1, n_frames + 1):
+        rays, hist = count(arrays, config, jnp.uint32(f))
+        total_rays += float(rays)
+        occupancy += np.asarray(hist, np.float64)
     rays_per_frame = total_rays / n_frames
+    # live-lane fraction entering each bounce, averaged over the frames
+    n_lanes = config.width * config.height
+    occ_frac = occupancy / (n_frames * n_lanes)
 
     signal.alarm(0)  # measurement done; disarm the watchdog
     total_ray_lambda = total_rays * config.n_samples
@@ -155,6 +171,14 @@ def main(config_name: str = "cornell512") -> None:
                     "seconds_per_frame": dt / n_frames,
                     "est_wall_1000_iters_s": round(dt / n_frames * 1000, 1),
                     "device": str(jax.devices()[0]),
+                    "tile": tile or "auto",
+                    # mean live-lane fraction over the bounce loop: the
+                    # megakernel executes every lane every bounce, so this
+                    # is the fraction of executed work that is useful
+                    "mean_occupancy": round(float(occ_frac.mean()), 4),
+                    "occupancy_per_bounce": [
+                        round(float(x), 4) for x in occ_frac
+                    ],
                 },
             }
         )
@@ -165,8 +189,9 @@ if __name__ == "__main__":
     import sys
 
     _cfg = sys.argv[1] if len(sys.argv) > 1 else "cornell512"
+    _tile = int(sys.argv[2]) if len(sys.argv) > 2 else None
     try:
-        main(_cfg)
+        main(_cfg, _tile)
     except BenchTimeout as e:
         print(
             json.dumps(

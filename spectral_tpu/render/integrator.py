@@ -242,10 +242,14 @@ def integrate_frame(
     return_stats: bool = False,
     grid=None,
     grid_static=None,
+    return_occupancy: bool = False,
 ):
     """Trace one progressive frame; returns linear RGB ``[H, W, 3]``
     (plus the reference-equivalent submitted-ray count if requested).
-    Passing a ``UniformGrid`` switches intersection to DDA traversal."""
+    Passing a ``UniformGrid`` switches intersection to DDA traversal.
+    ``return_occupancy`` additionally returns the per-bounce live-lane
+    counts ``[max_bounces]`` (lanes entering each bounce) — the wavefront
+    occupancy diagnostic the Pallas megakernel's economics depend on."""
     frame_id = jnp.asarray(frame_id, dtype=jnp.uint32)
     tracers = make_tracers(scene, grid, grid_static)
     origin, direction, px, py = generate_primary_rays(
@@ -273,21 +277,35 @@ def integrate_frame(
 
     if config.n_objects == 0:
         rgb = jnp.zeros((config.height, config.width, 3), dtype=jnp.float32)
-        return (rgb, jnp.float32(0.0)) if return_stats else rgb
+        out = (rgb,)
+        if return_stats:
+            out += (jnp.float32(0.0),)
+        if return_occupancy:
+            out += (jnp.zeros((config.max_bounces,), jnp.float32),)
+        return out if len(out) > 1 else rgb
 
-    def body(i, st):
+    def body(i, carry):
+        st, hist = carry
+        hist = hist.at[i].set(jnp.sum(st.alive.astype(jnp.float32)))
         bounces_left = jnp.uint32(config.max_bounces) - i.astype(jnp.uint32)
-        return _bounce(
+        st = _bounce(
             st, bounces_left, frame_id, px, py, scene, config, tracers
         )
+        return st, hist
 
-    state = jax.lax.fori_loop(0, config.max_bounces, body, state)
+    state, alive_hist = jax.lax.fori_loop(
+        0, config.max_bounces, body,
+        (state, jnp.zeros((config.max_bounces,), jnp.float32)),
+    )
 
     rgb = spectra_to_rgb(state.radiance, scene.xyz_weights, scene.xyz_to_rgb)
     rgb = rgb.reshape(config.height, config.width, 3)
+    out = (rgb,)
     if return_stats:
-        return rgb, state.ray_count
-    return rgb
+        out += (state.ray_count,)
+    if return_occupancy:
+        out += (alive_hist,)
+    return out if len(out) > 1 else rgb
 
 
 def accumulate_frame(

@@ -278,10 +278,12 @@ def render_frame_step_pallas(
     interpret: bool = False,
     has_transmission: bool = False,
     has_emission: bool = False,
+    tile: int | None = None,
 ) -> jax.Array:
     """Pallas-path equivalent of ``render_frame_step``."""
     rgb = integrate_frame_pallas(
         scene, config, frame_id, obj_types, interpret=interpret,
         has_transmission=has_transmission, has_emission=has_emission,
+        tile=tile,
     )
     return accumulate_frame(accum, rgb, frame_id)

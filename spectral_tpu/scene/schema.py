@@ -155,6 +155,54 @@ class SceneSpectrum:
     def regenerate(self, lo: float, hi: float, n: int) -> None:
         self.spectrum = _regenerate(self.spectrum_type, self.spectrum, lo, hi, n)
 
+    def edit(self, values) -> None:
+        """Overwrite the per-sample values (the reference's spectrum-editor
+        sliders, ``UISpectrum::edit`` src/main.rs:1799 + the per-sample
+        slider loop src/main.rs:1048-1064).
+
+        Only ``Custom`` spectra are editable — the reference disables the
+        sliders for every generated type. Values are validated against the
+        slider bounds: reflective samples lie in [0, 1]; emissive samples
+        are non-negative.
+        """
+        if not isinstance(self.spectrum_type, Custom):
+            raise SceneError(
+                f"spectrum {self.name!r} is a generated "
+                f"{type(self.spectrum_type).__name__} spectrum; only Custom "
+                "spectra have editable samples (reference main.rs:1041)"
+            )
+        vals = np.asarray(values, dtype=np.float32)
+        n = self.spectrum.nbr_of_samples
+        if vals.shape != (n,):
+            raise SceneError(
+                f"expected {n} samples (the spectrum's current sample "
+                f"count), got shape {vals.shape}"
+            )
+        if not np.isfinite(vals).all():
+            raise SceneError("spectrum samples must be finite")
+        if (vals < 0.0).any():
+            raise SceneError("spectrum samples must be non-negative")
+        if self.effect_type == SpectrumEffectType.REFLECTIVE and (vals > 1.0).any():
+            raise SceneError(
+                "reflective spectrum samples must be <= 1 (the reference's "
+                "slider bound, src/main.rs:1044)"
+            )
+        self.spectrum = Spectrum.new_from_list(
+            vals,
+            self.spectrum.lowest_wavelength,
+            self.spectrum.highest_wavelength,
+            n,
+        )
+
+    def edit_sample(self, index: int, value: float) -> None:
+        """Edit one sample (one slider) of a Custom spectrum."""
+        n = self.spectrum.nbr_of_samples
+        if not 0 <= index < n:
+            raise SceneError(f"sample index {index} out of range 0..{n - 1}")
+        vals = np.array(self.spectrum.intensities[:n], dtype=np.float32)
+        vals[index] = value
+        self.edit(vals)
+
     def render_spectrum(self) -> Spectrum:
         """Snapshot for rendering: reflective spectra are clamped to <= 1
         (reference ``From<&UISpectrum> for Spectrum``, src/spectrum.rs:486-494)."""

@@ -208,3 +208,55 @@ def test_cli_sigint_aborts_gracefully_and_resumes(tmp_path):
         "--out", str(out), "--resume", str(ckpt), "--quiet",
     ])
     assert rc == 0
+
+
+def test_spectrum_edit_api(tmp_path):
+    """Per-sample spectrum editing (reference UISpectrum::edit,
+    src/main.rs:1799): only Custom spectra are editable, slider bounds are
+    enforced, edits survive a JSON round-trip, and an edited spectrum
+    renders differently."""
+    import jax.numpy as jnp
+
+    from spectral_tpu.render.renderer import Renderer
+    from spectral_tpu.scene.schema import SceneError
+
+    scene = presets.default_scene()
+    n = scene.spectrum_number_of_samples
+    vals = np.linspace(0.2, 0.8, n).astype(np.float32)
+    custom = SceneSpectrum.new(
+        "editable", Custom(), SpectrumEffectType.REFLECTIVE, values=vals
+    )
+    scene.spectra.append(custom)
+    # point the first object's material at the custom spectrum
+    scene.materials[0].spectrum = custom
+
+    before = Renderer(scene).render_frames(1)
+
+    # generated spectra refuse edits (the reference disables their sliders)
+    with pytest.raises(SceneError, match="only Custom"):
+        scene.spectra[0].edit(np.zeros(n, np.float32))
+    # bounds: reflective samples stay in [0, 1]
+    with pytest.raises(SceneError, match="<= 1"):
+        custom.edit(np.full(n, 1.5, np.float32))
+    with pytest.raises(SceneError, match="non-negative"):
+        custom.edit(np.full(n, -0.1, np.float32))
+    with pytest.raises(SceneError, match="expected"):
+        custom.edit(np.zeros(n + 8, np.float32))
+
+    edited = np.zeros(n, np.float32)
+    edited[: n // 2] = 1.0  # half-band reflector: clearly different color
+    custom.edit(edited)
+    assert np.allclose(custom.spectrum.intensities[:n], edited)
+    custom.edit_sample(n - 1, 0.5)
+    assert custom.spectrum.intensities[n - 1] == np.float32(0.5)
+
+    # JSON round-trip preserves the edit
+    p = tmp_path / "edited.json"
+    sceneio.save_scene(scene, p)
+    loaded = sceneio.load_scene(p)
+    got = loaded.spectra[-1].spectrum.intensities[:n]
+    want = custom.spectrum.intensities[:n]
+    assert np.allclose(got, want)
+
+    after = Renderer(scene).render_frames(1)
+    assert not np.array_equal(before, after)
