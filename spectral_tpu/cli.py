@@ -56,6 +56,22 @@ def _load_scene(args):
 def cmd_render(args) -> int:
     import signal
 
+    from spectral_tpu.parallel import distributed
+
+    # multi-host: join the process group before any device use
+    if args.coordinator or args.num_processes or distributed.env_configured():
+        import jax
+
+        distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+        print(
+            f"distributed: process {jax.process_index()}/{jax.process_count()}",
+            file=sys.stderr,
+        )
+
     from spectral_tpu.render.renderer import Renderer
 
     scene = _load_scene(args)
@@ -90,9 +106,10 @@ def cmd_render(args) -> int:
     prev_handler = signal.signal(signal.SIGINT, _on_sigint)
 
     last_preview = [time.monotonic()]
+    primary = distributed.is_primary()  # only process 0 logs/saves
 
     def progress(p):
-        if not args.quiet:
+        if not args.quiet and primary:
             print(
                 f"\rframe {p.frame_id + 1}/{p.total_frames} "
                 f"({p.fraction:5.1%})  elapsed {p.elapsed_s:6.1f}s  "
@@ -101,6 +118,8 @@ def cmd_render(args) -> int:
                 file=sys.stderr,
                 flush=True,
             )
+        # save_image is multi-process safe (collective gather, primary
+        # writes) — every process must reach it
         if args.preview_every and time.monotonic() - last_preview[0] > args.preview_every:
             renderer.save_image(args.out)
             last_preview[0] = time.monotonic()
@@ -122,24 +141,26 @@ def cmd_render(args) -> int:
             )
     finally:
         signal.signal(signal.SIGINT, prev_handler)
-    if not args.quiet:
+    if not args.quiet and primary:
         print(file=sys.stderr)
-    renderer.save_image(args.out)
     aborted = stop["requested"]
     checkpoint = args.checkpoint
     if checkpoint is None and aborted:
         checkpoint = f"{args.out}.ckpt.npz"  # auto-save: the abort is resumable
+    renderer.save_image(args.out)  # collective; primary writes
     if checkpoint:
         renderer.save_checkpoint(checkpoint)
-        print(f"checkpoint -> {checkpoint}", file=sys.stderr)
-    verb = "aborted after" if aborted else "rendered"
-    print(
-        f"{verb} {renderer.next_frame} iterations in "
-        f"{time.monotonic() - t0:.1f}s -> {args.out}",
-        file=sys.stderr,
-    )
-    if aborted and checkpoint:
-        print(f"resume with --resume {checkpoint}", file=sys.stderr)
+        if primary:
+            print(f"checkpoint -> {checkpoint}", file=sys.stderr)
+    if primary:
+        verb = "aborted after" if aborted else "rendered"
+        print(
+            f"{verb} {renderer.next_frame} iterations in "
+            f"{time.monotonic() - t0:.1f}s -> {args.out}",
+            file=sys.stderr,
+        )
+        if aborted and checkpoint:
+            print(f"resume with --resume {checkpoint}", file=sys.stderr)
     return 0
 
 
@@ -229,6 +250,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="output image (png/jpg/bmp/tiff by extension)")
     pr.add_argument("--mesh", type=int, default=0,
                     help="shard over the first N devices (0 = single device)")
+    pr.add_argument("--coordinator",
+                    help="multi-host: coordinator address HOST:PORT for "
+                    "jax.distributed (or set JAX_COORDINATOR_ADDRESS)")
+    pr.add_argument("--num-processes", type=int,
+                    help="multi-host: total process count")
+    pr.add_argument("--process-id", type=int,
+                    help="multi-host: this process's index")
     pr.add_argument("--checkpoint", help=HELP["checkpoint"])
     pr.add_argument("--resume", help="resume from a checkpoint file")
     pr.add_argument("--preview-every", type=float, default=0.0,

@@ -269,6 +269,130 @@ def integrate_frame_pallas_split(
     return rgb.reshape(config.height, config.width, 3)
 
 
+def integrate_frame_pallas_phased(
+    scene: SceneArrays,
+    config: RenderConfig,
+    frame_id,
+    obj_types: tuple,
+    split: int = 2,
+    capacity_lanes: int | None = None,
+    tile: int | None = None,
+    interpret: bool = False,
+    has_transmission: bool = False,
+    has_emission: bool = False,
+):
+    """Occupancy-harvesting two-phase frame integration.
+
+    Measured motivation (tools/occupancy_sweep.py + bench occupancy
+    counters on v5e, 1000-sphere scene): live-lane occupancy entering
+    bounce 2 is ~3%, yet per-bounce cost is flat (~20 ms) because the
+    tile-level all-dead exit never fires with survivors scattered across
+    8192-lane tiles — bounces 2..7 execute ~97% dead work.
+
+    Phase 1 runs bounces ``[0, split)`` on the full wavefront. The live
+    lanes are then *extracted* (``jnp.nonzero`` with a static capacity —
+    NOT the bounce-split argsort permutation, whose full-wavefront
+    minor-axis gathers were measured at ~40 ms and rejected): only the
+    throughput spectra + 8 per-lane scalars move; phase-1 radiance never
+    moves. Phase 2 finishes bounces ``[split, max)`` on the compacted
+    (~16x smaller) wavefront, and its radiance is scatter-added back.
+
+    Returns ``(rgb, overflow)``: ``overflow`` is True when live lanes
+    exceeded the static capacity — the caller must then re-render this
+    frame with the monolithic kernel (the estimator is never truncated).
+    Lanes are extracted in ascending index order and the per-lane RNG
+    streams travel with ``px``/``py``, so non-overflow results are
+    bit-identical to the monolithic kernel.
+    """
+    frame_id = jnp.asarray(frame_id, dtype=jnp.uint32)
+    n = config.width * config.height
+    if config.n_objects == 0:
+        rgb = jnp.zeros((config.height, config.width, 3), dtype=jnp.float32)
+        return rgb, jnp.array(False)
+    if not 0 < split < config.max_bounces:
+        raise ValueError(f"split {split} must lie inside (0, max_bounces)")
+    tile = tile or _pick_tile(n)
+    n_pad = -(-n // tile) * tile
+    s_dim = config.n_samples
+    rows = n_pad // mk.LANE
+    # compacted-wavefront capacity: default 1/16 of the padded wavefront
+    # (~2.3x the measured post-split occupancy), at least one tile
+    cap = capacity_lanes or max(tile, n_pad // 16)
+    cap = -(-cap // tile) * tile
+    crows = cap // mk.LANE
+
+    origin, direction, px, py = generate_primary_rays(
+        scene.cam_pos, scene.cam_dir, scene.cam_up, scene.fov_y_deg,
+        config.width, config.height, frame_id, config.intended_frames,
+    )
+
+    def lanes(a, dtype=jnp.float32):
+        a = jnp.asarray(a, dtype)
+        return jnp.pad(a, (0, n_pad - n)).reshape(rows, mk.LANE)
+
+    geom = mk.pack_geometry(scene)
+    lpos = jnp.pad(scene.light_pos, ((0, 0), (0, 1)))
+    lspec = scene.light_spec
+    if config.n_lights == 0:
+        lpos = jnp.zeros((1, 4), jnp.float32)
+        lspec = jnp.zeros((1, s_dim), jnp.float32)
+
+    fori = len(obj_types) > 64
+    albedo_in = scene.albedo[:1] if fori else scene.albedo
+    emission_in = scene.emission[:1] if fori else scene.emission
+    m_alb = scene.mat_albedo if fori else scene.mat_albedo[:1]
+    m_emis = scene.mat_emission if fori else scene.mat_emission[:1]
+    m_scal = scene.mat_scalars if fori else scene.mat_scalars[:1]
+    tables = (geom, albedo_in, emission_in, m_alb, m_emis, m_scal, lpos, lspec)
+
+    k1 = _kernel_seg(
+        obj_types, config, tile, interpret, has_transmission, has_emission,
+        0, split,
+    )
+    k2 = _kernel_seg(
+        obj_types, config, tile, interpret, has_transmission, has_emission,
+        split, None,
+    )
+
+    gidx = jnp.arange(n_pad, dtype=jnp.int32).reshape(rows, mk.LANE)
+    alive0 = (gidx < n).astype(jnp.float32)
+    px_l, py_l = lanes(px, jnp.uint32), lanes(py, jnp.uint32)
+    (rad1, thr1, ox1, oy1, oz1, dx1, dy1, dz1, alive1, gate1, hero1) = k1(
+        lanes(origin.x), lanes(origin.y), lanes(origin.z),
+        lanes(direction.x), lanes(direction.y), lanes(direction.z),
+        px_l, py_l, frame_id, *tables,
+        jnp.ones((s_dim, rows, mk.LANE), jnp.float32),
+        jnp.zeros((s_dim, rows, mk.LANE), jnp.float32),
+        alive0, jnp.zeros((rows, mk.LANE), jnp.float32),
+        jnp.full((rows, mk.LANE), -1.0, jnp.float32),
+    )
+
+    flat_alive = alive1.reshape(n_pad) > 0.0
+    count = jnp.sum(flat_alive.astype(jnp.int32))
+    overflow = count > cap
+    # ascending-order extraction; fill entries point at lane 0 but carry a
+    # dead alive flag, so they trace harmlessly and accumulate nothing
+    (idx,) = jnp.nonzero(flat_alive, size=cap, fill_value=0)
+    alive_c = (jnp.arange(cap) < count).astype(jnp.float32)
+
+    def G(a):  # [rows, LANE] -> [crows, LANE]
+        return a.reshape(n_pad)[idx].reshape(crows, mk.LANE)
+
+    thr_c = thr1.reshape(s_dim, n_pad)[:, idx].reshape(s_dim, crows, mk.LANE)
+    out2 = k2(
+        G(ox1), G(oy1), G(oz1), G(dx1), G(dy1), G(dz1),
+        G(px_l), G(py_l), frame_id, *tables,
+        thr_c, jnp.zeros((s_dim, crows, mk.LANE), jnp.float32),
+        alive_c.reshape(crows, mk.LANE), G(gate1), G(hero1),
+    )
+    rad2 = out2[0].reshape(s_dim, cap)
+
+    rad = rad1.reshape(s_dim, n_pad).at[:, idx].add(rad2)
+    rad = rad.T[:n]
+    rgb = spectra_to_rgb(rad, scene.xyz_weights, scene.xyz_to_rgb)
+    return rgb.reshape(config.height, config.width, 3), overflow
+
+
 def render_frame_step_pallas(
     scene: SceneArrays,
     config: RenderConfig,
@@ -287,3 +411,33 @@ def render_frame_step_pallas(
         tile=tile,
     )
     return accumulate_frame(accum, rgb, frame_id)
+
+
+def render_frame_step_pallas_phased(
+    scene: SceneArrays,
+    config: RenderConfig,
+    accum: jax.Array,
+    frame_id,
+    obj_types: tuple,
+    split: int = 2,
+    capacity_lanes: int | None = None,
+    interpret: bool = False,
+    has_transmission: bool = False,
+    has_emission: bool = False,
+    tile: int | None = None,
+):
+    """Phased (occupancy-compacted) frame step.
+
+    Returns ``(accum', overflow)``; on overflow the returned accumulator
+    already contains a *wrong* frame — the caller must discard it and
+    re-render the frame with ``render_frame_step_pallas`` (see
+    ``Renderer._advance`` for the fallback pattern). Overflow is expected
+    to be rare: capacity defaults to ~2x the measured post-split
+    occupancy.
+    """
+    rgb, overflow = integrate_frame_pallas_phased(
+        scene, config, frame_id, obj_types, split=split,
+        capacity_lanes=capacity_lanes, tile=tile, interpret=interpret,
+        has_transmission=has_transmission, has_emission=has_emission,
+    )
+    return accumulate_frame(accum, rgb, frame_id), overflow

@@ -288,23 +288,43 @@ class Renderer:
         )
 
     def framebuffer(self) -> np.ndarray:
-        """Fetch the ``[H, W, 4]`` float32 accumulation buffer to host."""
-        return np.asarray(jax.device_get(self.accum))
+        """Fetch the ``[H, W, 4]`` float32 accumulation buffer to host.
+
+        Under a multi-process (multi-host) mesh the buffer is sharded
+        across hosts; it is all-gathered over DCN so every process gets
+        the full image (``parallel.distributed.fetch_global``)."""
+        from spectral_tpu.parallel.distributed import fetch_global
+
+        return fetch_global(self.accum)
 
     def save_image(self, path) -> None:
-        image_mod.save_image(self.framebuffer(), path)
+        """Save the current framebuffer.
+
+        Multi-process safe: the framebuffer gather is a collective every
+        process joins; only process 0 writes the file. Call this from ALL
+        processes in a distributed render."""
+        from spectral_tpu.parallel.distributed import is_primary
+
+        fb = self.framebuffer()
+        if is_primary():
+            image_mod.save_image(fb, path)
 
     # --------------------------------------------------------- checkpoint
 
     def save_checkpoint(self, path) -> None:
         """Persist accumulator + frame counter so long renders are
         resumable (a capability the reference lacks, SURVEY.md §5)."""
+        from spectral_tpu.parallel.distributed import is_primary
+
+        fb = self.framebuffer()  # collective under a multi-process mesh
+        if not is_primary():
+            return
         # write through a file handle: np.savez(path) would silently
         # append '.npz' to names without it, breaking resume-by-name
         with open(path, "wb") as f:
             np.savez(
                 f,
-                accum=self.framebuffer(),
+                accum=fb,
                 next_frame=self.next_frame,
                 intended_frames=self.config.intended_frames,
                 width=self.config.width,

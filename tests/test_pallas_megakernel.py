@@ -148,3 +148,50 @@ def test_fori_object_loop_matches_jnp(preset, n):
     flips = int((err > 1e-3).sum())
     assert flips <= 0.1 * err.size
     assert float(err[err <= 1e-3].max()) < 1e-5
+
+
+def test_phased_matches_monolithic():
+    """The occupancy-compacted two-phase path is bit-identical to the
+    monolithic kernel when capacity is not exceeded (lanes extracted in
+    ascending order, RNG streams travel with px/py)."""
+    scene = presets.sphere_field(n_spheres=12)
+    scene.width, scene.height = 16, 128  # 2048 lanes = 2 min-size tiles
+    scene.nbr_of_ray_bounces = 5
+    scene.nbr_of_iterations = 2
+    arrays, config = flatten_scene(scene)
+    obj_types = tuple(np.asarray(arrays.obj_type).tolist())
+    mono = np.asarray(
+        integrate_frame_pallas(
+            arrays, config, np.uint32(1), obj_types, tile=1024, interpret=True
+        )
+    )
+    from spectral_tpu.render.pallas_integrator import (
+        integrate_frame_pallas_phased,
+    )
+
+    phased, overflow = integrate_frame_pallas_phased(
+        arrays, config, np.uint32(1), obj_types, split=2,
+        capacity_lanes=1024, tile=1024, interpret=True,
+    )
+    assert not bool(overflow)
+    assert np.array_equal(mono, np.asarray(phased))
+
+
+def test_phased_reports_overflow():
+    scene = presets.sphere_field(n_spheres=12)
+    scene.width, scene.height = 16, 128
+    scene.nbr_of_ray_bounces = 5
+    scene.nbr_of_iterations = 2
+    arrays, config = flatten_scene(scene)
+    obj_types = tuple(np.asarray(arrays.obj_type).tolist())
+    from spectral_tpu.render.pallas_integrator import (
+        integrate_frame_pallas_phased,
+    )
+
+    # capacity of one tile CAN hold the survivors (previous test); split
+    # at bounce 1 with a fully-occupied wavefront cannot: 2048 live > 1024
+    _rgb, overflow = integrate_frame_pallas_phased(
+        arrays, config, np.uint32(1), obj_types, split=1,
+        capacity_lanes=1024, tile=1024, interpret=True,
+    )
+    assert bool(overflow)
