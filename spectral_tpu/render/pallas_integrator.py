@@ -378,18 +378,25 @@ def integrate_frame_pallas_phased(
     def G(a):  # [rows, LANE] -> [crows, LANE]
         return a.reshape(n_pad)[idx].reshape(crows, mk.LANE)
 
-    thr_c = thr1.reshape(s_dim, n_pad)[:, idx].reshape(s_dim, crows, mk.LANE)
+    # spectral state moves in lane-major [n_pad, S] layout so the
+    # extraction is a ROW gather (minor-axis lane gathers were measured at
+    # ~50 ms/frame on v5e for this wavefront — the same scatter-gather
+    # cost that killed the full bounce-split permutation)
+    thr_c = (
+        thr1.reshape(s_dim, n_pad).T[idx]
+        .T.reshape(s_dim, crows, mk.LANE)
+    )
     out2 = k2(
         G(ox1), G(oy1), G(oz1), G(dx1), G(dy1), G(dz1),
         G(px_l), G(py_l), frame_id, *tables,
         thr_c, jnp.zeros((s_dim, crows, mk.LANE), jnp.float32),
         alive_c.reshape(crows, mk.LANE), G(gate1), G(hero1),
     )
-    rad2 = out2[0].reshape(s_dim, cap)
+    rad2_t = out2[0].reshape(s_dim, cap).T  # [cap, S]
 
-    rad = rad1.reshape(s_dim, n_pad).at[:, idx].add(rad2)
-    rad = rad.T[:n]
-    rgb = spectra_to_rgb(rad, scene.xyz_weights, scene.xyz_to_rgb)
+    # lane-major throughout: the RGB conversion consumes [n, S] anyway
+    rad_t = rad1.reshape(s_dim, n_pad).T.at[idx].add(rad2_t)
+    rgb = spectra_to_rgb(rad_t[:n], scene.xyz_weights, scene.xyz_to_rgb)
     return rgb.reshape(config.height, config.width, 3), overflow
 
 

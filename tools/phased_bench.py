@@ -83,7 +83,8 @@ def main() -> None:
         )
 
     time_step("mono_b8", mono, False)
-    for split, frac in ((2, 16), (2, 8), (3, 16)):
+    # capacity from measured occupancy (bounce 2: 15%, 3: 9.2%, 4: 6%)
+    for split, frac in ((2, 4), (3, 8), (4, 8)):
         time_step(f"phased_s{split}_cap{frac}", make_phased(split, frac), True)
 
 
