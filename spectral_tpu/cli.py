@@ -108,7 +108,27 @@ def cmd_render(args) -> int:
     last_preview = [time.monotonic()]
     primary = distributed.is_primary()  # only process 0 logs/saves
 
+    viewer = None
+    if args.serve is not None:
+        if args.coordinator or args.num_processes:
+            raise SystemExit(
+                "--serve is single-process only (the live framebuffer "
+                "fetch cannot be time-gated deterministically across "
+                "processes); use --preview-every instead"
+            )
+        from spectral_tpu.utils.viewer import LiveViewer
+
+        viewer = LiveViewer(port=args.serve)
+        print(f"live view at {viewer.url}", file=sys.stderr)
+    last_view = [0.0]
+
     def progress(p):
+        if viewer is not None and time.monotonic() - last_view[0] > 1.0:
+            viewer.update(
+                renderer.framebuffer(), p.frame_id + 1, p.total_frames,
+                p.elapsed_s,
+            )
+            last_view[0] = time.monotonic()
         if not args.quiet and primary:
             print(
                 f"\rframe {p.frame_id + 1}/{p.total_frames} "
@@ -125,7 +145,11 @@ def cmd_render(args) -> int:
             last_preview[0] = time.monotonic()
 
     t0 = time.monotonic()
-    abort = lambda: stop["requested"]  # noqa: E731 — polled once per frame
+
+    def abort():  # polled once per frame
+        return stop["requested"] or (
+            viewer is not None and viewer.abort_requested()
+        )
     try:
         if args.profile:
             import jax
@@ -143,7 +167,9 @@ def cmd_render(args) -> int:
         signal.signal(signal.SIGINT, prev_handler)
     if not args.quiet and primary:
         print(file=sys.stderr)
-    aborted = stop["requested"]
+    aborted = abort()  # Ctrl-C or the live view's Abort button
+    if viewer is not None:
+        viewer.close()
     checkpoint = args.checkpoint
     if checkpoint is None and aborted:
         checkpoint = f"{args.out}.ckpt.npz"  # auto-save: the abort is resumable
@@ -261,6 +287,11 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--resume", help="resume from a checkpoint file")
     pr.add_argument("--preview-every", type=float, default=0.0,
                     help="write the output image every N seconds while rendering")
+    pr.add_argument("--serve", type=int, nargs="?", const=0, default=None,
+                    metavar="PORT",
+                    help="serve a live progressive view over HTTP (frame, "
+                    "progress, abort button); PORT 0 or omitted picks a "
+                    "free port")
     pr.add_argument("--quiet", action="store_true")
     pr.add_argument("--check-finite", action="store_true",
                     help="validate the accumulator each frame; abort on NaN/Inf")
