@@ -85,8 +85,18 @@ def _make_scene(name: str):
     if name == "spheres":
         scene = presets.sphere_field(n_spheres=1000)
         scene.nbr_of_iterations = 100
-        return scene, "1000 spheres 1024x768, 32 lambda, 8 bounces, fori megakernel"
+        return scene, (
+            "1000 spheres 1024x768, 32 lambda, 8 bounces, "
+            "phased fori megakernel (occupancy-compacted tail bounces)"
+        )
     raise SystemExit(f"unknown bench config {name!r}")
+
+
+# phased rendering configuration for the many-object config: bounces
+# [0,3) on the full wavefront, survivors (measured ~9%) compacted into a
+# 1/8-capacity wavefront for the tail; overflow falls back to the
+# monolithic kernel (exact estimator always)
+_PHASED = {"spheres": {"split": 3, "capacity_frac": 8}}
 
 
 def main(config_name: str = "cornell512", tile: int | None = None) -> None:
@@ -127,22 +137,51 @@ def main(config_name: str = "cornell512", tile: int | None = None) -> None:
             has_emission=he, tile=tl,
         )
 
-    accum = jnp.zeros((config.height, config.width, 4), dtype=jnp.float32)
-    accum = step(
-        arrays, config, accum, jnp.uint32(0), obj_types, has_trans, has_emis,
-        tile,
-    )  # compile
-    jax.block_until_ready(accum)
-
     n_frames = 50
-    t0 = time.perf_counter()
-    for f in range(1, n_frames + 1):
-        accum = step(
-            arrays, config, accum, jnp.uint32(f), obj_types, has_trans,
-            has_emis, tile,
+    phased = _PHASED.get(config_name)
+    overflow_frames = 0
+    if phased is not None:
+        from spectral_tpu.render.renderer import Renderer, _mono_rgb
+
+        n_lanes0 = config.width * config.height
+        renderer = Renderer(
+            scene,
+            phase_split=phased["split"],
+            phase_capacity=n_lanes0 // phased["capacity_frac"],
         )
-    jax.block_until_ready(accum)
-    dt = time.perf_counter() - t0
+        renderer.render_frames(1)  # compile the phased step + blend
+        # precompile the overflow fallback so a rare overflow mid-timing
+        # doesn't pay compilation
+        jax.block_until_ready(
+            _mono_rgb(
+                renderer.scene_arrays, config, jnp.uint32(0),
+                renderer.obj_types, renderer.has_transmission,
+                renderer.has_emission, False, None,
+            )
+        )
+        jax.block_until_ready(renderer.accum)
+        t0 = time.perf_counter()
+        renderer.render_frames(n_frames)
+        renderer._flush_pending()
+        jax.block_until_ready(renderer.accum)
+        dt = time.perf_counter() - t0
+        overflow_frames = renderer.overflow_frames
+    else:
+        accum = jnp.zeros((config.height, config.width, 4), dtype=jnp.float32)
+        accum = step(
+            arrays, config, accum, jnp.uint32(0), obj_types, has_trans,
+            has_emis, tile,
+        )  # compile
+        jax.block_until_ready(accum)
+
+        t0 = time.perf_counter()
+        for f in range(1, n_frames + 1):
+            accum = step(
+                arrays, config, accum, jnp.uint32(f), obj_types, has_trans,
+                has_emis, tile,
+            )
+        jax.block_until_ready(accum)
+        dt = time.perf_counter() - t0
 
     total_rays = 0.0
     occupancy = np.zeros((config.max_bounces,), np.float64)
@@ -172,6 +211,8 @@ def main(config_name: str = "cornell512", tile: int | None = None) -> None:
                     "est_wall_1000_iters_s": round(dt / n_frames * 1000, 1),
                     "device": str(jax.devices()[0]),
                     "tile": tile or "auto",
+                    "phased": phased,
+                    "overflow_frames": overflow_frames,
                     # mean live-lane fraction over the bounce loop: the
                     # megakernel executes every lane every bounce, so this
                     # is the fraction of executed work that is useful

@@ -387,9 +387,12 @@ def build_megakernel(
             _i = _j
         type_runs = tuple(_runs)
 
-    def _sphere_t(geom, o, ox, oy, oz, dx, dy, dz, twoa, foura):
-        """Sphere quadratic (reference src/shader.rs:508-529); ``2a``/``4a``
-        are hoisted per trace call (bit-identical association)."""
+    def _sphere_t(geom, o, ox, oy, oz, dx, dy, dz, inv2a, foura):
+        """Sphere quadratic (reference src/shader.rs:508-529). ``1/(2a)``
+        and ``4a`` are hoisted per trace call; multiplying by the
+        reciprocal instead of dividing per object diverges from the
+        reference by <=1 ulp in t — inside the documented chaos envelope
+        (the jnp path keeps reference-exact division)."""
         cx_ = geom[o, _SHIFT]
         cy_ = geom[o, _SHIFT + 1]
         cz_ = geom[o, _SHIFT + 2]
@@ -399,8 +402,8 @@ def build_megakernel(
         c = _dot(rx_, ry_, rz_, rx_, ry_, rz_) - rad * rad
         disc = b * b - foura * c
         sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-        t1 = (-b - sq) / twoa
-        t2 = (-b + sq) / twoa
+        t1 = (-b - sq) * inv2a
+        t2 = (-b + sq) * inv2a
         t = jnp.where(t1 >= 0.0, t1, t2)
         valid = (disc >= 0.0) & (t > 0.0)
         return t, valid, (cx_, cy_, cz_)
@@ -443,37 +446,38 @@ def build_megakernel(
         (ascending visit order), matching the unrolled kernel and the
         reference."""
         a = _dot(dx, dy, dz, dx, dy, dz)  # loop-invariant per trace
-        twoa = 2.0 * a
+        inv2a = 1.0 / (2.0 * a)
         foura = 4.0 * a
+        # carry slots s1..s3 hold the winner's normal for box runs, but the
+        # winner's CENTER for sphere runs (flagged by win_sphere) — the
+        # sphere normal is derived once after the loop, keeping the hot
+        # sphere body free of per-object normalization (~35% fewer ops)
         init = (
             jnp.full((r8, LANE), _INF),  # t_best
             jnp.zeros((r8, LANE), jnp.float32),  # winner material id
-            jnp.zeros((r8, LANE), jnp.float32),  # nx
-            jnp.zeros((r8, LANE), jnp.float32),  # ny
-            jnp.zeros((r8, LANE), jnp.float32),  # nz
+            jnp.zeros((r8, LANE), jnp.float32),  # s1
+            jnp.zeros((r8, LANE), jnp.float32),  # s2
+            jnp.zeros((r8, LANE), jnp.float32),  # s3
+            jnp.zeros((r8, LANE), jnp.float32),  # win_sphere flag
         )
 
-        def accum(carry, o, t_o, valid, cnx, cny, cnz):
-            t_best, win_mat, nx, ny, nz = carry
+        def accum(carry, o, t_o, valid, s1, s2, s3, is_sphere):
+            t_best, win_mat, c1, c2, c3, winsph = carry
             closer = valid & (t_o < t_best)
             return (
                 jnp.where(closer, t_o, t_best),
                 jnp.where(closer, geom[o, _MATID], win_mat),
-                jnp.where(closer, cnx, nx),
-                jnp.where(closer, cny, ny),
-                jnp.where(closer, cnz, nz),
+                jnp.where(closer, s1, c1),
+                jnp.where(closer, s2, c2),
+                jnp.where(closer, s3, c3),
+                jnp.where(closer, jnp.float32(is_sphere), winsph),
             )
 
         def sphere_body(o, carry):
             t_o, valid, (cx_, cy_, cz_) = _sphere_t(
-                geom, o, ox, oy, oz, dx, dy, dz, twoa, foura
+                geom, o, ox, oy, oz, dx, dy, dz, inv2a, foura
             )
-            snx, sny, snz = _normalize(
-                (ox + dx * t_o) - cx_,
-                (oy + dy * t_o) - cy_,
-                (oz + dz * t_o) - cz_,
-            )
-            return accum(carry, o, t_o, valid, snx, sny, snz)
+            return accum(carry, o, t_o, valid, cx_, cy_, cz_, 1.0)
 
         def axis(p, lo, hi):
             return jnp.where(
@@ -491,7 +495,7 @@ def build_megakernel(
             uy = axis(ipy, geom[o, _SLAB_MIN + 1], geom[o, _SLAB_MAX + 1])
             uz = axis(ipz, geom[o, _SLAB_MIN + 2], geom[o, _SLAB_MAX + 2])
             pnx, pny, pnz = _normalize(ux, uy, uz)
-            return accum(carry, o, t_o, valid, pnx, pny, pnz)
+            return accum(carry, o, t_o, valid, pnx, pny, pnz, 0.0)
 
         def rot_body(o, carry):
             t_o, valid, ir = _rot_box_t(geom, o, ox, oy, oz, dx, dy, dz)
@@ -530,7 +534,7 @@ def build_megakernel(
             rnx = r[0] * lnx + r[1] * lny + r[2] * lnz
             rny = r[3] * lnx + r[4] * lny + r[5] * lnz
             rnz = r[6] * lnx + r[7] * lny + r[8] * lnz
-            return accum(carry, o, t_o, valid, rnx, rny, rnz)
+            return accum(carry, o, t_o, valid, rnx, rny, rnz, 0.0)
 
         bodies = {
             OBJ_SPHERE: sphere_body,
@@ -544,12 +548,20 @@ def build_megakernel(
                 carry = body(start, carry)
             else:
                 carry = jax.lax.fori_loop(start, stop, body, carry)
-        t_best, win_mat, nx, ny, nz = carry
+        t_best, win_mat, s1, s2, s3, winsph = carry
         hit = t_best < _INF
         t_safe = jnp.where(hit, t_best, 0.0)
         ipx = ox + dx * t_safe
         ipy = oy + dy * t_safe
         ipz = oz + dz * t_safe
+        # winner normal: boxes stored it directly; spheres stored their
+        # center — derive the normal once here (matches the per-object
+        # in-loop computation exactly: same ip, same normalize)
+        is_sph = winsph > 0.0
+        snx, sny, snz = _normalize(ipx - s1, ipy - s2, ipz - s3)
+        nx = jnp.where(is_sph, snx, s1)
+        ny = jnp.where(is_sph, sny, s2)
+        nz = jnp.where(is_sph, snz, s3)
         # winner material: one-hot masks (computed once; the per-s albedo
         # and emission selects in the bounce body reuse them)
         mat_masks = [win_mat == jnp.float32(m) for m in range(n_materials)]
@@ -571,39 +583,76 @@ def build_megakernel(
             metal, rough, transw, ior, cauchy, mat_masks,
         )
 
-    def shadow_blocked_fori(geom, ox, oy, oz, dx, dy, dz, max_dist):
-        """Occlusion test, per-type-run fori (no normals, no materials)."""
-        a = _dot(dx, dy, dz, dx, dy, dz)
-        twoa = 2.0 * a
-        foura = 4.0 * a
+    def shadow_blocked_fori_multi(geom, rays):
+        """Occlusion tests for several shadow rays (one per light) fused
+        into ONE object loop: per-object scalar SMEM loads and loop
+        control are shared across lights. ``rays`` is a list of
+        ``(ox, oy, oz, dx, dy, dz, max_dist)``; returns one blocked mask
+        per ray. No normals, no materials."""
+        pre = []
+        for (sox, soy, soz, sdx, sdy, sdz, maxd) in rays:
+            a = _dot(sdx, sdy, sdz, sdx, sdy, sdz)
+            pre.append((1.0 / (2.0 * a), 4.0 * a))
 
-        def sphere_body(o, t_best):
-            t_o, valid, _c = _sphere_t(
-                geom, o, ox, oy, oz, dx, dy, dz, twoa, foura
-            )
-            return jnp.fmin(t_best, jnp.where(valid, t_o, _INF))
+        def sphere_body(o, t_bests):
+            cx_ = geom[o, _SHIFT]
+            cy_ = geom[o, _SHIFT + 1]
+            cz_ = geom[o, _SHIFT + 2]
+            rad = geom[o, _RADIUS]
+            r2 = rad * rad
+            out = []
+            for (sox, soy, soz, sdx, sdy, sdz, _m), (inv2a, foura), t_best in zip(
+                rays, pre, t_bests
+            ):
+                rx_, ry_, rz_ = sox - cx_, soy - cy_, soz - cz_
+                b = 2.0 * _dot(rx_, ry_, rz_, sdx, sdy, sdz)
+                c = _dot(rx_, ry_, rz_, rx_, ry_, rz_) - r2
+                disc = b * b - foura * c
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                t1 = (-b - sq) * inv2a
+                t2 = (-b + sq) * inv2a
+                t = jnp.where(t1 >= 0.0, t1, t2)
+                valid = (disc >= 0.0) & (t > 0.0)
+                out.append(jnp.fmin(t_best, jnp.where(valid, t, _INF)))
+            return tuple(out)
 
-        def plain_body(o, t_best):
-            t_o, valid = _plain_box_t(geom, o, ox, oy, oz, dx, dy, dz)
-            return jnp.fmin(t_best, jnp.where(valid, t_o, _INF))
+        def plain_body(o, t_bests):
+            out = []
+            for (sox, soy, soz, sdx, sdy, sdz, _m), t_best in zip(
+                rays, t_bests
+            ):
+                t_o, valid = _plain_box_t(
+                    geom, o, sox, soy, soz, sdx, sdy, sdz
+                )
+                out.append(jnp.fmin(t_best, jnp.where(valid, t_o, _INF)))
+            return tuple(out)
 
-        def rot_body(o, t_best):
-            t_o, valid, _ir = _rot_box_t(geom, o, ox, oy, oz, dx, dy, dz)
-            return jnp.fmin(t_best, jnp.where(valid, t_o, _INF))
+        def rot_body(o, t_bests):
+            out = []
+            for (sox, soy, soz, sdx, sdy, sdz, _m), t_best in zip(
+                rays, t_bests
+            ):
+                t_o, valid, _ir = _rot_box_t(
+                    geom, o, sox, soy, soz, sdx, sdy, sdz
+                )
+                out.append(jnp.fmin(t_best, jnp.where(valid, t_o, _INF)))
+            return tuple(out)
 
         bodies = {
             OBJ_SPHERE: sphere_body,
             OBJ_PLAIN_BOX: plain_body,
             OBJ_ROTATED_BOX: rot_body,
         }
-        t_best = jnp.full((r8, LANE), _INF)
+        t_bests = tuple(jnp.full((r8, LANE), _INF) for _ in rays)
         for run_tag, start, stop in type_runs:
             body = bodies[run_tag]
             if stop - start == 1:
-                t_best = body(start, t_best)
+                t_bests = body(start, t_bests)
             else:
-                t_best = jax.lax.fori_loop(start, stop, body, t_best)
-        return (t_best < _INF) & (t_best <= max_dist)
+                t_bests = jax.lax.fori_loop(start, stop, body, t_bests)
+        return [
+            (t < _INF) & (t <= ray[6]) for t, ray in zip(t_bests, rays)
+        ]
 
     def make_body(
         frame_ref, px_ref, py_ref, geom_ref, albedo_ref, emis_ref,
@@ -663,27 +712,33 @@ def build_megakernel(
 
             cos_out = jnp.maximum(-(dx * nx + dy * ny + dz * nz), 0.0)
 
-            # --- NEE: per-light occlusion + scale; spectra folded per-s
-            scales = []
+            # --- NEE: per-light occlusion + scale; spectra folded per-s.
+            # All lights' shadow rays share ONE object loop (fori mode) so
+            # per-object scalar loads and loop control are paid once.
+            light_rays = []
+            light_geo = []
             for l in range(n_lights):
                 lx, ly, lz = lpos_ref[l, 0], lpos_ref[l, 1], lpos_ref[l, 2]
                 ldx_, ldy_, ldz_ = lx - offx, ly - offy, lz - offz
                 dist2 = _dot(ldx_, ldy_, ldz_, ldx_, ldy_, ldz_)
                 dist = jnp.sqrt(dist2)
                 lnx, lny, lnz = _normalize(ldx_, ldy_, ldz_)
-                if use_fori:
-                    blocked = shadow_blocked_fori(
-                        geom, offx, offy, offz, lnx, lny, lnz, dist
-                    )
-                else:
-                    blocked = shadow_blocked(
-                        geom, offx, offy, offz, lnx, lny, lnz, dist
-                    )
+                light_rays.append((offx, offy, offz, lnx, lny, lnz, dist))
+                light_geo.append((lnx, lny, lnz, dist2))
+            if use_fori and n_lights:
+                blockeds = shadow_blocked_fori_multi(geom, light_rays)
+            else:
+                blockeds = [
+                    shadow_blocked(geom, *ray) for ray in light_rays
+                ]
+            scales = []
+            for (lnx, lny, lnz, dist2), blocked in zip(light_geo, blockeds):
                 # reference re-normalizes the normalized direction
                 l2x, l2y, l2z = _normalize(lnx, lny, lnz)
                 cos_in = jnp.maximum(l2x * nx + l2y * ny + l2z * nz, 0.0)
-                scale = jnp.where(blocked, 0.0, (cos_in * cos_out) / dist2)
-                scales.append(scale)
+                scales.append(
+                    jnp.where(blocked, 0.0, (cos_in * cos_out) / dist2)
+                )
 
             live_f = jnp.where(live, 1.0, 0.0)
             contrib = jnp.where(live & (~spec) & (~trans), 1.0, 0.0)

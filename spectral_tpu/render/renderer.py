@@ -83,6 +83,53 @@ def _step_pallas(
     )
 
 
+@partial(jax.jit, static_argnums=(1, 3, 4, 5, 6, 7, 8, 9))
+def _phased_rgb(
+    scene: SceneArrays, config: RenderConfig, frame_id, obj_types,
+    split, capacity, has_transmission, has_emission, interpret, tile,
+):
+    from spectral_tpu.render.pallas_integrator import (
+        integrate_frame_pallas_phased,
+    )
+
+    return integrate_frame_pallas_phased(
+        scene, config, frame_id, obj_types, split=split,
+        capacity_lanes=capacity, interpret=interpret, tile=tile,
+        has_transmission=has_transmission, has_emission=has_emission,
+    )
+
+
+@partial(jax.jit, static_argnums=(1, 3, 4, 5, 6, 7))
+def _mono_rgb(
+    scene: SceneArrays, config: RenderConfig, frame_id, obj_types,
+    has_transmission, has_emission, interpret, tile,
+):
+    from spectral_tpu.render.pallas_integrator import integrate_frame_pallas
+
+    return integrate_frame_pallas(
+        scene, config, frame_id, obj_types, interpret=interpret, tile=tile,
+        has_transmission=has_transmission, has_emission=has_emission,
+    )
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _blend(accum, rgb, frame_id):
+    from spectral_tpu.render.integrator import accumulate_frame
+
+    return accumulate_frame(accum, rgb, frame_id)
+
+
+# MEASURED AND REJECTED (v5e, 1000-sphere config): fusing the previous
+# frame's resolve (lax.cond monolithic fallback) + blend + the current
+# frame's phased trace into ONE jit program ran 702 ms/frame vs 124 ms for
+# the two-program pipelined loop below — a lax.cond whose branch contains
+# the monolithic megakernel degrades the whole program ~6x on this stack.
+# The production design instead pipelines the overflow check one frame
+# deep: by the time frame f-1's flag is read, frame f is already
+# dispatched, so the host sync (which costs ~26 ms when done same-frame)
+# is hidden behind device work.
+
+
 def _is_tpu_platform() -> bool:
     plat = jax.default_backend()
     return plat in ("tpu", "axon") or "tpu" in jax.devices()[0].platform.lower()
@@ -121,6 +168,10 @@ class Renderer:
         sharding: jax.sharding.NamedSharding | None = None,
         backend: str = "auto",
         accel: str = "auto",
+        phase_split: int | None = None,
+        phase_capacity: int | None = None,
+        _interpret: bool = False,
+        _phase_tile: int | None = None,
     ):
         import numpy as _np
 
@@ -195,12 +246,61 @@ class Renderer:
                 )
         else:
             self._accum_sharding = None
+        # phased (occupancy-compacted) rendering: bounces [0, split) on the
+        # full wavefront, the surviving ~10% of lanes compacted for the
+        # tail bounces. Measured 1.24x on the 1000-sphere config BEFORE
+        # pipelining; the overflow check is pipelined one frame deep here
+        # because a same-frame host sync costs ~26 ms/frame on v5e.
+        self.phase_split = phase_split
+        self.phase_capacity = phase_capacity
+        self._interpret = _interpret
+        self._phase_tile = _phase_tile
+        self.overflow_frames = 0
+        self._pending: tuple | None = None
+        if phase_split is not None:
+            if self.backend != "pallas" and not _interpret:
+                raise ValueError("phase_split requires the pallas backend")
+            if sharding is not None:
+                raise ValueError(
+                    "phase_split is per-device; combine it with sharding "
+                    "once per-shard wavefronts exist"
+                )
         self.accum = self._zero_accum()
         self.next_frame = 0
 
+    def _resolve_pending(self) -> None:
+        """Blend the previous phased frame, re-rendering it monolithically
+        if its compacted wavefront overflowed (exact estimator always).
+        Called right AFTER the next frame is dispatched, so the host sync
+        on the overflow flag is hidden behind device work."""
+        if self._pending is None:
+            return
+        fid, rgb, overflow = self._pending
+        self._pending = None
+        if bool(overflow):
+            self.overflow_frames += 1
+            rgb = _mono_rgb(
+                self.scene_arrays, self.config, fid, self.obj_types,
+                self.has_transmission, self.has_emission, self._interpret,
+                self._phase_tile,
+            )
+        self.accum = _blend(self.accum, rgb, fid)
+
+    def _flush_pending(self) -> None:
+        self._resolve_pending()
+
     def _advance(self, frame_id) -> None:
         fid = jnp.uint32(frame_id)
-        if self.backend == "pallas":
+        if self.phase_split is not None:
+            rgb, overflow = _phased_rgb(
+                self.scene_arrays, self.config, fid, self.obj_types,
+                self.phase_split, self.phase_capacity,
+                self.has_transmission, self.has_emission,
+                self._interpret, self._phase_tile,
+            )
+            self._resolve_pending()  # f-1 is done by now; sync is hidden
+            self._pending = (fid, rgb, overflow)
+        elif self.backend == "pallas":
             if self.sharding is not None:
                 self.accum = self._sharded_step(self.scene_arrays, self.accum, fid)
             else:
@@ -225,6 +325,7 @@ class Renderer:
         return accum
 
     def reset(self) -> None:
+        self._pending = None  # pre-reset frames are discarded, not blended
         self.accum = self._zero_accum()
         self.next_frame = 0
 
@@ -295,6 +396,7 @@ class Renderer:
         the full image (``parallel.distributed.fetch_global``)."""
         from spectral_tpu.parallel.distributed import fetch_global
 
+        self._flush_pending()  # a phased frame may still be in flight
         return fetch_global(self.accum)
 
     def save_image(self, path) -> None:
@@ -344,5 +446,6 @@ class Renderer:
         accum = jnp.asarray(data["accum"], dtype=jnp.float32)
         if self._accum_sharding is not None:
             accum = jax.device_put(accum, self._accum_sharding)
+        self._pending = None
         self.accum = accum
         self.next_frame = int(data["next_frame"])

@@ -195,3 +195,64 @@ def test_phased_reports_overflow():
         capacity_lanes=1024, tile=1024, interpret=True,
     )
     assert bool(overflow)
+
+
+def test_renderer_phased_pipeline_and_fallback():
+    """Renderer-level phased mode: one-frame-deep pipelined overflow
+    check, exact monolithic fallback on overflow, flush before fetch."""
+    import jax.numpy as jnp
+
+    from spectral_tpu.render.renderer import Renderer, _blend
+
+    def scene():
+        sc = presets.sphere_field(n_spheres=12)
+        sc.width, sc.height = 16, 128
+        sc.nbr_of_ray_bounces = 5
+        sc.nbr_of_iterations = 3
+        return sc
+
+    from spectral_tpu.render.renderer import _mono_rgb
+
+    arrays, config = flatten_scene(scene())
+    obj_types = tuple(np.asarray(arrays.obj_type).tolist())
+    # expected: monolithic frames through the renderer's own jitted
+    # fallback path + blend
+    want = jnp.zeros((config.height, config.width, 4), jnp.float32)
+    for f in range(2):
+        rgb = _mono_rgb(
+            arrays, config, jnp.uint32(f), obj_types, False, False, True,
+            1024,
+        )
+        want = _blend(want, rgb, jnp.uint32(f))
+    want = np.asarray(want)
+
+    r = Renderer(
+        scene(), phase_split=2, phase_capacity=1024,
+        _interpret=True, _phase_tile=1024,
+    )
+    got = r.render_frames(2)  # frame 0 warmup path, frame 1 fused path
+    assert r.overflow_frames == 0
+    # kernels are bit-exact (test_phased_matches_monolithic, eager); the
+    # outer jits fuse the raygen/RGB glue differently -> last-ulp drift
+    assert np.allclose(got, want, rtol=2e-6, atol=1e-6)
+
+    # split=1 leaves ~all 2048 lanes alive > capacity 1024: the frame
+    # overflows; the flush path re-renders it monolithically — bit-exact,
+    # it IS the same jitted program as `want`
+    want1 = np.asarray(
+        _blend(
+            jnp.zeros((config.height, config.width, 4), jnp.float32),
+            _mono_rgb(
+                arrays, config, jnp.uint32(0), obj_types, False, False,
+                True, 1024,
+            ),
+            jnp.uint32(0),
+        )
+    )
+    r2 = Renderer(
+        scene(), phase_split=1, phase_capacity=1024,
+        _interpret=True, _phase_tile=1024,
+    )
+    got2 = r2.render_frames(1)  # framebuffer() flush resolves the overflow
+    assert r2.overflow_frames == 1
+    assert np.array_equal(got2, want1)
