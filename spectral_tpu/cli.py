@@ -82,7 +82,10 @@ def cmd_render(args) -> int:
 
         sharding = row_sharding(make_mesh(args.mesh))
 
-    renderer = Renderer(scene, sharding=sharding)
+    renderer = Renderer(
+        scene, sharding=sharding, phase_split=args.phase_split,
+        phase_capacity=args.phase_capacity,
+    )
     if args.resume:
         renderer.load_checkpoint(args.resume)
         print(f"resumed at frame {renderer.next_frame}", file=sys.stderr)
@@ -295,6 +298,14 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--quiet", action="store_true")
     pr.add_argument("--check-finite", action="store_true",
                     help="validate the accumulator each frame; abort on NaN/Inf")
+    pr.add_argument("--phase-split", type=int,
+                    help="occupancy-compacted rendering (TPU, many-object "
+                    "scenes): bounces [0,N) on the full wavefront, "
+                    "surviving lanes compacted for the tail bounces; "
+                    "overflow frames fall back to the monolithic kernel")
+    pr.add_argument("--phase-capacity", type=int,
+                    help="compacted-wavefront lane capacity (default: 1/16 "
+                    "of the padded wavefront)")
     pr.add_argument("--profile",
                     help="capture a jax.profiler trace of the render into DIR")
     pr.set_defaults(func=cmd_render)
