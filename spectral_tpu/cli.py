@@ -53,6 +53,15 @@ def _load_scene(args):
     return scene
 
 
+def _parse_phase(value):
+    """--phase-split / --phase-capacity: int, comma list of ints, or
+    'auto' (split only), passed through to Renderer."""
+    if value is None or value == "auto":
+        return value
+    parts = [int(p) for p in str(value).split(",") if p != ""]
+    return parts[0] if len(parts) == 1 else tuple(parts)
+
+
 def cmd_render(args) -> int:
     import signal
 
@@ -83,8 +92,9 @@ def cmd_render(args) -> int:
         sharding = row_sharding(make_mesh(args.mesh))
 
     renderer = Renderer(
-        scene, sharding=sharding, phase_split=args.phase_split,
-        phase_capacity=args.phase_capacity,
+        scene, sharding=sharding,
+        phase_split=_parse_phase(args.phase_split),
+        phase_capacity=_parse_phase(args.phase_capacity),
     )
     if args.resume:
         renderer.load_checkpoint(args.resume)
@@ -298,14 +308,17 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--quiet", action="store_true")
     pr.add_argument("--check-finite", action="store_true",
                     help="validate the accumulator each frame; abort on NaN/Inf")
-    pr.add_argument("--phase-split", type=int,
+    pr.add_argument("--phase-split",
                     help="occupancy-compacted rendering (TPU, many-object "
                     "scenes): bounces [0,N) on the full wavefront, "
-                    "surviving lanes compacted for the tail bounces; "
+                    "surviving lanes compacted for the tail bounces; a "
+                    "comma list (e.g. 1,3) cascades through successively "
+                    "smaller wavefronts; 'auto' probes the scene's "
+                    "occupancy and tunes splits+capacities itself; "
                     "overflow frames fall back to the monolithic kernel")
-    pr.add_argument("--phase-capacity", type=int,
+    pr.add_argument("--phase-capacity",
                     help="compacted-wavefront lane capacity (default: 1/16 "
-                    "of the padded wavefront)")
+                    "of the padded wavefront); comma list, one per split")
     pr.add_argument("--profile",
                     help="capture a jax.profiler trace of the render into DIR")
     pr.set_defaults(func=cmd_render)

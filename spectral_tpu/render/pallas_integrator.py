@@ -303,23 +303,71 @@ def integrate_frame_pallas_phased(
     Lanes are extracted in ascending index order and the per-lane RNG
     streams travel with ``px``/``py``, so non-overflow results are
     bit-identical to the monolithic kernel.
+
+    This is the single-stage form of ``integrate_frame_pallas_cascade``.
+    """
+    n = config.width * config.height
+    tile_eff = tile or _pick_tile(n)
+    n_pad = -(-n // tile_eff) * tile_eff
+    # compacted-wavefront capacity: default 1/16 of the padded wavefront
+    # (~2.3x the measured post-split occupancy), at least one tile
+    cap = capacity_lanes or max(tile_eff, n_pad // 16)
+    return integrate_frame_pallas_cascade(
+        scene, config, frame_id, obj_types, ((split, cap),), tile=tile,
+        interpret=interpret, has_transmission=has_transmission,
+        has_emission=has_emission,
+    )
+
+
+def integrate_frame_pallas_cascade(
+    scene: SceneArrays,
+    config: RenderConfig,
+    frame_id,
+    obj_types: tuple,
+    stages: tuple,
+    tile: int | None = None,
+    interpret: bool = False,
+    has_transmission: bool = False,
+    has_emission: bool = False,
+):
+    """N-stage occupancy-compacted frame integration.
+
+    ``stages`` is a tuple of ``(split_bounce, capacity_lanes)`` pairs with
+    strictly increasing splits: bounces ``[0, s0)`` run on the full
+    wavefront, ``[s0, s1)`` on a ``cap0``-lane compacted wavefront, ...,
+    ``[s_last, max_bounces)`` on ``cap_last`` lanes. Each extraction pulls
+    the lanes still alive on the *current* (already compacted) wavefront,
+    so deep bounces run on wavefronts sized to their measured occupancy.
+    The extraction layout and its measured economics are documented on
+    ``integrate_frame_pallas_phased`` (the single-stage form).
+
+    Returns ``(rgb, overflow)``: ``overflow`` is True when ANY stage's
+    live-lane count exceeded its capacity — the caller must then re-render
+    the frame with the monolithic kernel (the estimator is never
+    truncated). Non-overflow results are bit-identical to the monolithic
+    kernel: lanes are extracted in ascending index order and the per-lane
+    RNG streams travel with ``px``/``py``.
     """
     frame_id = jnp.asarray(frame_id, dtype=jnp.uint32)
     n = config.width * config.height
     if config.n_objects == 0:
         rgb = jnp.zeros((config.height, config.width, 3), dtype=jnp.float32)
         return rgb, jnp.array(False)
-    if not 0 < split < config.max_bounces:
-        raise ValueError(f"split {split} must lie inside (0, max_bounces)")
+    splits = tuple(int(s) for s, _ in stages)
+    if not splits:
+        raise ValueError("stages must be non-empty")
+    if list(splits) != sorted(set(splits)):
+        raise ValueError(f"stage splits must be strictly increasing: {splits}")
+    if not (0 < splits[0] and splits[-1] < config.max_bounces):
+        raise ValueError(
+            f"stage splits {splits} must lie inside (0, {config.max_bounces})"
+        )
     tile = tile or _pick_tile(n)
     n_pad = -(-n // tile) * tile
     s_dim = config.n_samples
     rows = n_pad // mk.LANE
-    # compacted-wavefront capacity: default 1/16 of the padded wavefront
-    # (~2.3x the measured post-split occupancy), at least one tile
-    cap = capacity_lanes or max(tile, n_pad // 16)
-    cap = -(-cap // tile) * tile
-    crows = cap // mk.LANE
+    # capacities rounded up to whole tiles (Mosaic-legal wavefronts)
+    caps = [-(-min(int(c), n_pad) // tile) * tile for _, c in stages]
 
     origin, direction, px, py = generate_primary_rays(
         scene.cam_pos, scene.cam_dir, scene.cam_up, scene.fov_y_deg,
@@ -345,57 +393,72 @@ def integrate_frame_pallas_phased(
     m_scal = scene.mat_scalars if fori else scene.mat_scalars[:1]
     tables = (geom, albedo_in, emission_in, m_alb, m_emis, m_scal, lpos, lspec)
 
-    k1 = _kernel_seg(
-        obj_types, config, tile, interpret, has_transmission, has_emission,
-        0, split,
-    )
-    k2 = _kernel_seg(
-        obj_types, config, tile, interpret, has_transmission, has_emission,
-        split, None,
-    )
+    bounds = (0,) + splits + (None,)
+    kernels = [
+        _kernel_seg(
+            obj_types, config, tile, interpret, has_transmission,
+            has_emission, bounds[i], bounds[i + 1],
+        )
+        for i in range(len(bounds) - 1)
+    ]
 
-    gidx = jnp.arange(n_pad, dtype=jnp.int32).reshape(rows, mk.LANE)
-    alive0 = (gidx < n).astype(jnp.float32)
+    # segment-0 wavefront: the full padded image
+    cap = n_pad
+    ox, oy, oz = lanes(origin.x), lanes(origin.y), lanes(origin.z)
+    dx_, dy_, dz_ = lanes(direction.x), lanes(direction.y), lanes(direction.z)
     px_l, py_l = lanes(px, jnp.uint32), lanes(py, jnp.uint32)
-    (rad1, thr1, ox1, oy1, oz1, dx1, dy1, dz1, alive1, gate1, hero1) = k1(
-        lanes(origin.x), lanes(origin.y), lanes(origin.z),
-        lanes(direction.x), lanes(direction.y), lanes(direction.z),
-        px_l, py_l, frame_id, *tables,
-        jnp.ones((s_dim, rows, mk.LANE), jnp.float32),
-        jnp.zeros((s_dim, rows, mk.LANE), jnp.float32),
-        alive0, jnp.zeros((rows, mk.LANE), jnp.float32),
-        jnp.full((rows, mk.LANE), -1.0, jnp.float32),
-    )
+    gidx = jnp.arange(n_pad, dtype=jnp.int32).reshape(rows, mk.LANE)
+    alive = (gidx < n).astype(jnp.float32)
+    gate = jnp.zeros((rows, mk.LANE), jnp.float32)
+    hero = jnp.full((rows, mk.LANE), -1.0, jnp.float32)
+    thr = jnp.ones((s_dim, rows, mk.LANE), jnp.float32)
 
-    flat_alive = alive1.reshape(n_pad) > 0.0
-    count = jnp.sum(flat_alive.astype(jnp.int32))
-    overflow = count > cap
-    # ascending-order extraction; fill entries point at lane 0 but carry a
-    # dead alive flag, so they trace harmlessly and accumulate nothing
-    (idx,) = jnp.nonzero(flat_alive, size=cap, fill_value=0)
-    alive_c = (jnp.arange(cap) < count).astype(jnp.float32)
+    rad_t = None  # [n_pad, S] lane-major accumulated radiance
+    chain = None  # [cap] int32: current wavefront lane -> full-image lane
+    overflow = jnp.array(False)
 
-    def G(a):  # [rows, LANE] -> [crows, LANE]
-        return a.reshape(n_pad)[idx].reshape(crows, mk.LANE)
+    for i, k in enumerate(kernels):
+        crows = cap // mk.LANE
+        (rad, thr, ox, oy, oz, dx_, dy_, dz_, alive, gate, hero) = k(
+            ox, oy, oz, dx_, dy_, dz_, px_l, py_l, frame_id, *tables,
+            thr, jnp.zeros((s_dim, crows, mk.LANE), jnp.float32),
+            alive, gate, hero,
+        )
+        # lane-major throughout: the extraction gathers and the final RGB
+        # conversion both consume [lanes, S] rows (minor-axis lane gathers
+        # were measured at ~50 ms/frame on v5e and rejected)
+        rad_lm = rad.reshape(s_dim, cap).T  # [cap, S]
+        if chain is None:
+            rad_t = rad_lm
+        else:
+            rad_t = rad_t.at[chain].add(rad_lm)
+        if i == len(kernels) - 1:
+            break
 
-    # spectral state moves in lane-major [n_pad, S] layout so the
-    # extraction is a ROW gather (minor-axis lane gathers were measured at
-    # ~50 ms/frame on v5e for this wavefront — the same scatter-gather
-    # cost that killed the full bounce-split permutation)
-    thr_c = (
-        thr1.reshape(s_dim, n_pad).T[idx]
-        .T.reshape(s_dim, crows, mk.LANE)
-    )
-    out2 = k2(
-        G(ox1), G(oy1), G(oz1), G(dx1), G(dy1), G(dz1),
-        G(px_l), G(py_l), frame_id, *tables,
-        thr_c, jnp.zeros((s_dim, crows, mk.LANE), jnp.float32),
-        alive_c.reshape(crows, mk.LANE), G(gate1), G(hero1),
-    )
-    rad2_t = out2[0].reshape(s_dim, cap).T  # [cap, S]
+        ncap = caps[i]
+        nrows = ncap // mk.LANE
+        flat_alive = alive.reshape(cap) > 0.0
+        count = jnp.sum(flat_alive.astype(jnp.int32))
+        overflow = overflow | (count > ncap)
+        # ascending-order extraction; fill entries point at lane 0 but
+        # carry a dead alive flag, so they trace harmlessly
+        (idx,) = jnp.nonzero(flat_alive, size=ncap, fill_value=0)
 
-    # lane-major throughout: the RGB conversion consumes [n, S] anyway
-    rad_t = rad1.reshape(s_dim, n_pad).T.at[idx].add(rad2_t)
+        def G(a, idx=idx, nrows=nrows):
+            return a.reshape(-1)[idx].reshape(nrows, mk.LANE)
+
+        thr = thr.reshape(s_dim, cap).T[idx].T.reshape(s_dim, nrows, mk.LANE)
+        ox, oy, oz = G(ox), G(oy), G(oz)
+        dx_, dy_, dz_ = G(dx_), G(dy_), G(dz_)
+        px_l, py_l = G(px_l), G(py_l)
+        gate, hero = G(gate), G(hero)
+        alive = (
+            (jnp.arange(ncap) < count)
+            .astype(jnp.float32).reshape(nrows, mk.LANE)
+        )
+        chain = idx if chain is None else chain[idx]
+        cap = ncap
+
     rgb = spectra_to_rgb(rad_t[:n], scene.xyz_weights, scene.xyz_to_rgb)
     return rgb.reshape(config.height, config.width, 3), overflow
 

@@ -83,18 +83,18 @@ def _step_pallas(
     )
 
 
-@partial(jax.jit, static_argnums=(1, 3, 4, 5, 6, 7, 8, 9))
+@partial(jax.jit, static_argnums=(1, 3, 4, 5, 6, 7, 8))
 def _phased_rgb(
     scene: SceneArrays, config: RenderConfig, frame_id, obj_types,
-    split, capacity, has_transmission, has_emission, interpret, tile,
+    stages, has_transmission, has_emission, interpret, tile,
 ):
     from spectral_tpu.render.pallas_integrator import (
-        integrate_frame_pallas_phased,
+        integrate_frame_pallas_cascade,
     )
 
-    return integrate_frame_pallas_phased(
-        scene, config, frame_id, obj_types, split=split,
-        capacity_lanes=capacity, interpret=interpret, tile=tile,
+    return integrate_frame_pallas_cascade(
+        scene, config, frame_id, obj_types, stages,
+        interpret=interpret, tile=tile,
         has_transmission=has_transmission, has_emission=has_emission,
     )
 
@@ -128,6 +128,82 @@ def _blend(accum, rgb, frame_id):
 # deep: by the time frame f-1's flag is read, frame f is already
 # dispatched, so the host sync (which costs ~26 ms when done same-frame)
 # is hidden behind device work.
+
+
+def choose_stages(
+    occ,
+    n_pad: int,
+    tile: int,
+    margin: float = 1.7,
+    extract_slope: float = 2.4,
+    extract_const: float = 0.10,
+    max_cap_frac: float = 0.25,
+    max_stages: int = 3,
+) -> tuple | None:
+    """Pick cascade compaction stages from an occupancy profile.
+
+    ``occ[b]`` is the fraction of lanes alive *entering* bounce ``b``
+    (``occ[0] == 1``). Enumerates every split set of size <= ``max_stages``
+    and minimizes modeled cost in full-wavefront bounce-equivalents: each
+    segment costs ``capacity_fraction x n_bounces`` (dead lanes execute at
+    full price inside a wavefront — the whole point), each extraction
+    costs ``extract_slope x dest_fraction + extract_const``.
+
+    The extraction model and the ``max_cap_frac`` ceiling are CALIBRATED
+    ON v5e (tools/phased_bench.py, 1000-sphere config, full-wavefront
+    bounce ~24.5 ms): extracting into a 1/8-capacity wavefront costs
+    ~6.8 ms (0.28 units), but the cost grows super-linearly with
+    capacity — an 11/16-capacity extraction measured ~165 ms, 24x the
+    1/8 one, sinking every large-capacity cascade (mono 127 ms/frame vs
+    casc[1,3] 270 ms with per-frame sync). Splits whose tile-rounded
+    capacity exceeds ``max_cap_frac`` are therefore ineligible rather
+    than merely penalized: the linear model is only trusted in the
+    regime where it was measured. Capacities carry ``margin`` headroom
+    over the observed occupancy (1/16 caps sized at ~1.06x measured
+    occupancy overflowed every frame in the same sweep) and are rounded
+    up to whole tiles. Returns ``((split, capacity_lanes), ...)`` or
+    None when no split beats the monolithic kernel under the model.
+    """
+    from itertools import combinations
+
+    occ = np.asarray(occ, np.float64)
+    n_bounces = len(occ)
+
+    def cap_lanes(b: int) -> int:
+        want = min(1.0, float(occ[b]) * margin)
+        return max(tile, int(np.ceil(want * n_pad / tile)) * tile)
+
+    def cap_frac(b: int) -> float:
+        return min(1.0, cap_lanes(b) / n_pad)
+
+    def cost(splits: tuple) -> float:
+        bounds = (0,) + splits + (n_bounces,)
+        fracs = (1.0,) + tuple(cap_frac(s) for s in splits)
+        total = sum(
+            f * (hi - lo) for f, lo, hi in zip(fracs, bounds, bounds[1:])
+        )
+        total += sum(
+            extract_slope * dest + extract_const for dest in fracs[1:]
+        )
+        return total
+
+    best_splits: tuple = ()
+    best_cost = float(n_bounces)  # monolithic
+    candidates = [
+        b for b in range(1, n_bounces) if cap_frac(b) <= max_cap_frac
+    ]
+    for k in range(1, max_stages + 1):
+        for splits in combinations(candidates, k):
+            # a split that doesn't shrink the wavefront only adds overhead
+            fracs = [cap_frac(s) for s in splits]
+            if any(b >= a for a, b in zip([1.0] + fracs, fracs)):
+                continue
+            c = cost(splits)
+            if c < best_cost:
+                best_cost, best_splits = c, splits
+    if not best_splits:
+        return None
+    return tuple((s, cap_lanes(s)) for s in best_splits)
 
 
 def _is_tpu_platform() -> bool:
@@ -251,12 +327,15 @@ class Renderer:
         # tail bounces. Measured 1.24x on the 1000-sphere config BEFORE
         # pipelining; the overflow check is pipelined one frame deep here
         # because a same-frame host sync costs ~26 ms/frame on v5e.
+        # phase_split may be an int (one split), a tuple of ints (cascade),
+        # or "auto" (occupancy-probe tuning, see _autotune_stages).
         self.phase_split = phase_split
         self.phase_capacity = phase_capacity
         self._interpret = _interpret
         self._phase_tile = _phase_tile
         self.overflow_frames = 0
         self._pending: tuple | None = None
+        self.phase_stages: tuple | None = None
         if phase_split is not None:
             if self.backend != "pallas" and not _interpret:
                 raise ValueError("phase_split requires the pallas backend")
@@ -265,8 +344,96 @@ class Renderer:
                     "phase_split is per-device; combine it with sharding "
                     "once per-shard wavefronts exist"
                 )
+            self.phase_stages = self._resolve_phase_stages(
+                phase_split, phase_capacity
+            )
         self.accum = self._zero_accum()
         self.next_frame = 0
+
+    def _resolve_phase_stages(self, phase_split, phase_capacity):
+        """Normalize the phased-rendering request into a static stages
+        tuple ``((split, capacity_lanes), ...)`` for the cascade kernel
+        path. ``phase_split='auto'`` measures per-bounce occupancy on a
+        low-resolution probe and chooses splits/capacities by cost model
+        (may return None: monolithic wins for high-occupancy scenes)."""
+        from spectral_tpu.render.pallas_integrator import _pick_tile
+
+        n = self.config.width * self.config.height
+        tile = self._phase_tile or _pick_tile(n)
+        n_pad = -(-n // tile) * tile
+        if phase_split == "auto":
+            return self._autotune_stages(tile, n_pad)
+        splits = (
+            (int(phase_split),)
+            if isinstance(phase_split, int)
+            else tuple(int(s) for s in phase_split)
+        )
+        if phase_capacity is None:
+            if len(splits) != 1:
+                raise ValueError(
+                    "multi-split phased rendering needs explicit "
+                    "phase_capacity values (or phase_split='auto')"
+                )
+            caps = (max(tile, n_pad // 16),)
+        elif isinstance(phase_capacity, int):
+            caps = (phase_capacity,)
+        else:
+            caps = tuple(int(c) for c in phase_capacity)
+        if len(caps) != len(splits):
+            raise ValueError(
+                f"{len(splits)} phase splits need {len(splits)} capacities, "
+                f"got {len(caps)}"
+            )
+        return tuple(zip(splits, caps))
+
+    def _autotune_stages(
+        self, tile: int, n_pad: int,
+        probe_lanes: int = 32768, probe_frames: int = 3, margin: float = 1.7,
+    ) -> tuple | None:
+        """Choose cascade stages from a measured occupancy profile.
+
+        Renders ``probe_frames`` frames of the scene at a reduced
+        resolution through the instrumented jnp path (occupancy fractions
+        are per-lane statistics, so they transfer across resolutions), then
+        enumerates split sets (size <= 3) under a simple cost model:
+        segment cost = capacity_fraction x bounces, extraction cost =
+        0.30 x source_fraction + 0.05 bounce-equivalents (measured on v5e:
+        ~7 ms extraction vs ~24 ms full-wavefront bounce for the
+        1000-sphere config). Capacities get a ``margin`` safety factor —
+        an underestimate only costs an overflow-fallback frame, never
+        correctness. Returns None when the monolithic kernel wins.
+        """
+        import math
+
+        from spectral_tpu.render.integrator import integrate_frame
+
+        if self.config.max_bounces < 2:
+            return None
+        # probe at reduced resolution, preserving aspect ratio
+        scale = math.sqrt(
+            probe_lanes / (self.config.width * self.config.height)
+        )
+        pw = max(8, min(self.config.width, int(self.config.width * scale)))
+        ph = max(8, min(self.config.height, int(self.config.height * scale)))
+        probe_cfg = dataclasses.replace(self.config, width=pw, height=ph)
+
+        @partial(jax.jit, static_argnums=(1,))
+        def probe(scn, cfg, fid):
+            _rgb, _rays, hist = integrate_frame(
+                scn, cfg, fid, return_stats=True, return_occupancy=True
+            )
+            return hist
+
+        occ = np.zeros((self.config.max_bounces,), np.float64)
+        for f in range(probe_frames):
+            hist = np.asarray(
+                probe(self.scene_arrays, probe_cfg, jnp.uint32(f)),
+                np.float64,
+            )
+            occ = np.maximum(occ, hist / (pw * ph))
+        return choose_stages(occ, n_pad, tile, margin=margin)
+
+    # --------------------------------------------------------------- phased
 
     def _resolve_pending(self) -> None:
         """Blend the previous phased frame, re-rendering it monolithically
@@ -291,10 +458,10 @@ class Renderer:
 
     def _advance(self, frame_id) -> None:
         fid = jnp.uint32(frame_id)
-        if self.phase_split is not None:
+        if self.phase_stages is not None:
             rgb, overflow = _phased_rgb(
                 self.scene_arrays, self.config, fid, self.obj_types,
-                self.phase_split, self.phase_capacity,
+                self.phase_stages,
                 self.has_transmission, self.has_emission,
                 self._interpret, self._phase_tile,
             )

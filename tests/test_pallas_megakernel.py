@@ -256,3 +256,154 @@ def test_renderer_phased_pipeline_and_fallback():
     got2 = r2.render_frames(1)  # framebuffer() flush resolves the overflow
     assert r2.overflow_frames == 1
     assert np.array_equal(got2, want1)
+
+
+def test_cascade_matches_monolithic():
+    """The N-stage cascade (two successive compactions) is bit-identical
+    to the monolithic kernel when no stage overflows."""
+    scene = presets.sphere_field(n_spheres=12)
+    scene.width, scene.height = 16, 128  # 2048 lanes = 2 min-size tiles
+    scene.nbr_of_ray_bounces = 6
+    scene.nbr_of_iterations = 2
+    arrays, config = flatten_scene(scene)
+    obj_types = tuple(np.asarray(arrays.obj_type).tolist())
+    mono = np.asarray(
+        integrate_frame_pallas(
+            arrays, config, np.uint32(1), obj_types, tile=1024, interpret=True
+        )
+    )
+    from spectral_tpu.render.pallas_integrator import (
+        integrate_frame_pallas_cascade,
+    )
+
+    rgb, overflow = integrate_frame_pallas_cascade(
+        arrays, config, np.uint32(1), obj_types,
+        stages=((2, 1024), (4, 1024)), tile=1024, interpret=True,
+    )
+    assert not bool(overflow)
+    assert np.array_equal(mono, np.asarray(rgb))
+
+
+def test_cascade_overflow_any_stage():
+    """Overflow is reported when ANY stage's live count exceeds its
+    capacity — including a later stage after a roomy first one. Inside
+    the closed Cornell box nearly every lane survives every bounce, so a
+    half-wavefront capacity at stage 2 must overflow even though stage 1
+    (full capacity) cannot."""
+    scene = presets.cornell_box(n_samples=8)
+    scene.width, scene.height = 16, 128  # 2048 lanes
+    scene.nbr_of_ray_bounces = 5
+    scene.nbr_of_iterations = 2
+    arrays, config = flatten_scene(scene)
+    obj_types = tuple(np.asarray(arrays.obj_type).tolist())
+    from spectral_tpu.render.pallas_integrator import (
+        integrate_frame_pallas_cascade,
+    )
+
+    _rgb, overflow = integrate_frame_pallas_cascade(
+        arrays, config, np.uint32(1), obj_types,
+        stages=((1, 2048), (3, 1024)), tile=1024, interpret=True,
+    )
+    assert bool(overflow)
+
+
+def test_cascade_rejects_bad_splits():
+    arrays, config, obj_types = _pair("default", 16, 64, 4)
+    from spectral_tpu.render.pallas_integrator import (
+        integrate_frame_pallas_cascade,
+    )
+
+    for stages in (((2, 512), (2, 512)), ((3, 512), (1, 512)), ((0, 512),),
+                   ((4, 512),), ()):
+        with pytest.raises(ValueError):
+            integrate_frame_pallas_cascade(
+                arrays, config, np.uint32(0), obj_types, stages=stages,
+                tile=1024, interpret=True,
+            )
+
+
+def test_choose_stages_cost_model():
+    """The auto-tuner's enumeration: steeply decaying occupancy earns a
+    cascade; flat occupancy keeps the monolithic kernel."""
+    from spectral_tpu.render.renderer import choose_stages
+
+    n_pad, tile = 786432, 8192
+    # the measured 1000-sphere profile (PARITY.md)
+    occ = [1.0, 0.59, 0.20, 0.094, 0.063, 0.046, 0.035, 0.029]
+    stages = choose_stages(occ, n_pad, tile)
+    # the calibrated model must land on the measured winner: ONE split at
+    # bounce 3 (large-capacity extractions were measured 24x more
+    # expensive and are ineligible; see the v5e sweep in choose_stages)
+    assert stages is not None
+    splits = [s for s, _ in stages]
+    caps = [c for _, c in stages]
+    assert splits == [3]
+    assert splits == sorted(set(splits))
+    assert all(c % tile == 0 for c in caps)
+    assert all(b < a for a, b in zip([n_pad] + caps, caps))
+    # every capacity clears the measured occupancy with real headroom
+    # (1/16 caps at ~1.06x occupancy overflowed every frame on v5e)
+    for s, c in stages:
+        assert c >= occ[s] * n_pad * 1.3
+        assert c <= 0.25 * n_pad
+
+    # closed-box profile: occupancy never drops -> no split is worth it
+    assert choose_stages([1.0] * 8, n_pad, tile) is None
+    # a gentle decay where the extraction overhead exceeds the savings
+    assert choose_stages([1.0, 0.97, 0.95, 0.93], n_pad, tile) is None
+
+
+def test_renderer_auto_phase_and_cascade():
+    """Renderer-level: phase_split='auto' probes occupancy and renders
+    exactly like the monolithic path (same estimator); an explicit
+    cascade tuple is honored."""
+    import jax.numpy as jnp
+
+    from spectral_tpu.render.renderer import Renderer, _blend, _mono_rgb
+
+    def scene():
+        sc = presets.sphere_field(n_spheres=12)
+        sc.width, sc.height = 16, 128
+        sc.nbr_of_ray_bounces = 6
+        sc.nbr_of_iterations = 2
+        return sc
+
+    arrays, config = flatten_scene(scene())
+    obj_types = tuple(np.asarray(arrays.obj_type).tolist())
+    want = jnp.zeros((config.height, config.width, 4), jnp.float32)
+    for f in range(2):
+        rgb = _mono_rgb(
+            arrays, config, jnp.uint32(f), obj_types, False, False, True,
+            1024,
+        )
+        want = _blend(want, rgb, jnp.uint32(f))
+    want = np.asarray(want)
+
+    def assert_same_estimator(got):
+        # the kernels are bit-exact eager (test_cascade_matches_monolithic)
+        # but the outer jits fuse the raygen/RGB glue differently, and at 6
+        # diffuse bounces a last-ulp difference flips the self-intersection
+        # coin on a few paths (the documented reference-chaos envelope, see
+        # test_integrator_vs_oracle.py) — so: few flipped pixels, everything
+        # else at f32 rounding
+        scale = max(1.0, float(np.abs(want).max()))
+        err = np.abs(got - want).max(axis=-1) / scale
+        flips = int((err > 1e-3).sum())
+        assert flips <= 0.02 * err.size
+        assert float(err[err <= 1e-3].max()) < 1e-5
+
+    r = Renderer(
+        scene(), phase_split=(2, 4), phase_capacity=(1024, 1024),
+        _interpret=True, _phase_tile=1024,
+    )
+    assert r.phase_stages == ((2, 1024), (4, 1024))
+    got = r.render_frames(2)
+    assert r.overflow_frames == 0
+    assert_same_estimator(got)
+
+    r_auto = Renderer(scene(), phase_split="auto", _interpret=True,
+                      _phase_tile=1024)
+    got_auto = r_auto.render_frames(2)
+    # auto may legitimately choose no stages (tiny wavefront: every
+    # capacity rounds up to one tile); either way the image must match
+    assert_same_estimator(got_auto)

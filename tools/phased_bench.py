@@ -82,10 +82,46 @@ def main() -> None:
             flush=True,
         )
 
+    def make_cascade(stages):
+        @partial(jax.jit, static_argnums=(1, 4), donate_argnums=(2,))
+        def step(scn, cfg, accum, fid, ots):
+            from spectral_tpu.render.integrator import accumulate_frame
+            from spectral_tpu.render.pallas_integrator import (
+                integrate_frame_pallas_cascade,
+            )
+
+            rgb, ovf = integrate_frame_pallas_cascade(
+                scn, cfg, fid, ots, stages
+            )
+            return accumulate_frame(accum, rgb, fid), ovf
+
+        return step
+
     time_step("mono_b8", mono, False)
     # capacity from measured occupancy (bounce 2: 15%, 3: 9.2%, 4: 6%)
     for split, frac in ((2, 4), (3, 8), (4, 8)):
         time_step(f"phased_s{split}_cap{frac}", make_phased(split, frac), True)
+    # cascades: measured occupancy entering bounce 1 is ~59%, so the first
+    # compaction needs >= 5/8 capacity; margins widen each config
+    n_pad = 786432
+    for tag, stages in (
+        ("casc_1_3", ((1, n_pad * 11 // 16), (3, n_pad // 8))),
+        ("casc_1_3_tight", ((1, n_pad * 5 // 8), (3, n_pad // 8))),
+        ("casc_1_4", ((1, n_pad * 11 // 16), (4, n_pad // 16))),
+        ("casc_1_3_5", ((1, n_pad * 11 // 16), (3, n_pad // 8),
+                        (5, n_pad // 16))),
+        ("casc_2_4", ((2, n_pad // 4), (4, n_pad // 16))),
+    ):
+        time_step(tag, make_cascade(stages), True)
+    # what the auto-tuner would pick for this scene
+    from spectral_tpu.render.renderer import choose_stages
+
+    occ = [1.0, 0.59, 0.20, 0.094, 0.063, 0.046, 0.035, 0.029]
+    auto_stages = choose_stages(occ, n_pad, 8192)
+    print(json.dumps({"name": "auto_choice", "stages": auto_stages}),
+          flush=True)
+    if auto_stages:
+        time_step("casc_auto", make_cascade(tuple(auto_stages)), True)
 
 
 if __name__ == "__main__":
