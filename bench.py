@@ -129,15 +129,25 @@ def main(config_name: str = "cornell512", tile: int | None = None) -> None:
         )
         return rays, hist
 
-    # timed path: the VMEM-resident Pallas megakernel
-    @partial(jax.jit, static_argnums=(1, 4, 5, 6, 7), donate_argnums=(2,))
-    def step(scn, cfg, accum, frame_id, ots, ht, he, tl):
-        return render_frame_step_pallas(
-            scn, cfg, accum, frame_id, ots, has_transmission=ht,
-            has_emission=he, tile=tl,
-        )
+    # timed path: the VMEM-resident Pallas megakernel, k frames fused per
+    # dispatch (lax.scan over frame ids — same estimator; measured on v5e
+    # the axon tunnel's per-dispatch latency costs ~0.4 ms/frame at ~5 ms
+    # frames, tools/multiframe_bench.py)
+    frames_per_dispatch = 10
+
+    @partial(jax.jit, static_argnums=(1, 4, 5, 6, 7, 8), donate_argnums=(2,))
+    def step(scn, cfg, accum, first_fid, k, ots, ht, he, tl):
+        def body(acc, i):
+            return render_frame_step_pallas(
+                scn, cfg, acc, first_fid + i, ots, has_transmission=ht,
+                has_emission=he, tile=tl,
+            ), None
+
+        accum, _ = jax.lax.scan(body, accum, jnp.arange(k, dtype=jnp.uint32))
+        return accum
 
     n_frames = 50
+    timed_frames = range(1, n_frames + 1)
     phased = _PHASED.get(config_name)
     overflow_frames = 0
     if phased is not None:
@@ -167,25 +177,28 @@ def main(config_name: str = "cornell512", tile: int | None = None) -> None:
         dt = time.perf_counter() - t0
         overflow_frames = renderer.overflow_frames
     else:
+        k = frames_per_dispatch
+        assert n_frames % k == 0
+        timed_frames = range(k, k + n_frames)
         accum = jnp.zeros((config.height, config.width, 4), dtype=jnp.float32)
         accum = step(
-            arrays, config, accum, jnp.uint32(0), obj_types, has_trans,
+            arrays, config, accum, jnp.uint32(0), k, obj_types, has_trans,
             has_emis, tile,
-        )  # compile
+        )  # compile (renders frames 0..k-1, outside the timed window)
         jax.block_until_ready(accum)
 
         t0 = time.perf_counter()
-        for f in range(1, n_frames + 1):
+        for base in range(k, k + n_frames, k):
             accum = step(
-                arrays, config, accum, jnp.uint32(f), obj_types, has_trans,
-                has_emis, tile,
+                arrays, config, accum, jnp.uint32(base), k, obj_types,
+                has_trans, has_emis, tile,
             )
         jax.block_until_ready(accum)
         dt = time.perf_counter() - t0
 
     total_rays = 0.0
     occupancy = np.zeros((config.max_bounces,), np.float64)
-    for f in range(1, n_frames + 1):
+    for f in timed_frames:
         rays, hist = count(arrays, config, jnp.uint32(f))
         total_rays += float(rays)
         occupancy += np.asarray(hist, np.float64)

@@ -95,6 +95,7 @@ def cmd_render(args) -> int:
         scene, sharding=sharding,
         phase_split=_parse_phase(args.phase_split),
         phase_capacity=_parse_phase(args.phase_capacity),
+        frames_per_dispatch=args.frames_per_dispatch,
     )
     if args.resume:
         renderer.load_checkpoint(args.resume)
@@ -319,6 +320,12 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--phase-capacity",
                     help="compacted-wavefront lane capacity (default: 1/16 "
                     "of the padded wavefront); comma list, one per split")
+    pr.add_argument("--frames-per-dispatch", type=int, default=1,
+                    metavar="K",
+                    help="fuse K progressive frames into one device "
+                    "dispatch (lax.scan) — same estimator, fewer host "
+                    "round-trips (~7%% on short frames); progress/abort "
+                    "granularity coarsens to K frames")
     pr.add_argument("--profile",
                     help="capture a jax.profiler trace of the render into DIR")
     pr.set_defaults(func=cmd_render)

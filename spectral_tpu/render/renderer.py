@@ -62,6 +62,41 @@ def _step(scene: SceneArrays, config: RenderConfig, accum, frame_id):
     return render_frame_step(scene, config, accum, frame_id)
 
 
+@partial(jax.jit, static_argnums=(1, 4), donate_argnums=(2,))
+def _step_k(scene: SceneArrays, config: RenderConfig, accum, first_frame, k):
+    """k progressive frames fused into one dispatch via ``lax.scan``.
+
+    Bit-identical to k calls of ``_step`` (the scan body IS the per-frame
+    step; the 1/(frame+1) blend happens inside it), but pays one dispatch
+    instead of k. Measured on v5e (tools/multiframe_bench.py, cornell512):
+    5.35 ms/frame per-frame dispatch -> 4.98-5.22 ms/frame at k=5..20 —
+    the axon tunnel's per-dispatch latency is not fully hidden by async
+    enqueue at ~5 ms frames."""
+    def body(acc, i):
+        return render_frame_step(scene, config, acc, first_frame + i), None
+
+    accum, _ = jax.lax.scan(body, accum, jnp.arange(k, dtype=jnp.uint32))
+    return accum
+
+
+@partial(jax.jit, static_argnums=(1, 4, 5, 6, 7), donate_argnums=(2,))
+def _step_pallas_k(
+    scene: SceneArrays, config: RenderConfig, accum, first_frame, k,
+    obj_types, has_transmission, has_emission,
+):
+    """Pallas-path twin of ``_step_k`` (see measured note there)."""
+    from spectral_tpu.render.pallas_integrator import render_frame_step_pallas
+
+    def body(acc, i):
+        return render_frame_step_pallas(
+            scene, config, acc, first_frame + i, obj_types,
+            has_transmission=has_transmission, has_emission=has_emission,
+        ), None
+
+    accum, _ = jax.lax.scan(body, accum, jnp.arange(k, dtype=jnp.uint32))
+    return accum
+
+
 @partial(jax.jit, static_argnums=(1, 5), donate_argnums=(2,))
 def _step_grid(scene: SceneArrays, config: RenderConfig, accum, frame_id,
                grid, grid_static):
@@ -246,6 +281,7 @@ class Renderer:
         accel: str = "auto",
         phase_split: int | None = None,
         phase_capacity: int | None = None,
+        frames_per_dispatch: int = 1,
         _interpret: bool = False,
         _phase_tile: int | None = None,
     ):
@@ -347,6 +383,24 @@ class Renderer:
             self.phase_stages = self._resolve_phase_stages(
                 phase_split, phase_capacity
             )
+        # frames_per_dispatch > 1 fuses k progressive frames into one jit
+        # dispatch (lax.scan over frame ids) — same estimator, one dispatch
+        # instead of k (~7% on v5e cornell512, tools/multiframe_bench.py).
+        # Progress/abort/check_finite granularity coarsens to k frames,
+        # mirroring how the reference only reports at frame boundaries
+        # (src/main.rs:1351-1357) — here the boundary is a chunk.
+        if frames_per_dispatch < 1:
+            raise ValueError("frames_per_dispatch must be >= 1")
+        if frames_per_dispatch > 1 and (
+            phase_split is not None or sharding is not None
+            or self.grid is not None
+        ):
+            raise ValueError(
+                "frames_per_dispatch > 1 supports the plain jnp/pallas "
+                "paths only (the phased pipeline needs per-frame overflow "
+                "checks; the sharded/grid steps are per-frame programs)"
+            )
+        self.frames_per_dispatch = int(frames_per_dispatch)
         self.accum = self._zero_accum()
         self.next_frame = 0
 
@@ -483,6 +537,20 @@ class Renderer:
         else:
             self.accum = _step(self.scene_arrays, self.config, self.accum, fid)
 
+    def _advance_fused(self, first_frame: int, k: int) -> None:
+        """Render frames [first_frame, first_frame + k) in ONE dispatch.
+        Only reached on the plain jnp/pallas paths (guarded in __init__)."""
+        fid = jnp.uint32(first_frame)
+        if self.backend == "pallas":
+            self.accum = _step_pallas_k(
+                self.scene_arrays, self.config, self.accum, fid, k,
+                self.obj_types, self.has_transmission, self.has_emission,
+            )
+        else:
+            self.accum = _step_k(
+                self.scene_arrays, self.config, self.accum, fid, k
+            )
+
     def _zero_accum(self):
         accum = jnp.zeros(
             (self.config.height, self.config.width, 4), dtype=jnp.float32
@@ -511,15 +579,26 @@ class Renderer:
         accumulator per frame and raises on NaN/Inf (numerical failure
         detection the reference lacks, SURVEY.md §5). Returns the current
         framebuffer.
+
+        With ``frames_per_dispatch=k > 1``, progress/abort/check_finite
+        all operate at k-frame-chunk granularity instead.
         """
         begin = time.monotonic()
         total = self.config.intended_frames
         pixels = self.config.width * self.config.height
-        for _ in range(n_frames):
-            if self.next_frame >= total:
-                break
-            self._advance(self.next_frame)
-            self.next_frame += 1
+        rendered = 0
+        while rendered < n_frames and self.next_frame < total:
+            k = min(
+                self.frames_per_dispatch,
+                n_frames - rendered,
+                total - self.next_frame,
+            )
+            if k > 1:
+                self._advance_fused(self.next_frame, k)
+            else:
+                self._advance(self.next_frame)
+            self.next_frame += k
+            rendered += k
             if check_finite:
                 if not bool(jnp.isfinite(self.accum).all()):
                     raise FloatingPointError(

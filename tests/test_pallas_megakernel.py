@@ -150,15 +150,26 @@ def test_fori_object_loop_matches_jnp(preset, n):
     assert float(err[err <= 1e-3].max()) < 1e-5
 
 
+
+def _phase_scene():
+    """Canonical scene for every phased/cascade test below: ONE
+    (scene, tile) configuration so the interpret-mode kernel segments
+    compile once per pytest process (_kernel/_kernel_seg LRU-cache on the
+    static config) — sharing it cut this module's wall time roughly in
+    half. 2048 lanes = 2 min-size tiles; occupancy facts the tests rely
+    on: >1024 lanes alive entering bounce 1, <=1024 entering bounce 2."""
+    sc = presets.sphere_field(n_spheres=12, n_samples=8)
+    sc.width, sc.height = 16, 128
+    sc.nbr_of_ray_bounces = 5
+    sc.nbr_of_iterations = 2
+    return sc
+
+
 def test_phased_matches_monolithic():
     """The occupancy-compacted two-phase path is bit-identical to the
     monolithic kernel when capacity is not exceeded (lanes extracted in
     ascending order, RNG streams travel with px/py)."""
-    scene = presets.sphere_field(n_spheres=12)
-    scene.width, scene.height = 16, 128  # 2048 lanes = 2 min-size tiles
-    scene.nbr_of_ray_bounces = 5
-    scene.nbr_of_iterations = 2
-    arrays, config = flatten_scene(scene)
+    arrays, config = flatten_scene(_phase_scene())
     obj_types = tuple(np.asarray(arrays.obj_type).tolist())
     mono = np.asarray(
         integrate_frame_pallas(
@@ -178,11 +189,7 @@ def test_phased_matches_monolithic():
 
 
 def test_phased_reports_overflow():
-    scene = presets.sphere_field(n_spheres=12)
-    scene.width, scene.height = 16, 128
-    scene.nbr_of_ray_bounces = 5
-    scene.nbr_of_iterations = 2
-    arrays, config = flatten_scene(scene)
+    arrays, config = flatten_scene(_phase_scene())
     obj_types = tuple(np.asarray(arrays.obj_type).tolist())
     from spectral_tpu.render.pallas_integrator import (
         integrate_frame_pallas_phased,
@@ -204,12 +211,7 @@ def test_renderer_phased_pipeline_and_fallback():
 
     from spectral_tpu.render.renderer import Renderer, _blend
 
-    def scene():
-        sc = presets.sphere_field(n_spheres=12)
-        sc.width, sc.height = 16, 128
-        sc.nbr_of_ray_bounces = 5
-        sc.nbr_of_iterations = 3
-        return sc
+    scene = _phase_scene
 
     from spectral_tpu.render.renderer import _mono_rgb
 
@@ -261,11 +263,7 @@ def test_renderer_phased_pipeline_and_fallback():
 def test_cascade_matches_monolithic():
     """The N-stage cascade (two successive compactions) is bit-identical
     to the monolithic kernel when no stage overflows."""
-    scene = presets.sphere_field(n_spheres=12)
-    scene.width, scene.height = 16, 128  # 2048 lanes = 2 min-size tiles
-    scene.nbr_of_ray_bounces = 6
-    scene.nbr_of_iterations = 2
-    arrays, config = flatten_scene(scene)
+    arrays, config = flatten_scene(_phase_scene())
     obj_types = tuple(np.asarray(arrays.obj_type).tolist())
     mono = np.asarray(
         integrate_frame_pallas(
@@ -278,7 +276,7 @@ def test_cascade_matches_monolithic():
 
     rgb, overflow = integrate_frame_pallas_cascade(
         arrays, config, np.uint32(1), obj_types,
-        stages=((2, 1024), (4, 1024)), tile=1024, interpret=True,
+        stages=((2, 1024), (3, 1024)), tile=1024, interpret=True,
     )
     assert not bool(overflow)
     assert np.array_equal(mono, np.asarray(rgb))
@@ -361,12 +359,7 @@ def test_renderer_auto_phase_and_cascade():
 
     from spectral_tpu.render.renderer import Renderer, _blend, _mono_rgb
 
-    def scene():
-        sc = presets.sphere_field(n_spheres=12)
-        sc.width, sc.height = 16, 128
-        sc.nbr_of_ray_bounces = 6
-        sc.nbr_of_iterations = 2
-        return sc
+    scene = _phase_scene
 
     arrays, config = flatten_scene(scene())
     obj_types = tuple(np.asarray(arrays.obj_type).tolist())
@@ -381,8 +374,8 @@ def test_renderer_auto_phase_and_cascade():
 
     def assert_same_estimator(got):
         # the kernels are bit-exact eager (test_cascade_matches_monolithic)
-        # but the outer jits fuse the raygen/RGB glue differently, and at 6
-        # diffuse bounces a last-ulp difference flips the self-intersection
+        # but the outer jits fuse the raygen/RGB glue differently, and over
+        # the diffuse bounce chain a last-ulp difference flips the self-intersection
         # coin on a few paths (the documented reference-chaos envelope, see
         # test_integrator_vs_oracle.py) — so: few flipped pixels, everything
         # else at f32 rounding
@@ -393,10 +386,10 @@ def test_renderer_auto_phase_and_cascade():
         assert float(err[err <= 1e-3].max()) < 1e-5
 
     r = Renderer(
-        scene(), phase_split=(2, 4), phase_capacity=(1024, 1024),
+        scene(), phase_split=(2, 3), phase_capacity=(1024, 1024),
         _interpret=True, _phase_tile=1024,
     )
-    assert r.phase_stages == ((2, 1024), (4, 1024))
+    assert r.phase_stages == ((2, 1024), (3, 1024))
     got = r.render_frames(2)
     assert r.overflow_frames == 0
     assert_same_estimator(got)

@@ -166,3 +166,39 @@ def test_explicit_pallas_on_cpu_raises():
         pytest.skip("TPU host")
     with pytest.raises(ValueError, match="requires a TPU"):
         Renderer(_small_scene(), backend="pallas")
+
+
+def test_frames_per_dispatch_matches_per_frame():
+    """lax.scan-fused dispatch (frames_per_dispatch=k) is bit-identical to
+    per-frame dispatch: the scan body IS the per-frame step, including the
+    1/(frame+1) blend. 7 frames at k=3 exercises the ragged tail (3+3+1)."""
+    ref = Renderer(_small_scene(iters=7)).render()
+
+    r = Renderer(_small_scene(iters=7), frames_per_dispatch=3)
+    seen = []
+    got = r.render(progress=lambda p: seen.append(p.frame_id))
+    assert seen == [2, 5, 6]  # progress fires once per chunk
+    assert np.array_equal(ref, got)
+
+    # mid-render checkpointing still lands on a frame boundary
+    r2 = Renderer(_small_scene(iters=7), frames_per_dispatch=4)
+    r2.render_frames(4)
+    assert r2.next_frame == 4
+    r2.render_frames(99)
+    assert np.array_equal(ref, r2.framebuffer())
+
+
+def test_frames_per_dispatch_rejects_incompatible_modes():
+    with pytest.raises(ValueError, match="frames_per_dispatch"):
+        Renderer(_small_scene(), frames_per_dispatch=0)
+    import jax
+
+    if jax.device_count() >= 2:
+        from spectral_tpu.parallel.mesh import make_mesh, row_sharding
+
+        with pytest.raises(ValueError, match="per-frame"):
+            Renderer(
+                _small_scene(h=24),
+                sharding=row_sharding(make_mesh(2)),
+                frames_per_dispatch=2,
+            )

@@ -84,7 +84,7 @@ def test_cli_serve_end_to_end(tmp_path):
     url = re.search(rb"live view at (http://\S+)", buf).group(1).decode()
 
     # wait until a frame is visible, then abort via the HTTP button
-    deadline = time.monotonic() + 120
+    deadline = time.monotonic() + 300  # generous: CPU contention with the interpret-mode tests
     while True:
         assert time.monotonic() < deadline
         try:
