@@ -92,11 +92,18 @@ def _make_scene(name: str):
     raise SystemExit(f"unknown bench config {name!r}")
 
 
-# phased rendering configuration for the many-object config: bounces
-# [0,3) on the full wavefront, survivors (measured ~9%) compacted into a
-# 1/8-capacity wavefront for the tail; overflow falls back to the
-# monolithic kernel (exact estimator always)
-_PHASED = {"spheres": {"split": 3, "capacity_frac": 8}}
+# phased (occupancy-compacted) rendering: kept for configs where it wins;
+# since round 2 the in-kernel path-regeneration kernel below beats it on
+# every BASELINE config (spheres: phased 95.9 ms/frame vs regen 86.7), so
+# no config uses it here — `--phase-split` remains a CLI/Renderer feature
+_PHASED: dict = {}
+
+# in-kernel path regeneration (tools/regen_bench.py, v5e): K frames per
+# megakernel launch, terminating lanes immediately start the pixel's next
+# frame. ms/frame mono -> regen: cornell512 5.17 -> 3.63 (K=50), hero
+# 47.35 -> 32.09 (K=25), prism 4.17 -> 3.34 (K=10, flat in K), spheres
+# 126.5 -> 86.7 (K=25). K capped by the 16 MiB scoped VMEM at S=64.
+_REGEN = {"cornell512": 50, "hero": 25, "prism": 10, "spheres": 25}
 
 
 def main(config_name: str = "cornell512", tile: int | None = None) -> None:
@@ -176,6 +183,37 @@ def main(config_name: str = "cornell512", tile: int | None = None) -> None:
         jax.block_until_ready(renderer.accum)
         dt = time.perf_counter() - t0
         overflow_frames = renderer.overflow_frames
+    elif config_name in _REGEN:
+        from spectral_tpu.render.pallas_integrator import (
+            render_frames_step_pallas_regen,
+        )
+
+        k = _REGEN[config_name]
+        assert n_frames % k == 0
+        timed_frames = range(k, k + n_frames)
+
+        @partial(jax.jit, static_argnums=(1, 4, 5, 6, 7), donate_argnums=(2,))
+        def step_regen(scn, cfg, accum, first_fid, kk, ots, ht, he):
+            return render_frames_step_pallas_regen(
+                scn, cfg, accum, first_fid, ots, kk,
+                has_transmission=ht, has_emission=he,
+            )
+
+        accum = jnp.zeros((config.height, config.width, 4), dtype=jnp.float32)
+        accum = step_regen(
+            arrays, config, accum, jnp.uint32(0), k, obj_types, has_trans,
+            has_emis,
+        )  # compile (renders frames 0..k-1, outside the timed window)
+        jax.block_until_ready(accum)
+
+        t0 = time.perf_counter()
+        for base in range(k, k + n_frames, k):
+            accum = step_regen(
+                arrays, config, accum, jnp.uint32(base), k, obj_types,
+                has_trans, has_emis,
+            )
+        jax.block_until_ready(accum)
+        dt = time.perf_counter() - t0
     else:
         k = frames_per_dispatch
         assert n_frames % k == 0
@@ -225,6 +263,7 @@ def main(config_name: str = "cornell512", tile: int | None = None) -> None:
                     "device": str(jax.devices()[0]),
                     "tile": tile or "auto",
                     "phased": phased,
+                    "regen_frames": _REGEN.get(config_name),
                     "overflow_frames": overflow_frames,
                     # mean live-lane fraction over the bounce loop: the
                     # megakernel executes every lane every bounce, so this

@@ -144,6 +144,7 @@ def build_megakernel(
     bounce_stop: int | None = None,
     state_io: bool = False,
     object_loop: str = "auto",
+    regen_frames: int = 1,
 ):
     """Compile-time specialization on the scene structure.
 
@@ -155,13 +156,31 @@ def build_megakernel(
         has_transmission/has_emission: enable the dielectric branch /
             emissive-surface accumulation (static so reference-style
             scenes pay nothing for the extra physics).
+        regen_frames: K > 1 enables *in-kernel path regeneration*: when a
+            lane's path terminates it immediately starts the SAME pixel's
+            next progressive frame (selecting its host-precomputed primary
+            direction by the lane's frame counter), retiring K frames per
+            launch. Harvests the dead-lane tail of the bounce loop: mean
+            live-lane occupancy is ~29% on the cornell512 profile, so a
+            lone frame executes ~71% dead work that regeneration converts
+            into the following frames' paths. The returned radiance is the
+            SUM over the K frames (per lane, frames accumulate in order,
+            each path bit-identical to its monolithic rendering; only the
+            cross-frame addition order differs from summing K separate
+            launches). Requires ``state_io=False`` and full-range bounces.
     Returns:
         fn(ox, oy, oz, dx, dy, dz, px, py, frame_id, geom, albedo,
            emission, mat_albedo, mat_emission, mat_scalars, light_pos,
            light_spec) -> radiance [S, NP//128, 128]
         (with ``state_io`` the fn also takes/returns the full wavefront
-        state; see ``kernel_seg``)
+        state, see ``kernel_seg``; with ``regen_frames`` > 1 the fn takes
+        a trailing ``cam`` table, see ``pack_camera``)
     """
+    if regen_frames > 1 and (state_io or bounce_start != 0 or bounce_stop is not None):
+        raise ValueError(
+            "regen_frames > 1 needs the monolithic full-bounce kernel "
+            "(no state_io / bounce segments)"
+        )
     n_obj = len(obj_types)
     n_lights = config.n_lights
     s_dim = config.n_samples
@@ -654,10 +673,14 @@ def build_megakernel(
             (t < _INF) & (t <= ray[6]) for t, ray in zip(t_bests, rays)
         ]
 
+    regen = regen_frames > 1
+
     def make_body(
         frame_ref, px_ref, py_ref, geom_ref, albedo_ref, emis_ref,
         m_alb_ref, m_emis_ref, m_scal_ref,
         lpos_ref, lspec_ref, rad_ref, thr_ref,
+        cam_ref=None, valid=None,
+        dirx_ref=None, diry_ref=None, dirz_ref=None,
     ):
         """Bind the per-bounce body to this tile's refs."""
         frame_id = frame_ref[0, 0]
@@ -666,8 +689,13 @@ def build_megakernel(
         py = py_ref[:]
 
         def bounce(i, carry):
-            ox, oy, oz, dx, dy, dz, alive, gate, hero = carry
-            bounces_left = jnp.uint32(max_bounces) - i.astype(jnp.uint32)
+            # bl/fid: per-lane bounces-left countdown and frame id. Without
+            # regeneration they are uniform across live lanes (bl ==
+            # max_bounces - bounce_index, so values — and the RNG streams —
+            # are identical to the former loop-index derivation); with it,
+            # each lane walks its own (frame, bounce) schedule.
+            ox, oy, oz, dx, dy, dz, alive, gate, hero, bl, fid = carry
+            bounces_left = bl
 
             if use_fori:
                 (
@@ -685,7 +713,18 @@ def build_megakernel(
             alive = alive * hit.astype(jnp.float32) * gate_ok.astype(jnp.float32)
             live = alive > 0.0
 
-            rx, ry, rz = _pcg3d(px, py, frame_id + bounces_left)
+            # continuation/termination is decidable right after the trace;
+            # with regeneration a terminating lane starts the SAME pixel's
+            # next progressive frame at the end of this iteration
+            can_bounce = (bounces_left > jnp.uint32(1)).astype(jnp.float32)
+            cont = alive * can_bounce
+            if regen:
+                new_path = (
+                    valid & (cont <= 0.0)
+                    & (fid < frame_id + jnp.uint32(regen_frames - 1))
+                )
+
+            rx, ry, rz = _pcg3d(px, py, fid + bounces_left)
             spec = rz < metal
             if has_transmission:
                 trans = (~spec) & (rz < metal + transw)
@@ -782,7 +821,19 @@ def build_megakernel(
                 rad_ref[s] = rad_ref[s] + jnp.where(
                     contrib > 0.0, thr_s * alb_s * direct_s, 0.0
                 )
-                thr_ref[s] = jnp.where(live, thr_s * alb_s, thr_s)
+                if regen:
+                    # regenerating lanes start their next path at unit
+                    # throughput. The reset takes precedence over the live
+                    # update: a lane ending via the bounce budget is BOTH
+                    # live (it shades this iteration) and regenerating.
+                    # (Dead non-regenerating lanes keep a stale thr that
+                    # is never read again.)
+                    thr_ref[s] = jnp.where(
+                        new_path, 1.0,
+                        jnp.where(live, thr_s * alb_s, thr_s),
+                    )
+                else:
+                    thr_ref[s] = jnp.where(live, thr_s * alb_s, thr_s)
 
             # --- continuation rays
             # specular: mirror + optional cone perturbation
@@ -884,9 +935,45 @@ def build_megakernel(
                 newoz = jnp.where(spec, offz, ipz)
             newdx, newdy, newdz = _normalize(newdx, newdy, newdz)
 
-            can_bounce = (bounces_left > jnp.uint32(1)).astype(jnp.float32)
-            cont = alive * can_bounce
             cl = cont > 0.0
+            if regen:
+                # ---- next frame's primary ray. The direction is NOT
+                # computed in-kernel: raygen re-derived inside the kernel
+                # program picks up different FMA contraction than the host
+                # raygen and lands ulps away, and a last-ulp origin shift
+                # flips the un-offset diffuse self-intersection coin
+                # (measured: ~11%/frame of pixels diverge). Instead the
+                # host precomputes frames [first+1, first+K) with the SAME
+                # generate_primary_rays call the monolithic path uses, and
+                # the kernel selects by the lane's frame counter — keeping
+                # every path bit-identical to its monolithic rendering.
+                nf = fid + jnp.uint32(1)
+                gdx, gdy, gdz = dirx_ref[0], diry_ref[0], dirz_ref[0]
+                for k in range(2, regen_frames):
+                    m = nf == frame_id + jnp.uint32(k)
+                    gdx = jnp.where(m, dirx_ref[k - 1], gdx)
+                    gdy = jnp.where(m, diry_ref[k - 1], gdy)
+                    gdz = jnp.where(m, dirz_ref[k - 1], gdz)
+                cpx, cpy, cpz = cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2]
+
+                ox = jnp.where(cl, newox, jnp.where(new_path, cpx, ox))
+                oy = jnp.where(cl, newoy, jnp.where(new_path, cpy, oy))
+                oz = jnp.where(cl, newoz, jnp.where(new_path, cpz, oz))
+                dx = jnp.where(cl, newdx, jnp.where(new_path, gdx, dx))
+                dy = jnp.where(cl, newdy, jnp.where(new_path, gdy, dy))
+                dz = jnp.where(cl, newdz, jnp.where(new_path, gdz, dz))
+                gate = jnp.where(
+                    cl, spec.astype(jnp.float32),
+                    jnp.where(new_path, 0.0, gate),
+                )
+                hero = jnp.where(new_path, jnp.float32(-1.0), hero)
+                alive = jnp.where(new_path, 1.0, cont)
+                bl = jnp.where(
+                    cl, bl - jnp.uint32(1),
+                    jnp.where(new_path, jnp.uint32(max_bounces), bl),
+                )
+                fid = jnp.where(new_path, nf, fid)
+                return (ox, oy, oz, dx, dy, dz, alive, gate, hero, bl, fid)
             ox = jnp.where(cl, newox, ox)
             oy = jnp.where(cl, newoy, oy)
             oz = jnp.where(cl, newoz, oz)
@@ -894,7 +981,8 @@ def build_megakernel(
             dy = jnp.where(cl, newdy, dy)
             dz = jnp.where(cl, newdz, dz)
             gate = jnp.where(cl, spec.astype(jnp.float32), gate)
-            return (ox, oy, oz, dx, dy, dz, cont, gate, hero)
+            bl = jnp.where(cl, bl - jnp.uint32(1), bl)
+            return (ox, oy, oz, dx, dy, dz, cont, gate, hero, bl, fid)
 
         def guarded(i, carry):
             any_alive = jnp.max(carry[6]) > 0.0
@@ -941,8 +1029,54 @@ def build_megakernel(
             dx_ref[:], dy_ref[:], dz_ref[:],
             alive0, jnp.zeros((r8, LANE), jnp.float32),
             jnp.full((r8, LANE), -1.0, jnp.float32),  # hero wavelength bin
+            jnp.full((r8, LANE), max_bounces - b_start, jnp.uint32),
+            jnp.zeros((r8, LANE), jnp.uint32) + frame_ref[0, 0],
         )
         jax.lax.fori_loop(b_start, b_stop, guarded, carry)
+
+    def kernel_regen(
+        frame_ref,  # SMEM (1,1) uint32: FIRST frame id of the K-frame run
+        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # [R8,128] f32
+        px_ref, py_ref,  # [R8,128] uint32
+        geom_ref, albedo_ref, emis_ref,
+        m_alb_ref, m_emis_ref, m_scal_ref,
+        lpos_ref, lspec_ref,
+        cam_ref,  # [1,4] f32 (SMEM): camera position (pack_camera)
+        dirx_ref, diry_ref, dirz_ref,  # [K-1, R8, 128] f32: frames 1..K-1
+        rad_ref, thr_ref,
+    ):
+        """Path-regeneration kernel: K progressive frames per launch.
+        ``rad_ref`` accumulates the SUM of the K frames' radiance."""
+        tile_idx = pl.program_id(0)
+        row = jax.lax.broadcasted_iota(jnp.int32, (r8, LANE), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (r8, LANE), 1)
+        gidx = tile_idx * tile + row * LANE + col
+        valid = gidx < n_valid
+        alive0 = valid.astype(jnp.float32)
+
+        for s in range(s_dim):
+            rad_ref[s] = jnp.zeros((r8, LANE), jnp.float32)
+            thr_ref[s] = jnp.ones((r8, LANE), jnp.float32)
+
+        guarded = make_body(
+            frame_ref, px_ref, py_ref, geom_ref, albedo_ref, emis_ref,
+            m_alb_ref, m_emis_ref, m_scal_ref,
+            lpos_ref, lspec_ref, rad_ref, thr_ref,
+            cam_ref=cam_ref, valid=valid,
+            dirx_ref=dirx_ref, diry_ref=diry_ref, dirz_ref=dirz_ref,
+        )
+        carry = (
+            ox_ref[:], oy_ref[:], oz_ref[:],
+            dx_ref[:], dy_ref[:], dz_ref[:],
+            alive0, jnp.zeros((r8, LANE), jnp.float32),
+            jnp.full((r8, LANE), -1.0, jnp.float32),
+            jnp.full((r8, LANE), max_bounces, jnp.uint32),
+            jnp.zeros((r8, LANE), jnp.uint32) + frame_ref[0, 0],
+        )
+        # worst case: every path on some lane runs the full bounce budget;
+        # expected executed iterations per tile ~ K * mean path length +
+        # straggler tail (the all-done guard skips the rest)
+        jax.lax.fori_loop(0, regen_frames * max_bounces, guarded, carry)
 
     def kernel_seg(
         frame_ref,  # SMEM (1,1) uint32
@@ -975,6 +1109,9 @@ def build_megakernel(
             ox_ref[:], oy_ref[:], oz_ref[:],
             dx_ref[:], dy_ref[:], dz_ref[:],
             alive_in_ref[:], gate_in_ref[:], hero_in_ref[:],
+            # live lanes entering a segment are all at bounce b_start
+            jnp.full((r8, LANE), max_bounces - b_start, jnp.uint32),
+            jnp.zeros((r8, LANE), jnp.uint32) + frame_ref[0, 0],
         )
         out = jax.lax.fori_loop(b_start, b_stop, guarded, carry)
         oxo_ref[:], oyo_ref[:], ozo_ref[:] = out[0], out[1], out[2]
@@ -1019,6 +1156,54 @@ def build_megakernel(
             geom, albedo, emission, m_albedo, m_emission, m_scalars,
             lpos, lspec,
         )
+
+    @functools.partial(jax.jit, static_argnames=())
+    def run_regen(
+        ox, oy, oz, dx, dy, dz, px, py, frame_id,
+        geom, albedo, emission, m_albedo, m_emission, m_scalars, lpos, lspec,
+        cam, dirx, diry, dirz,
+    ):
+        np_lanes = ox.shape[0] * ox.shape[1]
+        n_tiles = np_lanes // tile
+        ray_spec = pl.BlockSpec(
+            (r8, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+        smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+        dir_spec = pl.BlockSpec(
+            (regen_frames - 1, r8, LANE), lambda i: (0, i, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_spec = pl.BlockSpec(
+            (s_dim, r8, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        )
+        return pl.pallas_call(
+            kernel_regen,
+            grid=(n_tiles,),
+            in_specs=[
+                smem,
+                ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec,
+                ray_spec, ray_spec,
+                smem, smem, smem, smem, smem, smem, smem, smem,
+                smem,  # cam table
+                dir_spec, dir_spec, dir_spec,
+            ],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (s_dim, np_lanes // LANE, LANE), jnp.float32
+            ),
+            scratch_shapes=[pltpu.VMEM((s_dim, r8, LANE), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            interpret=interpret,
+        )(
+            frame_id.reshape(1, 1), ox, oy, oz, dx, dy, dz, px, py,
+            geom, albedo, emission, m_albedo, m_emission, m_scalars,
+            lpos, lspec, cam, dirx, diry, dirz,
+        )
+
+    if regen:
+        return run_regen
 
     if not state_io:
         return run
@@ -1075,6 +1260,17 @@ def build_megakernel(
         )
 
     return run_seg
+
+
+def pack_camera(scene: SceneArrays) -> jax.Array:
+    """[1, 4] SMEM table for the path-regeneration kernel: the camera
+    position (every regenerated primary ray originates there; the per-frame
+    directions are host-precomputed and shipped as arrays — see the
+    regeneration note in ``make_body``)."""
+    z = jnp.zeros((), jnp.float32)
+    return jnp.stack(
+        [scene.cam_pos[0], scene.cam_pos[1], scene.cam_pos[2], z]
+    ).astype(jnp.float32).reshape(1, 4)
 
 
 def pack_geometry(scene: SceneArrays) -> jax.Array:

@@ -322,6 +322,22 @@ def accumulate_frame(
     return jnp.concatenate([new_rgb, new_a[..., None]], axis=-1)
 
 
+def accumulate_frames(
+    accum: jax.Array, rgb_sum: jax.Array, first_frame_id, k: int
+) -> jax.Array:
+    """Blend the SUM of k consecutive frames' RGB into the running
+    average in one step: equals (in exact arithmetic) k sequential
+    ``accumulate_frame`` calls, since the running 1/(frame+1) blend is
+    just the arithmetic mean. Consumes the path-regeneration kernel's
+    summed output (``integrate_frames_pallas_regen``)."""
+    first_frame_id = jnp.asarray(first_frame_id, dtype=jnp.uint32)
+    inv = 1.0 / (first_frame_id + jnp.uint32(k)).astype(jnp.float32)
+    old_factor = first_frame_id.astype(jnp.float32) * inv
+    new_rgb = accum[..., :3] * old_factor + rgb_sum * inv
+    new_a = accum[..., 3] * old_factor + jnp.float32(k) * inv
+    return jnp.concatenate([new_rgb, new_a[..., None]], axis=-1)
+
+
 def render_frame_step(
     scene: SceneArrays,
     config: RenderConfig,

@@ -68,6 +68,29 @@ def _kernel_seg(
     )
 
 
+@functools.lru_cache(maxsize=32)
+def _kernel_regen(
+    obj_types: tuple,
+    config: RenderConfig,
+    tile: int,
+    interpret: bool,
+    has_transmission: bool,
+    has_emission: bool,
+    object_loop: str,
+    regen_frames: int,
+):
+    return mk.build_megakernel(
+        obj_types,
+        config,
+        tile=tile,
+        interpret=interpret,
+        has_transmission=has_transmission,
+        has_emission=has_emission,
+        object_loop=object_loop,
+        regen_frames=regen_frames,
+    )
+
+
 # Mosaic requires block shapes with the last two dims divisible by (8, 128):
 # a tile is r8 x 128 lanes, so the smallest legal tile is 8 * 128.
 _MIN_TILE = 8 * mk.LANE
@@ -159,6 +182,135 @@ def integrate_frame_pallas(
     rad = rad.reshape(config.n_samples, n_pad).T[:n]
     rgb = spectra_to_rgb(rad, scene.xyz_weights, scene.xyz_to_rgb)
     return rgb.reshape(config.height, config.width, 3)
+
+
+def integrate_frames_pallas_regen(
+    scene: SceneArrays,
+    config: RenderConfig,
+    first_frame_id,
+    obj_types: tuple,
+    k: int,
+    tile: int | None = None,
+    interpret: bool = False,
+    has_transmission: bool = False,
+    has_emission: bool = False,
+    object_loop: str = "auto",
+) -> jax.Array:
+    """K progressive frames in ONE kernel launch via in-kernel path
+    regeneration -> the SUM of their linear-RGB frames ``[H, W, 3]``.
+
+    When a lane's path terminates, the kernel immediately starts the same
+    pixel's next frame, so the dead-lane tail of the bounce loop does the
+    following frames' work instead of idling — the bounce loop's mean
+    live-lane occupancy (~29% on cornell512) is the headroom. All K
+    frames' primary directions are precomputed here with the SAME
+    ``generate_primary_rays`` the monolithic path uses (re-deriving them
+    in-kernel picks up different FMA contraction and flips the un-offset
+    diffuse self-intersection coin — measured and rejected); the kernel
+    selects a terminating lane's next direction by its frame counter.
+    Every individual path is therefore computed bit-identically to its
+    monolithic rendering; only the order the K frames' contributions are
+    summed in differs (pure f32 reassociation — no RNG/jitter
+    divergence). Blend the result with ``integrator.accumulate_frames``.
+
+    Not composable with row sharding or the phased/cascade pipeline.
+    """
+    if k < 2:
+        raise ValueError("regen wants k >= 2 (use integrate_frame_pallas)")
+    first_frame_id = jnp.asarray(first_frame_id, dtype=jnp.uint32)
+    n = config.width * config.height
+    if config.n_objects == 0:
+        return jnp.zeros((config.height, config.width, 3), dtype=jnp.float32)
+    tile = tile or _pick_tile(n)
+    # v5e scoped VMEM is 16 MiB; the K-1 per-frame direction arrays live
+    # there alongside rad/thr. Shrink the tile until the working set fits
+    # (measured: S=64, K=50, 8192-lane tiles = 17.18M > 16M; model
+    # calibrated on that failure: ~4S + 6(K-1) + 32 f32 per lane).
+    f32_per_lane = 4 * config.n_samples + 6 * (int(k) - 1) + 32
+    while tile > _MIN_TILE and tile * f32_per_lane * 4 > 15_500_000:
+        tile //= 2
+    n_pad = -(-n // tile) * tile
+
+    origin, direction, px, py = generate_primary_rays(
+        scene.cam_pos, scene.cam_dir, scene.cam_up, scene.fov_y_deg,
+        config.width, config.height, first_frame_id, config.intended_frames,
+    )
+
+    def lanes(a, dtype=jnp.float32):
+        a = jnp.asarray(a, dtype)
+        return jnp.pad(a, (0, n_pad - n)).reshape(n_pad // mk.LANE, mk.LANE)
+
+    # frames first+1 .. first+k-1: primary directions for the in-kernel
+    # frame restarts (same raygen call as the monolithic path — see
+    # docstring); origins are all cam_pos (shipped via pack_camera)
+    later = [
+        generate_primary_rays(
+            scene.cam_pos, scene.cam_dir, scene.cam_up, scene.fov_y_deg,
+            config.width, config.height,
+            first_frame_id + jnp.uint32(j), config.intended_frames,
+        )[1]
+        for j in range(1, int(k))
+    ]
+    dirx = jnp.stack([lanes(d.x) for d in later])
+    diry = jnp.stack([lanes(d.y) for d in later])
+    dirz = jnp.stack([lanes(d.z) for d in later])
+
+    geom = mk.pack_geometry(scene)
+    cam = mk.pack_camera(scene)
+    lpos = jnp.pad(scene.light_pos, ((0, 0), (0, 1)))
+    lspec = scene.light_spec
+    if config.n_lights == 0:
+        lpos = jnp.zeros((1, 4), jnp.float32)
+        lspec = jnp.zeros((1, config.n_samples), jnp.float32)
+
+    fori = object_loop == "fori" or (
+        object_loop == "auto" and len(obj_types) > 64
+    )
+    albedo_in = scene.albedo[:1] if fori else scene.albedo
+    emission_in = scene.emission[:1] if fori else scene.emission
+    m_alb = scene.mat_albedo if fori else scene.mat_albedo[:1]
+    m_emis = scene.mat_emission if fori else scene.mat_emission[:1]
+    m_scal = scene.mat_scalars if fori else scene.mat_scalars[:1]
+
+    run = _kernel_regen(
+        obj_types, config, tile, interpret, has_transmission, has_emission,
+        object_loop, int(k),
+    )
+    rad = run(
+        lanes(origin.x), lanes(origin.y), lanes(origin.z),
+        lanes(direction.x), lanes(direction.y), lanes(direction.z),
+        lanes(px, jnp.uint32), lanes(py, jnp.uint32),
+        first_frame_id, geom, albedo_in, emission_in,
+        m_alb, m_emis, m_scal,
+        lpos, lspec, cam, dirx, diry, dirz,
+    )
+    rad = rad.reshape(config.n_samples, n_pad).T[:n]
+    rgb = spectra_to_rgb(rad, scene.xyz_weights, scene.xyz_to_rgb)
+    return rgb.reshape(config.height, config.width, 3)
+
+
+def render_frames_step_pallas_regen(
+    scene: SceneArrays,
+    config: RenderConfig,
+    accum: jax.Array,
+    first_frame_id,
+    obj_types: tuple,
+    k: int,
+    interpret: bool = False,
+    has_transmission: bool = False,
+    has_emission: bool = False,
+    tile: int | None = None,
+) -> jax.Array:
+    """K progressive frames (one regeneration launch) blended into the
+    accumulator — the K-frame analog of ``render_frame_step_pallas``."""
+    from spectral_tpu.render.integrator import accumulate_frames
+
+    rgb_sum = integrate_frames_pallas_regen(
+        scene, config, first_frame_id, obj_types, k, tile=tile,
+        interpret=interpret, has_transmission=has_transmission,
+        has_emission=has_emission,
+    )
+    return accumulate_frames(accum, rgb_sum, first_frame_id, k)
 
 
 def integrate_frame_pallas_split(

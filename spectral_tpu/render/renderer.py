@@ -97,6 +97,26 @@ def _step_pallas_k(
     return accum
 
 
+@partial(jax.jit, static_argnums=(1, 4, 5, 6, 7, 8), donate_argnums=(2,))
+def _step_regen(
+    scene: SceneArrays, config: RenderConfig, accum, first_frame, k,
+    obj_types, has_transmission, has_emission, interpret=False,
+):
+    """K progressive frames in ONE megakernel launch via in-kernel path
+    regeneration (terminating lanes immediately start the same pixel's
+    next frame). Same estimator up to f32 summation order; harvests the
+    bounce loop's dead-lane tail. See integrate_frames_pallas_regen."""
+    from spectral_tpu.render.pallas_integrator import (
+        render_frames_step_pallas_regen,
+    )
+
+    return render_frames_step_pallas_regen(
+        scene, config, accum, first_frame, obj_types, k,
+        has_transmission=has_transmission, has_emission=has_emission,
+        interpret=interpret,
+    )
+
+
 @partial(jax.jit, static_argnums=(1, 5), donate_argnums=(2,))
 def _step_grid(scene: SceneArrays, config: RenderConfig, accum, frame_id,
                grid, grid_static):
@@ -105,16 +125,17 @@ def _step_grid(scene: SceneArrays, config: RenderConfig, accum, frame_id,
     )
 
 
-@partial(jax.jit, static_argnums=(1, 4, 5, 6), donate_argnums=(2,))
+@partial(jax.jit, static_argnums=(1, 4, 5, 6, 7), donate_argnums=(2,))
 def _step_pallas(
     scene: SceneArrays, config: RenderConfig, accum, frame_id, obj_types,
-    has_transmission, has_emission,
+    has_transmission, has_emission, interpret=False,
 ):
     from spectral_tpu.render.pallas_integrator import render_frame_step_pallas
 
     return render_frame_step_pallas(
         scene, config, accum, frame_id, obj_types,
         has_transmission=has_transmission, has_emission=has_emission,
+        interpret=interpret,
     )
 
 
@@ -282,6 +303,7 @@ class Renderer:
         phase_split: int | None = None,
         phase_capacity: int | None = None,
         frames_per_dispatch: int = 1,
+        regen_frames: int = 1,
         _interpret: bool = False,
         _phase_tile: int | None = None,
     ):
@@ -401,6 +423,25 @@ class Renderer:
                 "checks; the sharded/grid steps are per-frame programs)"
             )
         self.frames_per_dispatch = int(frames_per_dispatch)
+        # regen_frames = K > 1: K progressive frames per megakernel launch
+        # via in-kernel path regeneration (same estimator up to f32 sum
+        # order — terminating lanes immediately start the pixel's next
+        # frame, harvesting the bounce loop's dead-lane tail). Pallas-only;
+        # not composable with sharding/phased/grid/frames_per_dispatch.
+        if regen_frames < 1:
+            raise ValueError("regen_frames must be >= 1")
+        if regen_frames > 1:
+            if self.backend != "pallas" and not _interpret:
+                raise ValueError("regen_frames requires the pallas backend")
+            if (
+                sharding is not None or phase_split is not None
+                or self.grid is not None or frames_per_dispatch > 1
+            ):
+                raise ValueError(
+                    "regen_frames composes with the plain pallas step only "
+                    "(not sharding/phase_split/grid/frames_per_dispatch)"
+                )
+        self.regen_frames = int(regen_frames)
         self.accum = self._zero_accum()
         self.next_frame = 0
 
@@ -528,6 +569,7 @@ class Renderer:
                 self.accum = _step_pallas(
                     self.scene_arrays, self.config, self.accum, fid,
                     self.obj_types, self.has_transmission, self.has_emission,
+                    self._interpret,
                 )
         elif self.grid is not None:
             self.accum = _step_grid(
@@ -541,7 +583,13 @@ class Renderer:
         """Render frames [first_frame, first_frame + k) in ONE dispatch.
         Only reached on the plain jnp/pallas paths (guarded in __init__)."""
         fid = jnp.uint32(first_frame)
-        if self.backend == "pallas":
+        if self.regen_frames > 1 and k > 1:
+            self.accum = _step_regen(
+                self.scene_arrays, self.config, self.accum, fid, k,
+                self.obj_types, self.has_transmission, self.has_emission,
+                self._interpret,
+            )
+        elif self.backend == "pallas":
             self.accum = _step_pallas_k(
                 self.scene_arrays, self.config, self.accum, fid, k,
                 self.obj_types, self.has_transmission, self.has_emission,
@@ -587,12 +635,9 @@ class Renderer:
         total = self.config.intended_frames
         pixels = self.config.width * self.config.height
         rendered = 0
+        chunk = max(self.frames_per_dispatch, self.regen_frames)
         while rendered < n_frames and self.next_frame < total:
-            k = min(
-                self.frames_per_dispatch,
-                n_frames - rendered,
-                total - self.next_frame,
-            )
+            k = min(chunk, n_frames - rendered, total - self.next_frame)
             if k > 1:
                 self._advance_fused(self.next_frame, k)
             else:

@@ -400,3 +400,81 @@ def test_renderer_auto_phase_and_cascade():
     # auto may legitimately choose no stages (tiny wavefront: every
     # capacity rounds up to one tile); either way the image must match
     assert_same_estimator(got_auto)
+
+
+def _regen_scene():
+    sc = presets.default_scene()
+    sc.spectrum_number_of_samples = 8
+    sc.update_all_spectrum_sample_sizes()
+    sc.width, sc.height = 16, 128  # 2048 lanes
+    sc.nbr_of_ray_bounces = 4
+    sc.nbr_of_iterations = 3
+    return sc
+
+
+def test_regen_matches_monolithic_sum():
+    """Path regeneration (K frames per launch) computes every path
+    bit-identically to the monolithic kernel — primaries are
+    host-precomputed with the same raygen, RNG streams travel with the
+    per-lane (frame, bounces_left) counters — so the K-frame radiance sum
+    matches the sum of K monolithic frames up to pure f32 reassociation
+    (no self-intersection coin flips; re-deriving raygen in-kernel was
+    measured to flip ~11%/frame of pixels and rejected)."""
+    from spectral_tpu.render.pallas_integrator import (
+        integrate_frames_pallas_regen,
+    )
+
+    arrays, config = flatten_scene(_regen_scene())
+    obj_types = tuple(np.asarray(arrays.obj_type).tolist())
+    mono = sum(
+        np.asarray(
+            integrate_frame_pallas(
+                arrays, config, np.uint32(f), obj_types, interpret=True
+            ),
+            np.float64,
+        )
+        for f in range(3)
+    )
+    regen = np.asarray(
+        integrate_frames_pallas_regen(
+            arrays, config, np.uint32(0), obj_types, 3, interpret=True
+        ),
+        np.float64,
+    )
+    err = np.abs(regen - mono)
+    assert float(err.max()) < 1e-4  # f32 reassociation only — zero flips
+
+
+def test_renderer_regen_chunks_and_estimator():
+    from spectral_tpu.render.renderer import Renderer
+
+    scene = _regen_scene
+    ref = None
+    r_mono = Renderer(scene(), _interpret=True, backend="jnp")
+    # force the pallas step despite the CPU host (interpret mode)
+    r_mono.backend = "pallas"
+    ref = r_mono.render()
+
+    r = Renderer(scene(), regen_frames=2, _interpret=True, backend="jnp")
+    r.backend = "pallas"
+    seen = []
+    got = r.render(progress=lambda p: seen.append(p.frame_id))
+    assert seen == [1, 2]  # chunks of 2, then the ragged tail frame
+    assert np.abs(np.asarray(got) - np.asarray(ref)).max() < 1e-4
+
+
+def test_regen_rejects_incompatible_modes():
+    from spectral_tpu.render.renderer import Renderer
+
+    with pytest.raises(ValueError, match="regen_frames"):
+        Renderer(_regen_scene(), regen_frames=0)
+    with pytest.raises(ValueError, match="composes|plain"):
+        Renderer(
+            _regen_scene(), regen_frames=2, frames_per_dispatch=2,
+            _interpret=True,
+        )
+    import jax as _jax
+
+    if "tpu" not in _jax.devices()[0].platform.lower():
+        with pytest.raises(ValueError, match="pallas"):
+            Renderer(_regen_scene(), regen_frames=2)
