@@ -85,3 +85,52 @@ def build_sharded_pallas_step(
         check_vma=False,
     )
     return jax.jit(mapped, donate_argnums=(1,))
+
+
+def build_sharded_pallas_regen_step(
+    mesh, config: RenderConfig, obj_types: tuple, k: int,
+    interpret: bool = False,
+    has_transmission: bool = False, has_emission: bool = False,
+):
+    """Row-sharded path-regeneration step: each device retires ``k``
+    progressive frames of its row slab in one megakernel launch
+    (``integrate_frames_pallas_regen``), then blends the k-frame sum.
+    Same zero-per-frame-collectives layout as the per-frame step."""
+    import dataclasses
+
+    from jax.sharding import PartitionSpec as P
+
+    from spectral_tpu.parallel.mesh import ROW_AXIS
+    from spectral_tpu.render.integrator import accumulate_frames
+    from spectral_tpu.render.pallas_integrator import (
+        integrate_frames_pallas_regen,
+    )
+
+    n_dev = mesh.devices.size
+    local_h = config.height // n_dev
+    local_config = dataclasses.replace(config, height=local_h)
+
+    def shard_fn(scene_local, accum_local, first_frame):
+        idx = jax.lax.axis_index(ROW_AXIS)
+        rgb_sum = integrate_frames_pallas_regen(
+            scene_local,
+            local_config,
+            first_frame,
+            obj_types,
+            k,
+            interpret=interpret,
+            has_transmission=has_transmission,
+            has_emission=has_emission,
+            full_height=config.height,
+            row_offset=idx * local_h,
+        )
+        return accumulate_frames(accum_local, rgb_sum, first_frame, k)
+
+    mapped = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(ROW_AXIS), P()),
+        out_specs=P(ROW_AXIS),
+        check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=(1,))

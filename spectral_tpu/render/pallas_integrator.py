@@ -195,6 +195,8 @@ def integrate_frames_pallas_regen(
     has_transmission: bool = False,
     has_emission: bool = False,
     object_loop: str = "auto",
+    full_height: int | None = None,
+    row_offset=0,
 ) -> jax.Array:
     """K progressive frames in ONE kernel launch via in-kernel path
     regeneration -> the SUM of their linear-RGB frames ``[H, W, 3]``.
@@ -213,7 +215,9 @@ def integrate_frames_pallas_regen(
     summed in differs (pure f32 reassociation — no RNG/jitter
     divergence). Blend the result with ``integrator.accumulate_frames``.
 
-    Not composable with row sharding or the phased/cascade pipeline.
+    ``full_height``/``row_offset`` render a row slab in global image
+    coordinates (row-sharded rendering, like ``integrate_frame_pallas``).
+    Not composable with the phased/cascade pipeline.
     """
     if k < 2:
         raise ValueError("regen wants k >= 2 (use integrate_frame_pallas)")
@@ -234,6 +238,7 @@ def integrate_frames_pallas_regen(
     origin, direction, px, py = generate_primary_rays(
         scene.cam_pos, scene.cam_dir, scene.cam_up, scene.fov_y_deg,
         config.width, config.height, first_frame_id, config.intended_frames,
+        full_height=full_height, row_offset=row_offset,
     )
 
     def lanes(a, dtype=jnp.float32):
@@ -248,6 +253,7 @@ def integrate_frames_pallas_regen(
             scene.cam_pos, scene.cam_dir, scene.cam_up, scene.fov_y_deg,
             config.width, config.height,
             first_frame_id + jnp.uint32(j), config.intended_frames,
+            full_height=full_height, row_offset=row_offset,
         )[1]
         for j in range(1, int(k))
     ]

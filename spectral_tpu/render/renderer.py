@@ -375,6 +375,7 @@ class Renderer:
 
                 self._sharded_step = build_sharded_pallas_step(
                     sharding.mesh, self.config, self.obj_types,
+                    interpret=_interpret,
                     has_transmission=self.has_transmission,
                     has_emission=self.has_emission,
                 )
@@ -434,14 +435,16 @@ class Renderer:
             if self.backend != "pallas" and not _interpret:
                 raise ValueError("regen_frames requires the pallas backend")
             if (
-                sharding is not None or phase_split is not None
-                or self.grid is not None or frames_per_dispatch > 1
+                phase_split is not None or self.grid is not None
+                or frames_per_dispatch > 1
             ):
                 raise ValueError(
-                    "regen_frames composes with the plain pallas step only "
-                    "(not sharding/phase_split/grid/frames_per_dispatch)"
+                    "regen_frames composes with the plain or row-sharded "
+                    "pallas step only (not phase_split/grid/"
+                    "frames_per_dispatch)"
                 )
         self.regen_frames = int(regen_frames)
+        self._sharded_regen_steps: dict = {}
         self.accum = self._zero_accum()
         self.next_frame = 0
 
@@ -584,11 +587,27 @@ class Renderer:
         Only reached on the plain jnp/pallas paths (guarded in __init__)."""
         fid = jnp.uint32(first_frame)
         if self.regen_frames > 1 and k > 1:
-            self.accum = _step_regen(
-                self.scene_arrays, self.config, self.accum, fid, k,
-                self.obj_types, self.has_transmission, self.has_emission,
-                self._interpret,
-            )
+            if self.sharding is not None:
+                step = self._sharded_regen_steps.get(k)
+                if step is None:
+                    from spectral_tpu.parallel.sharding import (
+                        build_sharded_pallas_regen_step,
+                    )
+
+                    step = build_sharded_pallas_regen_step(
+                        self.sharding.mesh, self.config, self.obj_types, k,
+                        interpret=self._interpret,
+                        has_transmission=self.has_transmission,
+                        has_emission=self.has_emission,
+                    )
+                    self._sharded_regen_steps[k] = step
+                self.accum = step(self.scene_arrays, self.accum, fid)
+            else:
+                self.accum = _step_regen(
+                    self.scene_arrays, self.config, self.accum, fid, k,
+                    self.obj_types, self.has_transmission, self.has_emission,
+                    self._interpret,
+                )
         elif self.backend == "pallas":
             self.accum = _step_pallas_k(
                 self.scene_arrays, self.config, self.accum, fid, k,

@@ -478,3 +478,90 @@ def test_regen_rejects_incompatible_modes():
     if "tpu" not in _jax.devices()[0].platform.lower():
         with pytest.raises(ValueError, match="pallas"):
             Renderer(_regen_scene(), regen_frames=2)
+
+
+@pytest.mark.parametrize(
+    "maker, kwargs",
+    [
+        # dispersion: hero-wavelength collapse + dielectric branch must
+        # reset cleanly (hero bin back to -1) at each in-kernel restart
+        ("prism", {"has_transmission": True, "has_emission": True}),
+        # many-object fori loop + material-table indirection
+        ("sphere_field", {}),
+    ],
+)
+def test_regen_matches_monolithic_sum_physics(maker, kwargs):
+    from spectral_tpu.render.pallas_integrator import (
+        integrate_frames_pallas_regen,
+    )
+
+    if maker == "prism":
+        sc = presets.prism(n_samples=8)
+    else:
+        sc = presets.sphere_field(n_spheres=80, n_samples=8)
+    sc.width, sc.height = 16, 128
+    sc.nbr_of_ray_bounces = 4
+    sc.nbr_of_iterations = 3
+    arrays, config = flatten_scene(sc)
+    obj_types = tuple(np.asarray(arrays.obj_type).tolist())
+    mono = sum(
+        np.asarray(
+            integrate_frame_pallas(
+                arrays, config, np.uint32(f), obj_types, interpret=True,
+                **kwargs,
+            ),
+            np.float64,
+        )
+        for f in range(3)
+    )
+    regen = np.asarray(
+        integrate_frames_pallas_regen(
+            arrays, config, np.uint32(0), obj_types, 3, interpret=True,
+            **kwargs,
+        ),
+        np.float64,
+    )
+    err = np.abs(regen - mono)
+    # f32 reassociation of the per-frame sums only — zero path flips
+    assert float(err.max()) < 1e-3 * max(1.0, float(np.abs(mono).max()))
+
+
+def test_sharded_pallas_regen_step():
+    """Row-sharded regeneration step == single-device regeneration (the
+    per-shard raygen runs in global image coordinates, dirs included)."""
+    import jax
+    import jax.numpy as jnp
+
+    from spectral_tpu.parallel.mesh import make_mesh, row_sharding
+    from spectral_tpu.parallel.sharding import (
+        build_sharded_pallas_regen_step,
+        shard_scene,
+    )
+    from spectral_tpu.render.integrator import accumulate_frames
+    from spectral_tpu.render.pallas_integrator import (
+        integrate_frames_pallas_regen,
+    )
+
+    if jax.device_count() < 2:
+        pytest.skip("needs multiple devices")
+    # 1 bounce, like test_sharded_pallas_step_direct_only: deeper bounces
+    # roll the un-offset diffuse self-intersection coin on program-fusion
+    # ulps between the two outer jits (documented chaos envelope); at one
+    # bounce the regen machinery (terminate -> restart with the next
+    # frame's dirs) is still fully exercised
+    arrays, config, obj_types = _pair("cornell", 16, 16, bounces=1)
+    rgb_sum = integrate_frames_pallas_regen(
+        arrays, config, jnp.uint32(0), obj_types, 2, interpret=True
+    )
+    want = np.asarray(
+        accumulate_frames(jnp.zeros((16, 16, 4)), rgb_sum, jnp.uint32(0), 2)
+    )
+    mesh = make_mesh(8)
+    arr_s, acc_sh = shard_scene(arrays, row_sharding(mesh), config)
+    step = build_sharded_pallas_regen_step(
+        mesh, config, obj_types, 2, interpret=True
+    )
+    got = np.asarray(
+        step(arr_s, jax.device_put(jnp.zeros((16, 16, 4)), acc_sh), jnp.uint32(0))
+    )
+    assert np.abs(got - want).max() < 1e-4

@@ -84,7 +84,10 @@ def test_cli_serve_end_to_end(tmp_path):
     url = re.search(rb"live view at (http://\S+)", buf).group(1).decode()
 
     # wait until a frame is visible, then abort via the HTTP button
-    deadline = time.monotonic() + 300  # generous: CPU contention with the interpret-mode tests
+    # very generous: alone this passes in ~5 s, but under the full suite
+    # the render subprocess is starved while interpret-mode kernels
+    # compile on every core (observed >300 s at -x with 141 tests)
+    deadline = time.monotonic() + 900
     while True:
         assert time.monotonic() < deadline
         try:
