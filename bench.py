@@ -98,12 +98,20 @@ def _make_scene(name: str):
 # no config uses it here — `--phase-split` remains a CLI/Renderer feature
 _PHASED: dict = {}
 
-# in-kernel path regeneration (tools/regen_bench.py, v5e): K frames per
-# megakernel launch, terminating lanes immediately start the pixel's next
-# frame. ms/frame mono -> regen: cornell512 5.17 -> 3.63 (K=50), hero
-# 47.35 -> 32.09 (K=25), prism 4.17 -> 3.34 (K=10, flat in K), spheres
-# 126.5 -> 86.7 (K=25). K capped by the 16 MiB scoped VMEM at S=64.
-_REGEN = {"cornell512": 50, "hero": 25, "prism": 10, "spheres": 25}
+# in-kernel path regeneration (tools/regen_bench.py, v5e): (K, tile) per
+# config — K frames per megakernel launch, terminating lanes immediately
+# start the pixel's next frame. 4096-lane tiles are the measured
+# straggler sweet spot everywhere (cornell512 K=50: 8192/4096/2048/1024 =
+# 3.63/3.48/3.58/4.36 ms/frame), and shrinking the tile also frees scoped
+# VMEM for bigger K (the K-1 direction arrays; 16 MiB cap). ms/frame
+# mono -> chosen: cornell512 5.17 -> 3.10 (K=100), hero 47.3 -> 27.05
+# (K=100), prism 4.0 -> 2.33 (K=100), spheres 126.5 -> 82.1 (K=50).
+_REGEN = {
+    "cornell512": (100, 4096),
+    "hero": (100, 4096),
+    "prism": (100, 4096),
+    "spheres": (50, 4096),
+}
 
 
 def main(config_name: str = "cornell512", tile: int | None = None) -> None:
@@ -188,21 +196,24 @@ def main(config_name: str = "cornell512", tile: int | None = None) -> None:
             render_frames_step_pallas_regen,
         )
 
-        k = _REGEN[config_name]
+        k, regen_tile = _REGEN[config_name]
+        n_frames = max(n_frames, k)  # at least one timed launch
         assert n_frames % k == 0
         timed_frames = range(k, k + n_frames)
 
-        @partial(jax.jit, static_argnums=(1, 4, 5, 6, 7), donate_argnums=(2,))
-        def step_regen(scn, cfg, accum, first_fid, kk, ots, ht, he):
+        @partial(
+            jax.jit, static_argnums=(1, 4, 5, 6, 7, 8), donate_argnums=(2,)
+        )
+        def step_regen(scn, cfg, accum, first_fid, kk, ots, ht, he, tl):
             return render_frames_step_pallas_regen(
                 scn, cfg, accum, first_fid, ots, kk,
-                has_transmission=ht, has_emission=he,
+                has_transmission=ht, has_emission=he, tile=tl,
             )
 
         accum = jnp.zeros((config.height, config.width, 4), dtype=jnp.float32)
         accum = step_regen(
             arrays, config, accum, jnp.uint32(0), k, obj_types, has_trans,
-            has_emis,
+            has_emis, regen_tile,
         )  # compile (renders frames 0..k-1, outside the timed window)
         jax.block_until_ready(accum)
 
@@ -210,7 +221,7 @@ def main(config_name: str = "cornell512", tile: int | None = None) -> None:
         for base in range(k, k + n_frames, k):
             accum = step_regen(
                 arrays, config, accum, jnp.uint32(base), k, obj_types,
-                has_trans, has_emis,
+                has_trans, has_emis, regen_tile,
             )
         jax.block_until_ready(accum)
         dt = time.perf_counter() - t0
@@ -263,7 +274,10 @@ def main(config_name: str = "cornell512", tile: int | None = None) -> None:
                     "device": str(jax.devices()[0]),
                     "tile": tile or "auto",
                     "phased": phased,
-                    "regen_frames": _REGEN.get(config_name),
+                    "regen": dict(
+                        zip(("frames_per_launch", "tile"),
+                            _REGEN.get(config_name, (None, None)))
+                    ),
                     "overflow_frames": overflow_frames,
                     # mean live-lane fraction over the bounce loop: the
                     # megakernel executes every lane every bounce, so this

@@ -96,7 +96,11 @@ def cmd_render(args) -> int:
         phase_split=_parse_phase(args.phase_split),
         phase_capacity=_parse_phase(args.phase_capacity),
         frames_per_dispatch=args.frames_per_dispatch,
-        regen_frames=args.regen_frames,
+        regen_frames=(
+            args.regen_frames
+            if args.regen_frames == "auto"
+            else int(args.regen_frames)
+        ),
     )
     if args.resume:
         renderer.load_checkpoint(args.resume)
@@ -327,12 +331,14 @@ def build_parser() -> argparse.ArgumentParser:
                     "dispatch (lax.scan) — same estimator, fewer host "
                     "round-trips (~7%% on short frames); progress/abort "
                     "granularity coarsens to K frames")
-    pr.add_argument("--regen-frames", type=int, default=1, metavar="K",
+    pr.add_argument("--regen-frames", default="auto", metavar="K",
                     help="(TPU) K progressive frames per megakernel launch "
                     "via in-kernel path regeneration: a terminated path "
                     "immediately starts the pixel's next frame, harvesting "
                     "the bounce loop's dead-lane tail (same estimator up "
-                    "to f32 summation order)")
+                    "to f32 summation order; measured 1.5-1.75x). Default "
+                    "'auto'; progress/abort granularity coarsens to K "
+                    "frames — pass 1 for strict per-frame stepping")
     pr.add_argument("--profile",
                     help="capture a jax.profiler trace of the render into DIR")
     pr.set_defaults(func=cmd_render)

@@ -16,6 +16,12 @@ ops. Per-object scene constants are scalar VMEM reads; per-object code is
 specialized at build time on the (static) object type list, so there is
 no runtime type dispatch.
 
+Two occupancy harvesters are built in: *path regeneration*
+(``regen_frames=K`` — terminating lanes immediately start the same
+pixel's next progressive frame, retiring K frames per launch; measured
+1.43-1.48x on the BASELINE configs) and the *bounce-segmented* kernel
+(``state_io`` — the phased/cascade compaction pipeline's building block).
+
 Mosaic workarounds (verified on v5e):
 * no uint32<->float32 casts -> exact conversion via 16-bit halves
   (``_u32_to_f32``; single final rounding, bit-identical to Rust

@@ -225,7 +225,12 @@ def integrate_frames_pallas_regen(
     n = config.width * config.height
     if config.n_objects == 0:
         return jnp.zeros((config.height, config.width, 3), dtype=jnp.float32)
-    tile = tile or _pick_tile(n)
+    # default tile 4096, NOT _pick_tile's 8192: measured straggler sweet
+    # spot for regeneration on every BASELINE config (cornell512 K=50:
+    # 8192/4096/2048/1024 lanes = 3.63/3.48/3.58/4.36 ms/frame on v5e —
+    # smaller tiles isolate expensive pixel clusters so cheap tiles
+    # retire early; 1024 pays per-grid-step overheads)
+    tile = tile or min(_pick_tile(n), 4096)
     # v5e scoped VMEM is 16 MiB; the K-1 per-frame direction arrays live
     # there alongside rad/thr. Shrink the tile until the working set fits
     # (measured: S=64, K=50, 8192-lane tiles = 17.18M > 16M; model

@@ -428,7 +428,21 @@ class Renderer:
         # via in-kernel path regeneration (same estimator up to f32 sum
         # order — terminating lanes immediately start the pixel's next
         # frame, harvesting the bounce loop's dead-lane tail). Pallas-only;
-        # not composable with sharding/phased/grid/frames_per_dispatch.
+        # not composable with phased/grid/frames_per_dispatch.
+        # "auto": largest measured-good K the scoped VMEM allows on the
+        # pallas path (1.5-1.75x on the BASELINE configs), 1 elsewhere or
+        # when a conflicting mode is requested explicitly.
+        if regen_frames == "auto":
+            if self.backend != "pallas" or (
+                phase_split is not None or self.grid is not None
+                or frames_per_dispatch > 1
+            ):
+                regen_frames = 1
+            else:
+                cap = 100 if self.config.n_samples <= 64 else 64
+                regen_frames = max(1, min(self.config.intended_frames, cap))
+                if regen_frames < 2:
+                    regen_frames = 1
         if regen_frames < 1:
             raise ValueError("regen_frames must be >= 1")
         if regen_frames > 1:

@@ -74,11 +74,13 @@ def main(config_name: str = "cornell512") -> None:
     print(json.dumps({"name": "mono_per_frame",
                       "ms_per_frame": round(dt * 1e3, 3)}), flush=True)
 
+    tile = int(os.environ.get("REGEN_TILE", 0)) or None
+
     @partial(jax.jit, static_argnums=(1, 4, 5, 6, 7), donate_argnums=(2,))
     def regen(scn, cfg, accum, fid, k, ots, h1, h2):
         return render_frames_step_pallas_regen(
             scn, cfg, accum, fid, ots, k,
-            has_transmission=h1, has_emission=h2)
+            has_transmission=h1, has_emission=h2, tile=tile)
 
     ks = tuple(
         int(v) for v in (sys.argv[2].split(",") if len(sys.argv) > 2 else ())
