@@ -41,7 +41,9 @@ scene = Scene(
     materials=[matte, mirror],
 )
 
-renderer = st.Renderer(scene)
+# regen_frames="auto" retires many progressive frames per TPU kernel
+# launch (in-kernel path regeneration, ~1.5-1.75x); resolves to 1 on CPU
+renderer = st.Renderer(scene, regen_frames="auto")
 renderer.render(
     progress=lambda p: print(
         f"frame {p.frame_id + 1}/{p.total_frames}  {p.mpaths_per_s:.1f} Mpaths/s"

@@ -202,3 +202,52 @@ def test_frames_per_dispatch_rejects_incompatible_modes():
                 sharding=row_sharding(make_mesh(2)),
                 frames_per_dispatch=2,
             )
+
+
+def test_accumulate_frames_equals_sequential_blend():
+    """The k-frame blend (regen path) must equal k sequential
+    accumulate_frame calls: both are the running mean in exact math;
+    check f32 agreement to tight tolerance."""
+    from spectral_tpu.render.integrator import (
+        accumulate_frame, accumulate_frames,
+    )
+
+    rng = np.random.default_rng(7)
+    frames = rng.uniform(0, 2, size=(5, 4, 6, 3)).astype(np.float32)
+    seq = np.zeros((4, 6, 4), np.float32)
+    for i in range(5):
+        seq = np.asarray(accumulate_frame(seq, frames[i], np.uint32(i)))
+    # two chunks: frames 0-2 then 3-4
+    chunked = np.zeros((4, 6, 4), np.float32)
+    chunked = np.asarray(
+        accumulate_frames(chunked, frames[:3].sum(axis=0), np.uint32(0), 3)
+    )
+    chunked = np.asarray(
+        accumulate_frames(chunked, frames[3:].sum(axis=0), np.uint32(3), 2)
+    )
+    assert np.allclose(seq, chunked, atol=2e-6)
+    assert np.allclose(chunked[..., 3], 1.0, atol=1e-6)
+
+
+def test_regen_checkpoint_resume_chunks(tmp_path):
+    """Checkpoint/resume lands on chunk boundaries and the resumed
+    renderer finishes with the same frame count."""
+    from spectral_tpu.render.renderer import Renderer
+
+    def scene():
+        sc = _small_scene(iters=7)
+        return sc
+
+    r = Renderer(scene(), regen_frames=3, _interpret=True, backend="jnp")
+    r.backend = "pallas"
+    r.render_frames(3)
+    assert r.next_frame == 3
+    ckpt = tmp_path / "regen.npz"
+    r.save_checkpoint(ckpt)
+
+    r2 = Renderer(scene(), regen_frames=3, _interpret=True, backend="jnp")
+    r2.backend = "pallas"
+    r2.load_checkpoint(ckpt)
+    r2.render()
+    assert r2.next_frame == 7  # chunks 3 + 1 tail after resume... 3,1
+    assert not np.isnan(r2.framebuffer()).any()
