@@ -1,0 +1,280 @@
+"""Is ray-sphere nearest-hit faster as GEMM (MXU) than as a scalar-loop
+(VPU) inside a Pallas kernel?
+
+The fori object loop is VPU-bound at ~28 ops/(lane*object) (~85% of v5e
+VPU peak on the 1000-sphere config). ~13 of those ops are dot products
+(d.(o-c), |o-c|^2) that a [rays, 3] @ [3, objects] MXU contraction could
+absorb, at the cost of relayouting rays from the (r8, 128) lane tile to a
+[rays, pad8] matrix and reducing the winner along the object axis.
+
+Two kernels, identical (t_best, winner_id) contract, timed on real TPU:
+  A: the production-style fori over objects with scalar SMEM geometry
+  B: object-blocks of 128 as MXU matmuls + lane-axis argmin
+
+Prints one JSON line each + a correctness cross-check.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from functools import partial
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+R8 = 32           # 4096 rays per tile
+N_RAYS = R8 * LANE
+N_OBJ = 1024      # 8 blocks of 128
+N_TILES = 48      # ~196k rays total per dispatch
+_INF = np.float32(np.inf)
+
+
+def build_a():
+    """Production-style: fori over objects, scalar geometry reads."""
+
+    def kernel(geom_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+               t_ref, id_ref):
+        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+        a = dx * dx + dy * dy + dz * dz
+        inv2a = 1.0 / (2.0 * a)
+        foura = 4.0 * a
+
+        def body(o, carry):
+            t_best, win = carry
+            cx, cy, cz = geom_ref[o, 0], geom_ref[o, 1], geom_ref[o, 2]
+            r2 = geom_ref[o, 3]
+            rx_, ry_, rz_ = ox - cx, oy - cy, oz - cz
+            b = 2.0 * (dx * rx_ + dy * ry_ + dz * rz_)
+            c = rx_ * rx_ + ry_ * ry_ + rz_ * rz_ - r2
+            disc = b * b - foura * c
+            ok = disc > 0.0
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            t1 = (-b - sq) * inv2a
+            t2 = (-b + sq) * inv2a
+            t = jnp.where(t1 > 0.0, t1, t2)
+            valid = ok & (t > 0.0)
+            closer = valid & (t < t_best)
+            return (
+                jnp.where(closer, t, t_best),
+                jnp.where(closer, jnp.float32(o), win),
+            )
+
+        t0 = jnp.full((R8, LANE), _INF)
+        w0 = jnp.full((R8, LANE), -1.0, jnp.float32)
+        t_best, win = jax.lax.fori_loop(0, N_OBJ, body, (t0, w0))
+        t_ref[:] = t_best
+        id_ref[:] = win
+
+    @jax.jit
+    def run(geom, ox, oy, oz, dx, dy, dz):
+        ray = pl.BlockSpec((R8, LANE), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            grid=(N_TILES,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      ray, ray, ray, ray, ray, ray],
+            out_specs=(ray, ray),
+            out_shape=(
+                jax.ShapeDtypeStruct((N_TILES * R8, LANE), jnp.float32),
+                jax.ShapeDtypeStruct((N_TILES * R8, LANE), jnp.float32),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+        )(geom, ox, oy, oz, dx, dy, dz)
+
+    return run
+
+
+NRB = 1024  # rays per kernel-B block: [NRB, 128] f32 temporaries (and
+            # the lane-padded [NRB, 1] columns) must fit scoped VMEM
+            # (4096/2048-ray blocks OOMed at 24M/21.8M > 16M)
+N_TILES_B = N_TILES * N_RAYS // NRB
+
+
+def build_b():
+    """MXU: per 128-object block, b/c coefficient matmuls + lane argmin.
+
+    Rays live as [N_RAYS, 8] matrices (x,y,z + padding); the geometry is
+    a [8, N_OBJ] matrix (cx,cy,cz rows). One dot_general produces
+    d.c [N_RAYS, 128] per block; o.c likewise; the rest is elementwise
+    on [N_RAYS, 128] + a lane-axis min/argmin."""
+
+    def kernel(dmat_ref, omat_ref, cmat_ref, cc_ref, do_ref, oo_ref, a_ref,
+               t_ref, id_ref):
+        # dmat/omat: [NR, 8] (dx dy dz 0...), cmat: [8, 128] per block
+        dmat = dmat_ref[:]
+        omat = omat_ref[:]
+        a = a_ref[:]          # [NR, 1] broadcast columns
+        do_ = do_ref[:]       # d.o per ray [NR, 1]
+        oo = oo_ref[:]        # o.o per ray [NR, 1]
+        inv2a = 1.0 / (2.0 * a)
+        foura = 4.0 * a
+        t_best = jnp.full((NRB, 1), _INF)
+        win = jnp.full((NRB, 1), -1.0, jnp.float32)
+        col = jax.lax.broadcasted_iota(
+            jnp.int32, (NRB, LANE), 1
+        ).astype(jnp.float32)
+        def block(blk, carry):
+            t_best, win = carry
+            cblk = cmat_ref[:, pl.ds(blk * LANE, LANE)]   # [8,128]
+            ccblk = cc_ref[:, pl.ds(blk * LANE, LANE)]    # [1,128]
+            dc = jax.lax.dot_general(
+                dmat, cblk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [NR, 128]
+            oc = jax.lax.dot_general(
+                omat, cblk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            b = 2.0 * (do_ - dc)
+            c = oo - 2.0 * oc + ccblk
+            disc = b * b - foura * c
+            ok = disc > 0.0
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            t1 = (-b - sq) * inv2a
+            t2 = (-b + sq) * inv2a
+            t = jnp.where(t1 > 0.0, t1, t2)
+            t = jnp.where(ok & (t > 0.0), t, _INF)
+            # block winner: smallest t, lowest object index on ties
+            tb = jnp.min(t, axis=1, keepdims=True)
+            is_min = t == tb
+            idx = (
+                jnp.min(jnp.where(is_min, col, jnp.float32(LANE)),
+                        axis=1, keepdims=True)
+                + _u32f(blk * LANE)
+            )
+            closer = tb < t_best
+            return (
+                jnp.where(closer, tb, t_best),
+                jnp.where(closer, idx, win),
+            )
+
+        def _u32f(v):  # traced i32 -> f32 (Mosaic-safe for small values)
+            return jnp.asarray(v, jnp.int32).astype(jnp.float32)
+
+        t_best, win = jax.lax.fori_loop(
+            0, N_OBJ // LANE, block, (t_best, win)
+        )
+        t_ref[:] = t_best
+        id_ref[:] = win
+
+    @jax.jit
+    def run(dmat, omat, cmat, cc, do_, oo, a):
+        raym = pl.BlockSpec((NRB, 8), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+        colv = pl.BlockSpec((NRB, 1), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+        outv = pl.BlockSpec((NRB, 1), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            grid=(N_TILES_B,),
+            in_specs=[
+                raym, raym,
+                pl.BlockSpec((8, N_OBJ), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, N_OBJ), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                colv, colv, colv,
+            ],
+            out_specs=(outv, outv),
+            out_shape=(
+                jax.ShapeDtypeStruct((N_TILES * N_RAYS, 1), jnp.float32),
+                jax.ShapeDtypeStruct((N_TILES * N_RAYS, 1), jnp.float32),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+        )(dmat, omat, cmat, cc, do_, oo, a)
+
+    return run
+
+
+def main() -> None:
+    cache = os.path.expanduser("~/.cache/spectral_tpu_xla")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    rng = np.random.default_rng(0)
+    n_total = N_TILES * N_RAYS
+    o = rng.uniform(-1, 1, (n_total, 3)).astype(np.float32)
+    d = rng.normal(size=(n_total, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    centers = rng.uniform(-30, 30, (N_OBJ, 3)).astype(np.float32)
+    radii = rng.uniform(0.5, 2.0, (N_OBJ,)).astype(np.float32)
+
+    # kernel A inputs
+    geom = np.concatenate([centers, (radii ** 2)[:, None]], axis=1)
+    lanes = lambda v: v.reshape(N_TILES * R8, LANE)
+    args_a = (jnp.asarray(geom),) + tuple(
+        jnp.asarray(lanes(v)) for v in
+        (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2])
+    )
+
+    # kernel B inputs
+    pad8 = lambda m: np.pad(m, ((0, 0), (0, 8 - m.shape[1])))
+    dmat = jnp.asarray(pad8(d))
+    omat = jnp.asarray(pad8(o))
+    cmat = jnp.asarray(pad8(centers).T)              # [8, O]
+    cc = jnp.asarray(
+        ((centers ** 2).sum(axis=1) - radii ** 2)[None, :]
+    )                                                # [1, O]
+    do_ = jnp.asarray((d * o).sum(axis=1, keepdims=True))
+    oo = jnp.asarray((o * o).sum(axis=1, keepdims=True))
+    a_col = jnp.asarray((d * d).sum(axis=1, keepdims=True))
+
+    run_a = build_a()
+    run_b = build_b()
+
+    ta, ia = run_a(*args_a)
+    tb, ib = run_b(dmat, omat, cmat, cc, do_, oo, a_col)
+    jax.block_until_ready((ta, tb))
+
+    # correctness cross-check (identical math modulo dot-product
+    # association: expect near-total agreement, tiny t differences)
+    ta_f = np.asarray(ta).reshape(-1)
+    tb_f = np.asarray(tb).reshape(-1)
+    ia_f = np.asarray(ia).reshape(-1)
+    ib_f = np.asarray(ib).reshape(-1)
+    hit = np.isfinite(ta_f)
+    agree = (ia_f == ib_f) | (~hit & ~np.isfinite(tb_f))
+    print(json.dumps({
+        "name": "crosscheck",
+        "winner_agreement": round(float(agree.mean()), 6),
+        "max_t_rel_diff": float(np.nanmax(np.abs(
+            np.where(hit & np.isfinite(tb_f), ta_f - tb_f, 0.0)
+        ) / np.maximum(np.abs(ta_f), 1e-3))),
+        "hit_rate": round(float(hit.mean()), 4),
+    }), flush=True)
+
+    reps = 30
+    for name, fn, args in (("vpu_fori", run_a, args_a),
+                           ("mxu_blocks", run_b,
+                            (dmat, omat, cmat, cc, do_, oo, a_col))):
+        out = fn(*args)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / reps
+        print(json.dumps({
+            "name": name,
+            "ms_per_trace": round(dt * 1e3, 3),
+            "rays": n_total, "objects": N_OBJ,
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
