@@ -91,16 +91,25 @@ def cmd_render(args) -> int:
 
         sharding = row_sharding(make_mesh(args.mesh))
 
+    regen = (
+        args.regen_frames
+        if args.regen_frames == "auto"
+        else int(args.regen_frames)
+    )
+    if regen == "auto" and (args.serve is not None or args.preview_every):
+        # progress/preview/abort all operate at chunk granularity; a live
+        # view behind a 100-frame chunk would update once per seconds.
+        # 16-frame chunks keep most of the regeneration win (measured
+        # K=10 already captures ~60% of the K=100 gain) at ~10x the
+        # update cadence. Explicit --regen-frames overrides this.
+        regen = ("auto", 16)
+
     renderer = Renderer(
         scene, sharding=sharding,
         phase_split=_parse_phase(args.phase_split),
         phase_capacity=_parse_phase(args.phase_capacity),
         frames_per_dispatch=args.frames_per_dispatch,
-        regen_frames=(
-            args.regen_frames
-            if args.regen_frames == "auto"
-            else int(args.regen_frames)
-        ),
+        regen_frames=regen,
     )
     if args.resume:
         renderer.load_checkpoint(args.resume)

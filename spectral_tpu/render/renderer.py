@@ -431,7 +431,16 @@ class Renderer:
         # not composable with phased/grid/frames_per_dispatch.
         # "auto": largest measured-good K the scoped VMEM allows on the
         # pallas path (1.5-1.75x on the BASELINE configs), 1 elsewhere or
-        # when a conflicting mode is requested explicitly.
+        # when a conflicting mode is requested explicitly. ("auto", cap)
+        # bounds the chosen K (live viewers want short chunks).
+        auto_cap = None
+        if (
+            isinstance(regen_frames, tuple)
+            and len(regen_frames) == 2
+            and regen_frames[0] == "auto"
+        ):
+            auto_cap = int(regen_frames[1])
+            regen_frames = "auto"
         if regen_frames == "auto":
             if self.backend != "pallas" or (
                 phase_split is not None or self.grid is not None
@@ -440,6 +449,8 @@ class Renderer:
                 regen_frames = 1
             else:
                 cap = 100 if self.config.n_samples <= 64 else 64
+                if auto_cap is not None:
+                    cap = min(cap, auto_cap)
                 regen_frames = max(1, min(self.config.intended_frames, cap))
                 if regen_frames < 2:
                     regen_frames = 1
