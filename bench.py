@@ -87,7 +87,7 @@ def _make_scene(name: str):
         scene.nbr_of_iterations = 100
         return scene, (
             "1000 spheres 1024x768, 32 lambda, 8 bounces, "
-            "phased fori megakernel (occupancy-compacted tail bounces)"
+            "fori megakernel with in-kernel path regeneration"
         )
     raise SystemExit(f"unknown bench config {name!r}")
 
@@ -105,12 +105,12 @@ _PHASED: dict = {}
 # 3.63/3.48/3.58/4.36 ms/frame), and shrinking the tile also frees scoped
 # VMEM for bigger K (the K-1 direction arrays; 16 MiB cap). ms/frame
 # mono -> chosen: cornell512 5.17 -> 3.10 (K=100), hero 47.3 -> 27.05
-# (K=100), prism 4.0 -> 2.33 (K=100), spheres 126.5 -> 82.1 (K=50).
+# (K=100), prism 4.0 -> 2.33 (K=100), spheres 126.5 -> 78.4 (K=100).
 _REGEN = {
     "cornell512": (100, 4096),
     "hero": (100, 4096),
     "prism": (100, 4096),
-    "spheres": (50, 4096),
+    "spheres": (100, 4096),
 }
 
 
