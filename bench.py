@@ -297,6 +297,10 @@ if __name__ == "__main__":
 
     _cfg = sys.argv[1] if len(sys.argv) > 1 else "cornell512"
     _tile = int(sys.argv[2]) if len(sys.argv) > 2 else None
+    if _cfg == "all":  # one JSON line per BASELINE config
+        for _c in ("cornell512", "hero", "prism", "spheres"):
+            main(_c, None)
+        raise SystemExit(0)
     try:
         main(_cfg, _tile)
     except BenchTimeout as e:
