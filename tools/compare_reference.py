@@ -9,7 +9,9 @@ prints the pixel RMSE against that artifact.
     python tools/compare_reference.py                 # full 1000 iters (TPU)
     python tools/compare_reference.py --iterations 100  # quicker estimate
 
-Measured (v5e, 1000 iterations): rmse 0.0159 — the residual is a
+Measured (v5e): rmse 0.0159 at 1000 iterations, 0.0203 at the quick
+200-iteration estimate (the delta is residual Monte-Carlo noise) — the
+converged residual is a
 one-or-two-pixel silhouette shift in the mirror-box reflection, most
 likely because the upstream artifact predates the repo's current scene
 values (it cannot be regenerated bit-identically by the reference itself
@@ -51,7 +53,14 @@ def main(argv=None) -> int:
     from spectral_tpu.render.renderer import Renderer
     from spectral_tpu.scene import presets
 
-    scene = presets.default_scene()  # 600x400, 30 bounces, 32 samples
+    # render at the artifact's own resolution (the reference's shipped
+    # example_image.png is 1920x1080 — larger than the app's 600x400
+    # default size; BASELINE.md reference facts)
+    from PIL import Image
+
+    ref_w, ref_h = Image.open(args.reference).size
+    scene = presets.default_scene()  # 30 bounces, 32 samples
+    scene.width, scene.height = ref_w, ref_h
     scene.nbr_of_iterations = args.iterations
     renderer = Renderer(scene)
     renderer.render()
