@@ -1,9 +1,11 @@
-"""Headline benchmark: Cornell box throughput on real TPU hardware.
+"""Headline benchmark: BASELINE-config throughput on real TPU hardware.
 
-Prints ONE JSON line:
+With no arguments, prints ONE JSON line PER BASELINE config (accuracy
+line first, the headline cornell512 throughput last):
     {"metric": ..., "value": N, "unit": "Mrays/s*lambda", "vs_baseline": N}
+``python bench.py <config>`` runs a single config.
 
-The metric is reference-equivalent ray throughput times spectral width —
+The throughput metric is reference-equivalent ray throughput times spectral width —
 each counted ray is one ``submit_ray`` the reference CPU renderer would
 have performed (primary + continuation + NEE shadow rays; retired
 wavefront lanes are NOT counted), times the number of wavelength samples
@@ -245,16 +247,26 @@ def main(config_name: str = "cornell512", tile: int | None = None) -> None:
         jax.block_until_ready(accum)
         dt = time.perf_counter() - t0
 
+    # ray accounting runs the instrumented jnp path once per counted frame
+    # (seconds per frame on the hero/spheres configs) — sample evenly
+    # instead of counting all 100 timed frames; per-frame ray counts vary
+    # <1% (only via RNG path survival), so the extrapolation error is well
+    # under the run-to-run timing noise
+    sample_frames = list(timed_frames)
+    if len(sample_frames) > 12:
+        picks = np.linspace(0, len(sample_frames) - 1, 12).round().astype(int)
+        sample_frames = [sample_frames[i] for i in sorted(set(picks.tolist()))]
     total_rays = 0.0
     occupancy = np.zeros((config.max_bounces,), np.float64)
-    for f in timed_frames:
+    for f in sample_frames:
         rays, hist = count(arrays, config, jnp.uint32(f))
         total_rays += float(rays)
         occupancy += np.asarray(hist, np.float64)
-    rays_per_frame = total_rays / n_frames
-    # live-lane fraction entering each bounce, averaged over the frames
+    rays_per_frame = total_rays / len(sample_frames)
+    total_rays = rays_per_frame * n_frames
+    # live-lane fraction entering each bounce, averaged over sampled frames
     n_lanes = config.width * config.height
-    occ_frac = occupancy / (n_frames * n_lanes)
+    occ_frac = occupancy / (len(sample_frames) * n_lanes)
 
     signal.alarm(0)  # measurement done; disarm the watchdog
     total_ray_lambda = total_rays * config.n_samples
@@ -269,6 +281,7 @@ def main(config_name: str = "cornell512", tile: int | None = None) -> None:
                 "detail": {
                     "config": desc,
                     "rays_per_frame": rays_per_frame,
+                    "rays_sampled_frames": len(sample_frames),
                     "seconds_per_frame": dt / n_frames,
                     "est_wall_1000_iters_s": round(dt / n_frames * 1000, 1),
                     "device": str(jax.devices()[0]),
@@ -292,22 +305,89 @@ def main(config_name: str = "cornell512", tile: int | None = None) -> None:
     )
 
 
-if __name__ == "__main__":
-    import sys
+BASELINE_RMSE = 0.05  # "visually matching" budget vs the reference render
 
-    _cfg = sys.argv[1] if len(sys.argv) > 1 else "cornell512"
-    _tile = int(sys.argv[2]) if len(sys.argv) > 2 else None
-    if _cfg == "all":  # one JSON line per BASELINE config
-        for _c in ("cornell512", "hero", "prism", "spheres"):
-            main(_c, None)
-        raise SystemExit(0)
+
+def main_rmse(iterations: int = 1000) -> None:
+    """Accuracy line for BASELINE config #1: render the default scene at
+    the reference's shipped ``example_image.png`` resolution and report
+    pixel RMSE against that artifact (the only render the reference
+    publishes; see tools/compare_reference.py for the full analysis —
+    measured 0.0159 at 1000 iterations on v5e)."""
+    import os
+    import signal
+
+    import numpy as np
+
+    ref_png = "/root/reference/example_image.png"
+    if not os.path.exists(ref_png):
+        print(
+            json.dumps(
+                {
+                    "metric": "default_rmse",
+                    "value": 0.0,
+                    "unit": "rmse",
+                    "vs_baseline": 0.0,
+                    "error": f"reference artifact missing: {ref_png}",
+                }
+            ),
+            flush=True,
+        )
+        return
+
+    _enable_compile_cache()
+    _arm_watchdog()
+    from PIL import Image
+
+    from spectral_tpu.render import image as image_mod
+    from spectral_tpu.render.renderer import Renderer
+    from spectral_tpu.scene import presets
+
+    ref_img = np.asarray(
+        Image.open(ref_png).convert("RGB"), dtype=np.float32
+    ) / 255.0
+    scene = presets.default_scene()
+    scene.height, scene.width = ref_img.shape[:2]
+    scene.nbr_of_iterations = iterations
+    t0 = time.perf_counter()
+    fb = Renderer(scene).render()
+    dt = time.perf_counter() - t0
+    ours = image_mod.accum_to_u8(fb)[..., :3].astype(np.float32) / 255.0
+    rmse = float(np.sqrt(np.mean((ours - ref_img) ** 2)))
+    signal.alarm(0)
+    print(
+        json.dumps(
+            {
+                "metric": "default_rmse",
+                "value": round(rmse, 5),
+                "unit": "rmse",
+                # lower is better: >1 means inside the visual-match budget
+                "vs_baseline": round(BASELINE_RMSE / max(rmse, 1e-9), 3),
+                "detail": {
+                    "config": (
+                        f"default scene {scene.width}x{scene.height}, "
+                        f"{iterations} iterations vs reference "
+                        "example_image.png"
+                    ),
+                    "render_seconds": round(dt, 1),
+                },
+            }
+        ),
+        flush=True,
+    )
+
+
+def _run_config(cfg: str, tile) -> None:
     try:
-        main(_cfg, _tile)
+        if cfg == "default_rmse":
+            main_rmse()
+        else:
+            main(cfg, tile)
     except BenchTimeout as e:
         print(
             json.dumps(
                 {
-                    "metric": f"{_cfg}_throughput",
+                    "metric": f"{cfg}_throughput",
                     "value": 0.0,
                     "unit": "Mrays/s*lambda",
                     "vs_baseline": 0.0,
@@ -317,3 +397,17 @@ if __name__ == "__main__":
             flush=True,
         )
         raise SystemExit(2)
+
+
+if __name__ == "__main__":
+    import sys
+
+    _cfg = sys.argv[1] if len(sys.argv) > 1 else "all"
+    _tile = int(sys.argv[2]) if len(sys.argv) > 2 else None
+    if _cfg == "all":
+        # one JSON line per BASELINE config, driver-capturable in one run;
+        # the headline cornell512 config prints LAST (the driver's tail)
+        for _c in ("default_rmse", "hero", "prism", "spheres", "cornell512"):
+            _run_config(_c, None)
+        raise SystemExit(0)
+    _run_config(_cfg, _tile)

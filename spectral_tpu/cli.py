@@ -53,10 +53,17 @@ def _load_scene(args):
     return scene
 
 
-def _parse_phase(value):
+def _parse_phase(value, allow_auto: bool = True):
     """--phase-split / --phase-capacity: int, comma list of ints, or
     'auto' (split only), passed through to Renderer."""
-    if value is None or value == "auto":
+    if value is None:
+        return value
+    if value == "auto":
+        if not allow_auto:
+            raise SystemExit(
+                "--phase-capacity does not accept 'auto'; use "
+                "--phase-split auto to tune splits AND capacities together"
+            )
         return value
     parts = [int(p) for p in str(value).split(",") if p != ""]
     return parts[0] if len(parts) == 1 else tuple(parts)
@@ -107,7 +114,7 @@ def cmd_render(args) -> int:
     renderer = Renderer(
         scene, sharding=sharding,
         phase_split=_parse_phase(args.phase_split),
-        phase_capacity=_parse_phase(args.phase_capacity),
+        phase_capacity=_parse_phase(args.phase_capacity, allow_auto=False),
         frames_per_dispatch=args.frames_per_dispatch,
         regen_frames=regen,
     )

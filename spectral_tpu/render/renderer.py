@@ -262,6 +262,23 @@ def choose_stages(
     return tuple((s, cap_lanes(s)) for s in best_splits)
 
 
+def scene_digest(arrays: SceneArrays, config: RenderConfig) -> str:
+    """Content hash of a flattened scene snapshot + render config.
+
+    Stored in checkpoints: two scenes that flatten to the same arrays
+    render identically, so equal digests are exactly the resumable set."""
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(repr(config).encode())
+    for field in dataclasses.fields(arrays):
+        a = np.asarray(getattr(arrays, field.name))
+        h.update(field.name.encode())
+        h.update(str(a.shape).encode())
+        h.update(a.tobytes())
+    return h.hexdigest()
+
+
 def _is_tpu_platform() -> bool:
     plat = jax.default_backend()
     return plat in ("tpu", "axon") or "tpu" in jax.devices()[0].platform.lower()
@@ -316,6 +333,10 @@ class Renderer:
         # call scene.update_all_spectrum_sample_sizes() explicitly after
         # changing the sample count (the CLI does).
         self.scene_arrays, self.config = flatten_scene(scene)
+        # identity of the flattened snapshot: checkpoints carry it so a
+        # resume against a DIFFERENT scene with the same dimensions is
+        # refused instead of silently blending two unrelated renders
+        self.scene_digest = scene_digest(self.scene_arrays, self.config)
         self.backend = resolve_backend(backend)
         # intersection backend. Measured verdict (see PARITY.md): the
         # dense/chunked brute force beats the uniform-grid DDA on both CPU
@@ -361,6 +382,17 @@ class Renderer:
                     "the pallas backend supports >64 objects only with at "
                     "most 32 distinct materials; use backend='jnp'"
                 )
+            import warnings
+
+            warnings.warn(
+                f"scene has {self.config.n_objects} objects and "
+                f"{self.config.n_materials} materials: the Pallas megakernel"
+                "'s many-object loop supports at most 32 materials, so this "
+                "render falls back to the chunked jnp path (measured ~30x "
+                "slower on the 1000-sphere profile). Consolidate materials "
+                "to stay on the megakernel.",
+                stacklevel=3,
+            )
             self.backend = "jnp"
         self.obj_types = tuple(_np.asarray(self.scene_arrays.obj_type).tolist())
         self.sharding = sharding
@@ -449,6 +481,16 @@ class Renderer:
                 regen_frames = 1
             else:
                 cap = 100 if self.config.n_samples <= 64 else 64
+                # the regeneration launch materializes 3*(K-1) full-image
+                # f32 direction planes in HBM (12*(K-1)*W*H bytes — ~2.4 GB
+                # at 1080p K=100); bound the DEFAULT K by an HBM budget so
+                # large-resolution renders cannot OOM out of the box
+                # (explicit regen_frames=K remains the user's call)
+                hbm_budget = 2 * 1024**3
+                cap = min(
+                    cap,
+                    1 + hbm_budget // (12 * self.config.width * self.config.height),
+                )
                 if auto_cap is not None:
                     cap = min(cap, auto_cap)
                 regen_frames = max(1, min(self.config.intended_frames, cap))
@@ -518,11 +560,12 @@ class Renderer:
         Renders ``probe_frames`` frames of the scene at a reduced
         resolution through the instrumented jnp path (occupancy fractions
         are per-lane statistics, so they transfer across resolutions), then
-        enumerates split sets (size <= 3) under a simple cost model:
-        segment cost = capacity_fraction x bounces, extraction cost =
-        0.30 x source_fraction + 0.05 bounce-equivalents (measured on v5e:
-        ~7 ms extraction vs ~24 ms full-wavefront bounce for the
-        1000-sphere config). Capacities get a ``margin`` safety factor —
+        enumerates split sets (size <= 3) under ``choose_stages``'s
+        calibrated cost model: segment cost = capacity_fraction x bounces,
+        extraction cost = 2.4 x dest_fraction + 0.10 bounce-equivalents
+        (v5e: ~6.8 ms extraction into a 1/8 wavefront vs ~24.5 ms
+        full-wavefront bounce on the 1000-sphere config, super-linear in
+        destination capacity). Capacities get a ``margin`` safety factor —
         an underestimate only costs an overflow-fallback frame, never
         correctness. Returns None when the monolithic kernel wins.
         """
@@ -682,7 +725,14 @@ class Renderer:
         chunk = max(self.frames_per_dispatch, self.regen_frames)
         while rendered < n_frames and self.next_frame < total:
             k = min(chunk, n_frames - rendered, total - self.next_frame)
-            if k > 1:
+            if k > 1 and self.regen_frames > 1 and k < self.regen_frames:
+                # ragged tail of a regeneration render: K is a static arg,
+                # so a k-sized chunk would compile a whole NEW tail-sized
+                # kernel (20-40 s) to save k * ~2 ms — step the tail on the
+                # already-compiled per-frame kernel instead
+                for j in range(k):
+                    self._advance(self.next_frame + j)
+            elif k > 1:
                 self._advance_fused(self.next_frame, k)
             else:
                 self._advance(self.next_frame)
@@ -766,6 +816,7 @@ class Renderer:
                 intended_frames=self.config.intended_frames,
                 width=self.config.width,
                 height=self.config.height,
+                scene_digest=self.scene_digest,
             )
 
     def load_checkpoint(self, path) -> None:
@@ -777,6 +828,22 @@ class Renderer:
         ):
             raise ValueError(
                 "checkpoint was produced by an incompatible render config"
+            )
+        if "scene_digest" in data.files:
+            ckpt_digest = str(data["scene_digest"])
+            if ckpt_digest != self.scene_digest:
+                raise ValueError(
+                    "checkpoint was rendered from a DIFFERENT scene (same "
+                    "dimensions, different content) — resuming would blend "
+                    "two unrelated renders"
+                )
+        else:
+            import warnings
+
+            warnings.warn(
+                "checkpoint predates scene fingerprinting; cannot verify it "
+                "matches this scene",
+                stacklevel=2,
             )
         accum = jnp.asarray(data["accum"], dtype=jnp.float32)
         if self._accum_sharding is not None:

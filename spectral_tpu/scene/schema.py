@@ -428,6 +428,10 @@ class Scene:
             )
         if self.width <= 0 or self.height <= 0:
             raise SceneError("image dimensions must be positive")
+        if self.nbr_of_iterations < 1:
+            # iterations=0 would reach hammersley(frame, N=0) -> NaN jitter
+            # if frames are ever forced; the reference UI slider floors at 1
+            raise SceneError("nbr_of_iterations must be >= 1")
         if not 1 <= self.nbr_of_ray_bounces <= NEW_RAY_MAX_BOUNCES_MAX:
             raise SceneError(
                 f"ray bounces must be in [1, {NEW_RAY_MAX_BOUNCES_MAX}]"

@@ -76,6 +76,91 @@ HELP = {
         "Free-form per-sample values; resampled (lossily) when the sample "
         "count changes."
     ),
+    "object.type": (
+        "Shape of the object; the type sets the intersection cost. Many "
+        "expensive types in one scene slow rendering down."
+    ),
+    "object.position": (
+        "World-space position of the object: the point its local origin "
+        "lands on."
+    ),
+    "object.material": (
+        "Material assigned to the object; it determines how the object "
+        "looks when rendered."
+    ),
+    "object.plain_box.dimensions": (
+        "Width, height and depth of the axis-aligned box."
+    ),
+    "object.sphere.radius": "Radius of the sphere.",
+    "object.rotated_box.dimensions": (
+        "Width, height and depth of the box, defined BEFORE the rotation "
+        "is applied."
+    ),
+    "object.rotated_box.angles": (
+        "Euler rotation angles about the X, Y and Z axes, in radians."
+    ),
+    "spectrum.range": (
+        "Lower and upper wavelength bound of every spectrum; fixed to the "
+        "visible range (380-780 nm), like the reference."
+    ),
+    "spectrum.type": (
+        "Initial shape of the spectrum, regenerated when the sample count "
+        "changes. Switch to 'custom' to edit samples directly — but avoid "
+        "changing the sample count afterwards: custom values are resampled "
+        "lossily."
+    ),
+    "spectrum.effect_type": (
+        "How the spectrum is used. Emitting: a light-source spectrum, "
+        "values may exceed 1. Reflecting: the per-wavelength share that is "
+        "reflected, clamped to [0, 1] at render start — 0.5 everywhere "
+        "reads as medium grey under white light."
+    ),
+    "spectrum.radiance": (
+        "Integrated emitted energy of the spectrum — its apparent "
+        "brightness. Shorter wavelengths carry more energy per photon, "
+        "which skews the number slightly."
+    ),
+    "spectrum.observed_color": (
+        "Color when looking straight at the emitter. A bright enough "
+        "source of any hue appears white, like welding sparks."
+    ),
+    "spectrum.normalized_color": (
+        "Color after normalizing brightness: the hue this light would "
+        "throw onto a distant object."
+    ),
+    "spectrum.reflected_color": (
+        "Color of a roughly white illuminant after reflecting off a "
+        "surface with this reflective spectrum."
+    ),
+    "spectrum.edit": (
+        "Per-sample editing requires the 'custom' spectrum type; other "
+        "types are generated from their parameters."
+    ),
+    "spectrum.factor": (
+        "Multiply every sample of the spectrum by this factor (the editor "
+        "applies it on request, not live)."
+    ),
+    "spectrum.base": (
+        "Spectrum that serves as the base (to-be-reflected) illuminant for "
+        "the reflected-color preview."
+    ),
+    "spectrum.normalize_base": (
+        "Normalize the base spectrum's brightness first so the reflected "
+        "color is comparable across illuminants."
+    ),
+    "render.start_disabled": (
+        "Rendering cannot start: the scene failed validation (dangling "
+        "spectrum/material references, sample-count mismatch) or a render "
+        "is already in progress. Scene.validate() names the exact problem."
+    ),
+    "viewer.image": (
+        "The live HTTP viewer shows the progressive framebuffer; it "
+        "refreshes once per second and offers an Abort button."
+    ),
+    "copy_suffix": (
+        "Copied scene elements get a ' (copy)' name suffix, like the "
+        "reference's duplicate action."
+    ),
     "abort": (
         "Rendering aborts at frame granularity: the current progressive "
         "pass finishes before the render stops."

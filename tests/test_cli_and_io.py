@@ -260,3 +260,23 @@ def test_spectrum_edit_api(tmp_path):
 
     after = Renderer(scene).render_frames(1)
     assert not np.array_equal(before, after)
+
+
+def test_phase_capacity_rejects_auto():
+    """--phase-capacity 'auto' used to crash deep inside the Renderer with
+    int('a'); the CLI must reject it with a clear message."""
+    from spectral_tpu.cli import _parse_phase
+
+    assert _parse_phase("auto") == "auto"  # split accepts it
+    assert _parse_phase("3,5", allow_auto=False) == (3, 5)
+    with pytest.raises(SystemExit, match="phase-split auto"):
+        _parse_phase("auto", allow_auto=False)
+
+
+def test_validate_rejects_nonpositive_iterations():
+    from spectral_tpu.scene.schema import SceneError
+
+    scene = presets.default_scene()
+    scene.nbr_of_iterations = 0
+    with pytest.raises(SceneError, match="iterations"):
+        scene.validate()

@@ -73,6 +73,46 @@ def test_checkpoint_rejects_mismatched_config(tmp_path):
         other.load_checkpoint(ckpt)
 
 
+def test_checkpoint_rejects_different_scene(tmp_path):
+    """Same dimensions, different scene content: the checkpoint's scene
+    digest must refuse the resume (blending two unrelated renders)."""
+    r = Renderer(_small_scene(iters=4))
+    r.render_frames(1)
+    ckpt = tmp_path / "c.npz"
+    r.save_checkpoint(ckpt)
+
+    other_scene = _small_scene(iters=4)
+    other_scene.objects[0].position = (9.0, 9.0, 9.0)
+    other = Renderer(other_scene)
+    with pytest.raises(ValueError, match="DIFFERENT scene"):
+        other.load_checkpoint(ckpt)
+
+    # identical scene content still resumes
+    same = Renderer(_small_scene(iters=4))
+    same.load_checkpoint(ckpt)
+    assert same.next_frame == 1
+
+
+def test_checkpoint_without_digest_warns(tmp_path):
+    """Pre-fingerprint checkpoints load with a warning, not an error."""
+    r = Renderer(_small_scene(iters=4))
+    r.render_frames(1)
+    legacy = tmp_path / "legacy.npz"
+    with open(legacy, "wb") as f:
+        np.savez(
+            f,
+            accum=r.framebuffer(),
+            next_frame=1,
+            intended_frames=r.config.intended_frames,
+            width=r.config.width,
+            height=r.config.height,
+        )
+    r2 = Renderer(_small_scene(iters=4))
+    with pytest.warns(UserWarning, match="fingerprint"):
+        r2.load_checkpoint(legacy)
+    assert r2.next_frame == 1
+
+
 def test_image_export_formats(tmp_path):
     r = Renderer(_small_scene(iters=1))
     r.render()
