@@ -117,6 +117,7 @@ def cmd_render(args) -> int:
         phase_capacity=_parse_phase(args.phase_capacity, allow_auto=False),
         frames_per_dispatch=args.frames_per_dispatch,
         regen_frames=regen,
+        regen_sort={"auto": "auto", "on": True, "off": False}[args.regen_sort],
     )
     if args.resume:
         renderer.load_checkpoint(args.resume)
@@ -355,6 +356,14 @@ def build_parser() -> argparse.ArgumentParser:
                     "to f32 summation order; measured 1.5-1.75x). Default "
                     "'auto'; progress/abort granularity coarsens to K "
                     "frames — pass 1 for strict per-frame stepping")
+    pr.add_argument("--regen-sort", choices=("auto", "on", "off"),
+                    default="auto",
+                    help="cost-sorted pixel->lane assignment for the "
+                    "regeneration kernel: probe per-pixel path length once "
+                    "and pack expensive pixels into the same tiles so "
+                    "cheap tiles retire early (bit-exact per pixel; "
+                    "'auto' enables it whenever regeneration is active on "
+                    "a single device)")
     pr.add_argument("--profile",
                     help="capture a jax.profiler trace of the render into DIR")
     pr.set_defaults(func=cmd_render)

@@ -151,6 +151,7 @@ def build_megakernel(
     state_io: bool = False,
     object_loop: str = "auto",
     regen_frames: int = 1,
+    cost_out: bool = False,
 ):
     """Compile-time specialization on the scene structure.
 
@@ -187,6 +188,8 @@ def build_megakernel(
             "regen_frames > 1 needs the monolithic full-bounce kernel "
             "(no state_io / bounce segments)"
         )
+    if cost_out and (state_io or regen_frames > 1):
+        raise ValueError("cost_out is a monolithic-kernel instrumentation")
     n_obj = len(obj_types)
     n_lights = config.n_lights
     s_dim = config.n_samples
@@ -202,11 +205,17 @@ def build_megakernel(
     if object_loop not in ("unrolled", "fori"):
         raise ValueError(f"unknown object_loop {object_loop!r}")
     use_fori = object_loop == "fori"
-    if use_fori and not 0 < n_materials <= 32:
+    if use_fori and not 0 < n_materials <= 256:
         raise ValueError(
             "the fori object loop selects materials by index and supports "
-            f"1..32 distinct materials (scene has {n_materials})"
+            f"1..256 distinct materials (scene has {n_materials}); the "
+            "select cost is linear in the material count, so consolidate "
+            "materials rather than raising the cap"
         )
+    # material one-hot masks: precomputed once per bounce for small tables
+    # (32 masks = 128 KiB VMEM at a 4096-lane tile); recomputed inline per
+    # (material, sample) for big tables so VMEM stays flat in n_materials
+    precompute_mat_masks = n_materials <= 32
     # hero-wavelength grid parameters (exact f32 grid reconstruction:
     # lambda_i = lo + f32(step * i), matching flatten._lambda_grid)
     lam_lo = np.float32(config.lambda_lo)
@@ -587,16 +596,17 @@ def build_megakernel(
         nx = jnp.where(is_sph, snx, s1)
         ny = jnp.where(is_sph, sny, s2)
         nz = jnp.where(is_sph, snz, s3)
-        # winner material: one-hot masks (computed once; the per-s albedo
-        # and emission selects in the bounce body reuse them)
-        mat_masks = [win_mat == jnp.float32(m) for m in range(n_materials)]
+        # winner material scalars: one-hot selects over the material table
+        # (the winner id is carried through the object loop; the per-s
+        # albedo/emission selects in the bounce body re-derive masks from
+        # the same win_mat)
         metal = jnp.zeros((r8, LANE), jnp.float32)
         rough = jnp.zeros((r8, LANE), jnp.float32)
         transw = jnp.zeros((r8, LANE), jnp.float32)
         ior = jnp.ones((r8, LANE), jnp.float32)
         cauchy = jnp.zeros((r8, LANE), jnp.float32)
         for m in range(n_materials):
-            is_m = mat_masks[m]
+            is_m = win_mat == jnp.float32(m)
             metal = jnp.where(is_m, m_scal[m, 0], metal)
             rough = jnp.where(is_m, m_scal[m, 1], rough)
             if has_transmission:
@@ -605,7 +615,7 @@ def build_megakernel(
                 cauchy = jnp.where(is_m, m_scal[m, 4], cauchy)
         return (
             t_best, hit, ipx, ipy, ipz, nx, ny, nz,
-            metal, rough, transw, ior, cauchy, mat_masks,
+            metal, rough, transw, ior, cauchy, win_mat,
         )
 
     def shadow_blocked_fori_multi(geom, rays):
@@ -706,15 +716,25 @@ def build_megakernel(
             if use_fori:
                 (
                     t, hit, ipx, ipy, ipz, nx, ny, nz,
-                    metal, rough, transw, ior, cauchy, mat_masks,
+                    metal, rough, transw, ior, cauchy, win_mat,
                 ) = trace_tile_fori(geom, m_scal_ref, ox, oy, oz, dx, dy, dz)
                 masks = None
+                if precompute_mat_masks:
+                    _masks = [
+                        win_mat == jnp.float32(m) for m in range(n_materials)
+                    ]
+
+                    def mat_mask(m, _masks=_masks):
+                        return _masks[m]
+                else:
+                    def mat_mask(m, win_mat=win_mat):
+                        return win_mat == jnp.float32(m)
             else:
                 (
                     t, hit, ipx, ipy, ipz, nx, ny, nz,
                     metal, rough, transw, ior, cauchy, masks,
                 ) = trace_tile(geom, ox, oy, oz, dx, dy, dz)
-                mat_masks = None
+                mat_mask = None
             gate_ok = (gate == 0.0) | (t > _SPEC_MIN)
             alive = alive * hit.astype(jnp.float32) * gate_ok.astype(jnp.float32)
             live = alive > 0.0
@@ -794,7 +814,7 @@ def build_megakernel(
                     if use_fori:
                         for m in range(n_materials):
                             emis_s = emis_s + jnp.where(
-                                mat_masks[m], m_emis_ref[m, s], 0.0
+                                mat_mask(m), m_emis_ref[m, s], 0.0
                             )
                     else:
                         for o in range(n_obj):
@@ -815,7 +835,7 @@ def build_megakernel(
                 if use_fori:
                     for m in range(n_materials):
                         alb_s = alb_s + jnp.where(
-                            mat_masks[m], m_alb_ref[m, s], 0.0
+                            mat_mask(m), m_alb_ref[m, s], 0.0
                         )
                 else:
                     for o in range(n_obj):
@@ -1040,6 +1060,50 @@ def build_megakernel(
         )
         jax.lax.fori_loop(b_start, b_stop, guarded, carry)
 
+    def kernel_cost(
+        frame_ref,
+        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+        px_ref, py_ref,
+        geom_ref, albedo_ref, emis_ref,
+        m_alb_ref, m_emis_ref, m_scal_ref,
+        lpos_ref, lspec_ref,
+        rad_ref, cost_ref, thr_ref,
+    ):
+        """Monolithic kernel + per-lane path-cost output: the number of
+        bounce iterations each lane executed while alive (its realized
+        path length this frame) — the probe behind cost-sorted pixel->
+        lane assignment for the regeneration kernel."""
+        tile_idx = pl.program_id(0)
+        row = jax.lax.broadcasted_iota(jnp.int32, (r8, LANE), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (r8, LANE), 1)
+        gidx = tile_idx * tile + row * LANE + col
+        alive0 = (gidx < n_valid).astype(jnp.float32)
+
+        for s in range(s_dim):
+            rad_ref[s] = jnp.zeros((r8, LANE), jnp.float32)
+            thr_ref[s] = jnp.ones((r8, LANE), jnp.float32)
+
+        guarded = make_body(
+            frame_ref, px_ref, py_ref, geom_ref, albedo_ref, emis_ref,
+            m_alb_ref, m_emis_ref, m_scal_ref,
+            lpos_ref, lspec_ref, rad_ref, thr_ref,
+        )
+        carry = (
+            ox_ref[:], oy_ref[:], oz_ref[:],
+            dx_ref[:], dy_ref[:], dz_ref[:],
+            alive0, jnp.zeros((r8, LANE), jnp.float32),
+            jnp.full((r8, LANE), -1.0, jnp.float32),
+            jnp.full((r8, LANE), max_bounces - b_start, jnp.uint32),
+            jnp.zeros((r8, LANE), jnp.uint32) + frame_ref[0, 0],
+        )
+        out = jax.lax.fori_loop(b_start, b_stop, guarded, carry)
+        # bl decrements once per continued iteration and freezes at death:
+        # live iterations = max_bounces - bl_final + 1 (a lane that dies on
+        # its primary trace scores 1; a budget-exhausted lane scores
+        # max_bounces; never-alive padding scores a harmless 1)
+        bl_f = out[9].astype(jnp.int32).astype(jnp.float32)
+        cost_ref[:] = jnp.float32(max_bounces + 1) - bl_f
+
     def kernel_regen(
         frame_ref,  # SMEM (1,1) uint32: FIRST frame id of the K-frame run
         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # [R8,128] f32
@@ -1208,8 +1272,52 @@ def build_megakernel(
             lpos, lspec, cam, dirx, diry, dirz,
         )
 
+    @functools.partial(jax.jit, static_argnames=())
+    def run_cost(
+        ox, oy, oz, dx, dy, dz, px, py, frame_id,
+        geom, albedo, emission, m_albedo, m_emission, m_scalars, lpos, lspec,
+    ):
+        np_lanes = ox.shape[0] * ox.shape[1]
+        n_tiles = np_lanes // tile
+        ray_spec = pl.BlockSpec(
+            (r8, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+        smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+        out_spec = pl.BlockSpec(
+            (s_dim, r8, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        )
+        return pl.pallas_call(
+            kernel_cost,
+            grid=(n_tiles,),
+            in_specs=[
+                smem,
+                ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec,
+                ray_spec, ray_spec,
+                smem, smem, smem, smem, smem, smem, smem, smem,
+            ],
+            out_specs=(out_spec, ray_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct(
+                    (s_dim, np_lanes // LANE, LANE), jnp.float32
+                ),
+                jax.ShapeDtypeStruct((np_lanes // LANE, LANE), jnp.float32),
+            ),
+            scratch_shapes=[pltpu.VMEM((s_dim, r8, LANE), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            interpret=interpret,
+        )(
+            frame_id.reshape(1, 1), ox, oy, oz, dx, dy, dz, px, py,
+            geom, albedo, emission, m_albedo, m_emission, m_scalars,
+            lpos, lspec,
+        )
+
     if regen:
         return run_regen
+
+    if cost_out:
+        return run_cost
 
     if not state_io:
         return run

@@ -34,6 +34,7 @@ def generate_primary_rays(
     full_width: int | None = None,
     full_height: int | None = None,
     row_offset=0,
+    pixel_xy: tuple[jax.Array, jax.Array] | None = None,
 ) -> tuple[Vec3, Vec3, jax.Array, jax.Array]:
     """Build the ``[height * width]`` wavefront of camera rays.
 
@@ -44,13 +45,22 @@ def generate_primary_rays(
     the NDC mapping; ``height``/``width`` and ``row_offset`` select the row
     slab actually generated (for row-sharded rendering, where each device
     builds rays for its own rows but in global image coordinates).
+
+    ``pixel_xy`` overrides the row-major pixel coordinate arrays (flat
+    uint32, any order/length) — used for permuted lane assignment: every
+    per-ray quantity is elementwise in (px, py), so rays for a permuted
+    coordinate list are bit-identical to their row-major twins.
     """
-    n = height * width
-    py = (
-        jax.lax.broadcasted_iota(jnp.uint32, (height, width), 0)
-        + jnp.uint32(row_offset)
-    ).reshape(n)
-    px = jax.lax.broadcasted_iota(jnp.uint32, (height, width), 1).reshape(n)
+    if pixel_xy is not None:
+        px, py = pixel_xy
+        n = px.shape[0]
+    else:
+        n = height * width
+        py = (
+            jax.lax.broadcasted_iota(jnp.uint32, (height, width), 0)
+            + jnp.uint32(row_offset)
+        ).reshape(n)
+        px = jax.lax.broadcasted_iota(jnp.uint32, (height, width), 1).reshape(n)
     width = full_width or width
     height = full_height or height
 

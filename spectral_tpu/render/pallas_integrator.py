@@ -91,6 +91,28 @@ def _kernel_regen(
     )
 
 
+@functools.lru_cache(maxsize=32)
+def _kernel_cost(
+    obj_types: tuple,
+    config: RenderConfig,
+    tile: int,
+    interpret: bool,
+    has_transmission: bool,
+    has_emission: bool,
+    object_loop: str,
+):
+    return mk.build_megakernel(
+        obj_types,
+        config,
+        tile=tile,
+        interpret=interpret,
+        has_transmission=has_transmission,
+        has_emission=has_emission,
+        object_loop=object_loop,
+        cost_out=True,
+    )
+
+
 # Mosaic requires block shapes with the last two dims divisible by (8, 128):
 # a tile is r8 x 128 lanes, so the smallest legal tile is 8 * 128.
 _MIN_TILE = 8 * mk.LANE
@@ -184,6 +206,74 @@ def integrate_frame_pallas(
     return rgb.reshape(config.height, config.width, 3)
 
 
+def probe_path_cost(
+    scene: SceneArrays,
+    config: RenderConfig,
+    obj_types: tuple,
+    n_probe_frames: int = 2,
+    first_frame_id: int = 0,
+    tile: int | None = None,
+    interpret: bool = False,
+    has_transmission: bool = False,
+    has_emission: bool = False,
+    object_loop: str = "auto",
+) -> jax.Array:
+    """Per-pixel realized path length, summed over ``n_probe_frames``
+    frames — flat ``[width * height]`` float32.
+
+    Runs the monolithic megakernel with its path-cost instrumentation
+    (``cost_out``): each lane reports how many bounce iterations it
+    executed while alive. A pixel's EXPECTED path length is stable across
+    frames (geometry + material mix at that pixel), so a couple of frames
+    suffice to rank pixels for cost-sorted lane assignment."""
+    n = config.width * config.height
+    if config.n_objects == 0:
+        return jnp.ones((n,), jnp.float32) * jnp.float32(n_probe_frames)
+    tile = tile or _pick_tile(n)
+    n_pad = -(-n // tile) * tile
+
+    def lanes(a, dtype=jnp.float32):
+        a = jnp.asarray(a, dtype)
+        return jnp.pad(a, (0, n_pad - n)).reshape(n_pad // mk.LANE, mk.LANE)
+
+    geom = mk.pack_geometry(scene)
+    lpos = jnp.pad(scene.light_pos, ((0, 0), (0, 1)))
+    lspec = scene.light_spec
+    if config.n_lights == 0:
+        lpos = jnp.zeros((1, 4), jnp.float32)
+        lspec = jnp.zeros((1, config.n_samples), jnp.float32)
+
+    fori = object_loop == "fori" or (
+        object_loop == "auto" and len(obj_types) > 64
+    )
+    albedo_in = scene.albedo[:1] if fori else scene.albedo
+    emission_in = scene.emission[:1] if fori else scene.emission
+    m_alb = scene.mat_albedo if fori else scene.mat_albedo[:1]
+    m_emis = scene.mat_emission if fori else scene.mat_emission[:1]
+    m_scal = scene.mat_scalars if fori else scene.mat_scalars[:1]
+
+    run = _kernel_cost(
+        obj_types, config, tile, interpret, has_transmission, has_emission,
+        object_loop,
+    )
+    total = jnp.zeros((n_pad // mk.LANE, mk.LANE), jnp.float32)
+    for j in range(n_probe_frames):
+        fid = jnp.uint32(first_frame_id + j)
+        origin, direction, px, py = generate_primary_rays(
+            scene.cam_pos, scene.cam_dir, scene.cam_up, scene.fov_y_deg,
+            config.width, config.height, fid, config.intended_frames,
+        )
+        _rad, cost = run(
+            lanes(origin.x), lanes(origin.y), lanes(origin.z),
+            lanes(direction.x), lanes(direction.y), lanes(direction.z),
+            lanes(px, jnp.uint32), lanes(py, jnp.uint32),
+            fid, geom, albedo_in, emission_in,
+            m_alb, m_emis, m_scal, lpos, lspec,
+        )
+        total = total + cost
+    return total.reshape(n_pad)[:n]
+
+
 def integrate_frames_pallas_regen(
     scene: SceneArrays,
     config: RenderConfig,
@@ -197,6 +287,8 @@ def integrate_frames_pallas_regen(
     object_loop: str = "auto",
     full_height: int | None = None,
     row_offset=0,
+    lane_perm: jax.Array | None = None,
+    lane_inv: jax.Array | None = None,
 ) -> jax.Array:
     """K progressive frames in ONE kernel launch via in-kernel path
     regeneration -> the SUM of their linear-RGB frames ``[H, W, 3]``.
@@ -218,9 +310,21 @@ def integrate_frames_pallas_regen(
     ``full_height``/``row_offset`` render a row slab in global image
     coordinates (row-sharded rendering, like ``integrate_frame_pallas``).
     Not composable with the phased/cascade pipeline.
+
+    ``lane_perm``/``lane_inv`` (both ``[width * height]`` int32,
+    ``lane_inv = argsort(lane_perm)``) assign pixel ``lane_perm[p]`` to
+    wavefront lane ``p`` — cost-sorted lane assignment: a regeneration
+    tile runs until its slowest lane finishes all K paths, so packing
+    systematically-expensive pixels (measured by ``probe_path_cost``)
+    into the SAME tiles lets cheap tiles retire early. Per-pixel results
+    are bit-identical to the unpermuted launch (tile membership does not
+    enter any lane's arithmetic; the per-pixel RNG streams and primaries
+    travel with the lane); only which tile computes a pixel changes.
     """
     if k < 2:
         raise ValueError("regen wants k >= 2 (use integrate_frame_pallas)")
+    if (lane_perm is None) != (lane_inv is None):
+        raise ValueError("lane_perm and lane_inv must be passed together")
     first_frame_id = jnp.asarray(first_frame_id, dtype=jnp.uint32)
     n = config.width * config.height
     if config.n_objects == 0:
@@ -240,10 +344,28 @@ def integrate_frames_pallas_regen(
         tile //= 2
     n_pad = -(-n // tile) * tile
 
+    pixel_xy = None
+    if lane_perm is not None:
+        # permute the pixel COORDINATE arrays once; every frame's raygen
+        # then emits lane-permuted primaries directly — raygen is
+        # elementwise in (px, py), so each ray is bit-identical to its
+        # row-major twin. (Permuting raygen's OUTPUT planes instead costs
+        # 3*(K-1) full-image random gathers per launch — measured +6.2
+        # ms/frame on cornell512 K=100, swamping the sort's benefit.)
+        py0 = (
+            jax.lax.broadcasted_iota(
+                jnp.uint32, (config.height, config.width), 0
+            ) + jnp.asarray(row_offset, jnp.uint32)
+        ).reshape(n)
+        px0 = jax.lax.broadcasted_iota(
+            jnp.uint32, (config.height, config.width), 1
+        ).reshape(n)
+        pixel_xy = (px0[lane_perm], py0[lane_perm])
+
     origin, direction, px, py = generate_primary_rays(
         scene.cam_pos, scene.cam_dir, scene.cam_up, scene.fov_y_deg,
         config.width, config.height, first_frame_id, config.intended_frames,
-        full_height=full_height, row_offset=row_offset,
+        full_height=full_height, row_offset=row_offset, pixel_xy=pixel_xy,
     )
 
     def lanes(a, dtype=jnp.float32):
@@ -259,6 +381,7 @@ def integrate_frames_pallas_regen(
             config.width, config.height,
             first_frame_id + jnp.uint32(j), config.intended_frames,
             full_height=full_height, row_offset=row_offset,
+            pixel_xy=pixel_xy,
         )[1]
         for j in range(1, int(k))
     ]
@@ -297,6 +420,10 @@ def integrate_frames_pallas_regen(
     )
     rad = rad.reshape(config.n_samples, n_pad).T[:n]
     rgb = spectra_to_rgb(rad, scene.xyz_weights, scene.xyz_to_rgb)
+    if lane_inv is not None:
+        # back to pixel order AFTER the RGB fold: a [n, 3] gather once per
+        # K-frame launch instead of an [n, S] one
+        rgb = rgb[lane_inv]
     return rgb.reshape(config.height, config.width, 3)
 
 
@@ -311,6 +438,8 @@ def render_frames_step_pallas_regen(
     has_transmission: bool = False,
     has_emission: bool = False,
     tile: int | None = None,
+    lane_perm: jax.Array | None = None,
+    lane_inv: jax.Array | None = None,
 ) -> jax.Array:
     """K progressive frames (one regeneration launch) blended into the
     accumulator — the K-frame analog of ``render_frame_step_pallas``."""
@@ -319,7 +448,7 @@ def render_frames_step_pallas_regen(
     rgb_sum = integrate_frames_pallas_regen(
         scene, config, first_frame_id, obj_types, k, tile=tile,
         interpret=interpret, has_transmission=has_transmission,
-        has_emission=has_emission,
+        has_emission=has_emission, lane_perm=lane_perm, lane_inv=lane_inv,
     )
     return accumulate_frames(accum, rgb_sum, first_frame_id, k)
 

@@ -117,6 +117,27 @@ def _step_regen(
     )
 
 
+@partial(jax.jit, static_argnums=(1, 4, 5, 6, 7, 8), donate_argnums=(2,))
+def _step_regen_sorted(
+    scene: SceneArrays, config: RenderConfig, accum, first_frame, k,
+    obj_types, has_transmission, has_emission, interpret,
+    lane_perm, lane_inv,
+):
+    """Regeneration step with cost-sorted pixel->lane assignment: pixel
+    ``lane_perm[p]`` rides wavefront lane ``p``, so systematically
+    expensive pixels share tiles and cheap tiles retire early. Per-pixel
+    bit-identical to ``_step_regen`` (pure relabeling — tested)."""
+    from spectral_tpu.render.pallas_integrator import (
+        render_frames_step_pallas_regen,
+    )
+
+    return render_frames_step_pallas_regen(
+        scene, config, accum, first_frame, obj_types, k,
+        has_transmission=has_transmission, has_emission=has_emission,
+        interpret=interpret, lane_perm=lane_perm, lane_inv=lane_inv,
+    )
+
+
 @partial(jax.jit, static_argnums=(1, 5), donate_argnums=(2,))
 def _step_grid(scene: SceneArrays, config: RenderConfig, accum, frame_id,
                grid, grid_static):
@@ -321,6 +342,7 @@ class Renderer:
         phase_capacity: int | None = None,
         frames_per_dispatch: int = 1,
         regen_frames: int = 1,
+        regen_sort: bool | str = "auto",
         _interpret: bool = False,
         _phase_tile: int | None = None,
     ):
@@ -372,25 +394,26 @@ class Renderer:
         if (
             self.backend == "pallas"
             and self.config.n_objects > 64
-            and not 0 < self.config.n_materials <= 32
+            and not 0 < self.config.n_materials <= 256
         ):
             # many-object scenes use the kernel's fori object loop, which
-            # selects materials by index and supports up to 32 of them;
-            # beyond that, fall back to the chunked jnp path
+            # selects materials by index: cost linear in the material count
+            # (masks recomputed inline above 32 so VMEM stays flat), capped
+            # at 256; beyond that, fall back to the chunked jnp path
             if backend == "pallas":
                 raise ValueError(
                     "the pallas backend supports >64 objects only with at "
-                    "most 32 distinct materials; use backend='jnp'"
+                    "most 256 distinct materials; use backend='jnp'"
                 )
             import warnings
 
             warnings.warn(
                 f"scene has {self.config.n_objects} objects and "
                 f"{self.config.n_materials} materials: the Pallas megakernel"
-                "'s many-object loop supports at most 32 materials, so this "
-                "render falls back to the chunked jnp path (measured ~30x "
-                "slower on the 1000-sphere profile). Consolidate materials "
-                "to stay on the megakernel.",
+                "'s many-object loop supports at most 256 materials, so "
+                "this render falls back to the chunked jnp path (measured "
+                "~30x slower on the 1000-sphere profile). Consolidate "
+                "materials to stay on the megakernel.",
                 stacklevel=3,
             )
             self.backend = "jnp"
@@ -511,9 +534,44 @@ class Renderer:
                     "frames_per_dispatch)"
                 )
         self.regen_frames = int(regen_frames)
+        # cost-sorted pixel->lane assignment for the regeneration kernel:
+        # probe each pixel's realized path length once (megakernel cost
+        # instrumentation), then permute pixels into tiles by descending
+        # cost so a tile's slowest lane is no slower than its peers.
+        # Bit-exact per pixel (pure relabeling). 'auto' enables it with
+        # regeneration on the single-device path (the sharded step keeps
+        # raygen in global coordinates and is left unsorted).
+        if regen_sort == "auto":
+            regen_sort = self.regen_frames > 1 and sharding is None
+        if regen_sort and (self.regen_frames < 2 or sharding is not None):
+            raise ValueError(
+                "regen_sort requires regen_frames >= 2 on the "
+                "single-device path"
+            )
+        self.regen_sort = bool(regen_sort)
+        self._lane_perm = self._lane_inv = None
         self._sharded_regen_steps: dict = {}
         self.accum = self._zero_accum()
         self.next_frame = 0
+
+    def _ensure_lane_perm(self) -> None:
+        """Probe per-pixel path cost (2 frames) and build the cost-sorted
+        lane permutation. Runs once, lazily, at the first regen chunk."""
+        if self._lane_perm is not None:
+            return
+        from spectral_tpu.render.pallas_integrator import probe_path_cost
+
+        cost = np.asarray(
+            probe_path_cost(
+                self.scene_arrays, self.config, self.obj_types,
+                n_probe_frames=2, interpret=self._interpret,
+                has_transmission=self.has_transmission,
+                has_emission=self.has_emission,
+            )
+        )
+        order = np.argsort(-cost, kind="stable").astype(np.int32)
+        self._lane_perm = jnp.asarray(order)
+        self._lane_inv = jnp.asarray(np.argsort(order).astype(np.int32))
 
     def _resolve_phase_stages(self, phase_split, phase_capacity):
         """Normalize the phased-rendering request into a static stages
@@ -670,6 +728,13 @@ class Renderer:
                     )
                     self._sharded_regen_steps[k] = step
                 self.accum = step(self.scene_arrays, self.accum, fid)
+            elif self.regen_sort:
+                self._ensure_lane_perm()
+                self.accum = _step_regen_sorted(
+                    self.scene_arrays, self.config, self.accum, fid, k,
+                    self.obj_types, self.has_transmission, self.has_emission,
+                    self._interpret, self._lane_perm, self._lane_inv,
+                )
             else:
                 self.accum = _step_regen(
                     self.scene_arrays, self.config, self.accum, fid, k,

@@ -64,14 +64,72 @@ def test_sphere_field_renders_small():
 
 
 def test_fori_kernel_rejects_too_many_materials():
-    # the fori object loop's material indirection caps at 32 distinct
-    # materials; the builder must refuse beyond that (platform-independent)
+    # the fori object loop's material indirection selects with a cost
+    # linear in the material count; the builder refuses beyond 256
+    # (platform-independent)
     from spectral_tpu.ops.pallas.megakernel import build_megakernel
     from spectral_tpu.scene.flatten import RenderConfig
 
     config = RenderConfig(
         width=16, height=8, n_samples=8, max_bounces=2, intended_frames=1,
-        n_objects=100, n_lights=1, n_materials=40,
+        n_objects=100, n_lights=1, n_materials=300,
     )
-    with pytest.raises(ValueError, match="32 distinct materials"):
+    with pytest.raises(ValueError, match="256 distinct materials"):
         build_megakernel(tuple([1] * 100), config, object_loop="fori")
+
+
+def test_fori_kernel_many_materials_bit_exact():
+    """>32 distinct materials on the many-object megakernel (the former
+    silent 30x jnp-fallback cliff, VERDICT r2 #3): a scene whose 64
+    materials duplicate 5 value-identical originals must render BIT-
+    identically to the 5-material scene — the only difference is the
+    material indirection (inline-mask select path for M > 32)."""
+    from spectral_tpu.render.pallas_integrator import integrate_frame_pallas
+
+    def small(scene):
+        scene.width, scene.height = 16, 16
+        scene.nbr_of_iterations = 2
+        scene.nbr_of_ray_bounces = 2
+        scene.spectrum_number_of_samples = 8
+        scene.update_all_spectrum_sample_sizes()
+        return scene
+
+    base = small(presets.sphere_field(n_spheres=100))
+
+    import dataclasses
+
+    many = small(presets.sphere_field(n_spheres=100))
+    clones = []
+    for i in range(64):
+        src = many.materials[i % len(many.materials)]
+        clones.append(dataclasses.replace(src, name=f"{src.name} #{i}"))
+    many.materials = clones
+    # value-identity across the two scenes: base object i uses material
+    # (i%64)%5, many object i uses clone i%64 — which duplicates exactly
+    # material (i%64)%5
+    for i, obj in enumerate(base.objects):
+        obj.material = base.materials[(i % 64) % len(base.materials)]
+    for i, obj in enumerate(many.objects):
+        obj.material = clones[i % 64]
+
+    a_arrays, a_config = flatten_scene(base)
+    b_arrays, b_config = flatten_scene(many)
+    assert a_config.n_materials <= 5
+    assert b_config.n_materials == 64
+    # per-object material VALUES agree even though the tables differ
+    assert np.array_equal(
+        np.asarray(a_arrays.metallicness), np.asarray(b_arrays.metallicness)
+    )
+
+    obj_types = tuple(np.asarray(a_arrays.obj_type).tolist())
+    img_a = np.asarray(
+        integrate_frame_pallas(
+            a_arrays, a_config, np.uint32(1), obj_types, interpret=True
+        )
+    )
+    img_b = np.asarray(
+        integrate_frame_pallas(
+            b_arrays, b_config, np.uint32(1), obj_types, interpret=True
+        )
+    )
+    assert np.array_equal(img_a, img_b)

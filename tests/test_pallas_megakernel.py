@@ -8,6 +8,7 @@ test_integrator_vs_oracle.py for why exactness is impossible there).
 Interpret mode is slow, so scenes here are tiny.
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -445,6 +446,49 @@ def test_regen_matches_monolithic_sum():
     assert float(err.max()) < 1e-4  # f32 reassociation only — zero flips
 
 
+def test_regen_lane_sort_bit_exact():
+    """Cost-sorted pixel->lane assignment is a pure relabeling: per-pixel
+    results must be BIT-identical to the unpermuted regeneration launch
+    (tile membership never enters a lane's arithmetic; RNG streams and
+    primaries travel with the lane). Checked for the production cost-sort
+    permutation AND an adversarial random shuffle."""
+    from spectral_tpu.render.pallas_integrator import (
+        integrate_frames_pallas_regen,
+        probe_path_cost,
+    )
+
+    arrays, config = flatten_scene(_regen_scene())
+    obj_types = tuple(np.asarray(arrays.obj_type).tolist())
+    plain = np.asarray(
+        integrate_frames_pallas_regen(
+            arrays, config, np.uint32(0), obj_types, 3, interpret=True
+        )
+    )
+
+    cost = np.asarray(
+        probe_path_cost(
+            arrays, config, obj_types, n_probe_frames=2, interpret=True
+        )
+    )
+    n = config.width * config.height
+    assert cost.shape == (n,)
+    assert cost.min() >= 1.0 and cost.max() <= 2 * config.max_bounces
+
+    rng = np.random.default_rng(3)
+    for order in (
+        np.argsort(-cost, kind="stable").astype(np.int32),  # production
+        rng.permutation(n).astype(np.int32),  # adversarial shuffle
+    ):
+        inv = np.argsort(order).astype(np.int32)
+        sorted_ = np.asarray(
+            integrate_frames_pallas_regen(
+                arrays, config, np.uint32(0), obj_types, 3, interpret=True,
+                lane_perm=jnp.asarray(order), lane_inv=jnp.asarray(inv),
+            )
+        )
+        assert np.array_equal(plain, sorted_)
+
+
 def test_renderer_regen_chunks_and_estimator():
     from spectral_tpu.render.renderer import Renderer
 
@@ -461,6 +505,28 @@ def test_renderer_regen_chunks_and_estimator():
     got = r.render(progress=lambda p: seen.append(p.frame_id))
     assert seen == [1, 2]  # chunks of 2, then the ragged tail frame
     assert np.abs(np.asarray(got) - np.asarray(ref)).max() < 1e-4
+
+
+def test_renderer_regen_sort_matches_unsorted():
+    """Renderer-level: regen_sort (probe + permutation, auto-on with
+    regeneration) produces the same image as the unsorted regen path."""
+    from spectral_tpu.render.renderer import Renderer
+
+    r_plain = Renderer(
+        _regen_scene(), regen_frames=2, regen_sort=False,
+        _interpret=True, backend="jnp",
+    )
+    r_plain.backend = "pallas"
+    ref = r_plain.render()
+
+    r_sorted = Renderer(
+        _regen_scene(), regen_frames=2, regen_sort=True,
+        _interpret=True, backend="jnp",
+    )
+    r_sorted.backend = "pallas"
+    got = r_sorted.render()
+    assert r_sorted._lane_perm is not None  # the probe actually ran
+    assert np.array_equal(np.asarray(ref), np.asarray(got))
 
 
 def test_regen_rejects_incompatible_modes():
