@@ -134,6 +134,17 @@ def main(config_name: str = "cornell512", tile: int | None = None) -> None:
     obj_types = tuple(np.asarray(arrays.obj_type).tolist())
     has_trans = bool(np.asarray(arrays.transmission).any())
     has_emis = bool(np.asarray(arrays.emission).any())
+    # many-object configs: Morton-clustered, AABB-culled object loop
+    # (bit-identical to brute force; v5e spheres regen 78.4 -> 48.7
+    # ms/frame, tools/cluster_bench.py)
+    clusters = None
+    if config.n_objects > 64:
+        from spectral_tpu.ops.pallas.megakernel import plan_clusters
+
+        clusters = plan_clusters(
+            np.asarray(arrays.aabb_min), np.asarray(arrays.aabb_max),
+            obj_types, cluster_size=32,
+        )
 
     # reference-equivalent ray counts + per-bounce live-lane occupancy,
     # measured via the instrumented jnp path for the SAME frames the timed
@@ -204,18 +215,19 @@ def main(config_name: str = "cornell512", tile: int | None = None) -> None:
         timed_frames = range(k, k + n_frames)
 
         @partial(
-            jax.jit, static_argnums=(1, 4, 5, 6, 7, 8), donate_argnums=(2,)
+            jax.jit, static_argnums=(1, 4, 5, 6, 7, 8, 9),
+            donate_argnums=(2,),
         )
-        def step_regen(scn, cfg, accum, first_fid, kk, ots, ht, he, tl):
+        def step_regen(scn, cfg, accum, first_fid, kk, ots, ht, he, tl, cl):
             return render_frames_step_pallas_regen(
                 scn, cfg, accum, first_fid, ots, kk,
-                has_transmission=ht, has_emission=he, tile=tl,
+                has_transmission=ht, has_emission=he, tile=tl, clusters=cl,
             )
 
         accum = jnp.zeros((config.height, config.width, 4), dtype=jnp.float32)
         accum = step_regen(
             arrays, config, accum, jnp.uint32(0), k, obj_types, has_trans,
-            has_emis, regen_tile,
+            has_emis, regen_tile, clusters,
         )  # compile (renders frames 0..k-1, outside the timed window)
         jax.block_until_ready(accum)
 
@@ -223,7 +235,7 @@ def main(config_name: str = "cornell512", tile: int | None = None) -> None:
         for base in range(k, k + n_frames, k):
             accum = step_regen(
                 arrays, config, accum, jnp.uint32(base), k, obj_types,
-                has_trans, has_emis, regen_tile,
+                has_trans, has_emis, regen_tile, clusters,
             )
         jax.block_until_ready(accum)
         dt = time.perf_counter() - t0

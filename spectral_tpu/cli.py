@@ -111,14 +111,19 @@ def cmd_render(args) -> int:
         # update cadence. Explicit --regen-frames overrides this.
         regen = ("auto", 16)
 
-    renderer = Renderer(
-        scene, sharding=sharding,
-        phase_split=_parse_phase(args.phase_split),
-        phase_capacity=_parse_phase(args.phase_capacity, allow_auto=False),
-        frames_per_dispatch=args.frames_per_dispatch,
-        regen_frames=regen,
-        regen_sort={"auto": "auto", "on": True, "off": False}[args.regen_sort],
-    )
+    def build_renderer(sc):
+        return Renderer(
+            sc, sharding=sharding,
+            phase_split=_parse_phase(args.phase_split),
+            phase_capacity=_parse_phase(args.phase_capacity, allow_auto=False),
+            frames_per_dispatch=args.frames_per_dispatch,
+            regen_frames=regen,
+            regen_sort={"auto": "auto", "on": True, "off": False}[
+                args.regen_sort
+            ],
+        )
+
+    renderer = build_renderer(scene)
     if args.resume:
         renderer.load_checkpoint(args.resume)
         print(f"resumed at frame {renderer.next_frame}", file=sys.stderr)
@@ -155,6 +160,7 @@ def cmd_render(args) -> int:
         from spectral_tpu.utils.viewer import LiveViewer
 
         viewer = LiveViewer(port=args.serve)
+        viewer.publish_scene(scene)
         print(f"live view at {viewer.url}", file=sys.stderr)
     last_view = [0.0]
 
@@ -184,21 +190,38 @@ def cmd_render(args) -> int:
 
     def abort():  # polled once per frame
         return stop["requested"] or (
-            viewer is not None and viewer.abort_requested()
+            viewer is not None
+            and (viewer.abort_requested() or viewer.scene_edit_pending())
         )
+
+    def run_render():
+        # a render "session": re-entered when the live viewer submits a
+        # scene edit — the reference's edit-then-Start cycle (edits apply
+        # between renders; progressive accumulation restarts)
+        nonlocal renderer, scene
+        while True:
+            renderer.render(
+                progress=progress, abort=abort, check_finite=args.check_finite
+            )
+            if viewer is None or stop["requested"] or viewer.abort_requested():
+                return
+            edited = viewer.take_scene_edit()
+            if edited is None:
+                return
+            scene = edited
+            renderer = build_renderer(scene)
+            viewer.publish_scene(scene)
+            print("\nscene edited via live view — restarting render",
+                  file=sys.stderr)
+
     try:
         if args.profile:
             import jax
 
             with jax.profiler.trace(args.profile):
-                renderer.render(
-                    progress=progress, abort=abort,
-                    check_finite=args.check_finite,
-                )
+                run_render()
         else:
-            renderer.render(
-                progress=progress, abort=abort, check_finite=args.check_finite
-            )
+            run_render()
     finally:
         signal.signal(signal.SIGINT, prev_handler)
     if not args.quiet and primary:
@@ -361,9 +384,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="cost-sorted pixel->lane assignment for the "
                     "regeneration kernel: probe per-pixel path length once "
                     "and pack expensive pixels into the same tiles so "
-                    "cheap tiles retire early (bit-exact per pixel; "
-                    "'auto' enables it whenever regeneration is active on "
-                    "a single device)")
+                    "cheap tiles retire early (bit-exact per pixel). "
+                    "Measured 0.93-0.98x on the BASELINE configs — path "
+                    "cost is dominated by per-frame noise there — so "
+                    "'auto' leaves it off; 'on' opts in for scenes with "
+                    "systematic per-pixel cost structure")
     pr.add_argument("--profile",
                     help="capture a jax.profiler trace of the render into DIR")
     pr.set_defaults(func=cmd_render)

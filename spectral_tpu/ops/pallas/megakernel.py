@@ -80,6 +80,7 @@ _IOR = 31  # Cauchy A
 _CAUCHY = 32  # Cauchy B (um^2)
 _MATID = 33  # material table index (fori object loop)
 _TYPE = 34  # object type tag as f32 (fori object loop)
+_ORIG = 35  # original object index as f32 (clustered loop tie rule)
 GEOM_COLS = 36
 
 
@@ -152,6 +153,7 @@ def build_megakernel(
     object_loop: str = "auto",
     regen_frames: int = 1,
     cost_out: bool = False,
+    cluster_runs: tuple | None = None,
 ):
     """Compile-time specialization on the scene structure.
 
@@ -204,6 +206,14 @@ def build_megakernel(
         object_loop = "fori" if n_obj > 64 else "unrolled"
     if object_loop not in ("unrolled", "fori"):
         raise ValueError(f"unknown object_loop {object_loop!r}")
+    clustered = cluster_runs is not None
+    if clustered:
+        object_loop = "fori"  # the clustered loop is the fori loop
+        covered = sorted(
+            i for _t, s, e, _c in cluster_runs for i in range(s, e)
+        )
+        if covered != list(range(n_obj)):
+            raise ValueError("cluster_runs must cover every object exactly once")
     use_fori = object_loop == "fori"
     if use_fori and not 0 < n_materials <= 256:
         raise ValueError(
@@ -474,11 +484,16 @@ def build_megakernel(
         t = jnp.where(t_min >= 0.0, t_min, t_max)
         return t, hit & (t > 0.0), ir
 
-    def trace_tile_fori(geom, m_scal, ox, oy, oz, dx, dy, dz):
+    def trace_tile_fori(geom, m_scal, ox, oy, oz, dx, dy, dz,
+                        alive=None, cbounds=None):
         """Per-type-run fori nearest hit: constant compile size in n_obj.
         Strict ``t < t_best`` keeps the lowest object index on ties
         (ascending visit order), matching the unrolled kernel and the
-        reference."""
+        reference. With ``cluster_runs`` the visit order is the Morton
+        permutation instead, a per-cluster AABB pre-test skips clusters no
+        relevant lane can hit (tile-uniform ``lax.cond``), and exact ties
+        resolve by ORIGINAL object index (carried in geom's _ORIG column)
+        so results stay identical to the unclustered loop."""
         a = _dot(dx, dy, dz, dx, dy, dz)  # loop-invariant per trace
         inv2a = 1.0 / (2.0 * a)
         foura = 4.0 * a
@@ -494,11 +509,22 @@ def build_megakernel(
             jnp.zeros((r8, LANE), jnp.float32),  # s3
             jnp.zeros((r8, LANE), jnp.float32),  # win_sphere flag
         )
+        if clustered:
+            # winner's ORIGINAL index for the tie rule (visit order is the
+            # Morton permutation, so first-visited no longer == lowest)
+            init = init + (jnp.full((r8, LANE), jnp.float32(n_obj)),)
 
         def accum(carry, o, t_o, valid, s1, s2, s3, is_sphere):
-            t_best, win_mat, c1, c2, c3, winsph = carry
-            closer = valid & (t_o < t_best)
-            return (
+            t_best, win_mat, c1, c2, c3, winsph = carry[:6]
+            if clustered:
+                worig = carry[6]
+                o_orig = geom[o, _ORIG]
+                closer = valid & (
+                    (t_o < t_best) | ((t_o == t_best) & (o_orig < worig))
+                )
+            else:
+                closer = valid & (t_o < t_best)
+            out = (
                 jnp.where(closer, t_o, t_best),
                 jnp.where(closer, geom[o, _MATID], win_mat),
                 jnp.where(closer, s1, c1),
@@ -506,6 +532,9 @@ def build_megakernel(
                 jnp.where(closer, s3, c3),
                 jnp.where(closer, jnp.float32(is_sphere), winsph),
             )
+            if clustered:
+                out = out + (jnp.where(closer, o_orig, worig),)
+            return out
 
         def sphere_body(o, carry):
             t_o, valid, (cx_, cy_, cz_) = _sphere_t(
@@ -576,13 +605,46 @@ def build_megakernel(
             OBJ_ROTATED_BOX: rot_body,
         }
         carry = init
-        for run_tag, start, stop in type_runs:
-            body = bodies[run_tag]
-            if stop - start == 1:  # static index: direct SMEM reads
-                carry = body(start, carry)
-            else:
-                carry = jax.lax.fori_loop(start, stop, body, carry)
-        t_best, win_mat, s1, s2, s3, winsph = carry
+        if clustered:
+            for cidx, (run_tag, start, stop, is_cl) in enumerate(cluster_runs):
+                body = bodies[run_tag]
+                if not is_cl:
+                    if stop - start == 1:
+                        carry = body(start, carry)
+                    else:
+                        carry = jax.lax.fori_loop(start, stop, body, carry)
+                    continue
+                # cluster AABB pre-test: skip the whole member loop when no
+                # RELEVANT lane (alive, and not already holding a nearer
+                # hit) can intersect the cluster's union AABB — a member
+                # hit t obeys t >= max(cluster t_min, 0), so the test is
+                # conservative
+                ct_min, _ct_max, c_hit = _slab_t(
+                    ox, oy, oz, dx, dy, dz,
+                    cbounds[cidx, 0], cbounds[cidx, 1], cbounds[cidx, 2],
+                    cbounds[cidx, 3], cbounds[cidx, 4], cbounds[cidx, 5],
+                )
+                rel = c_hit & (ct_min < carry[0])
+                if alive is not None:
+                    rel = rel & (alive > 0.0)
+                any_rel = jnp.max(rel.astype(jnp.float32)) > 0.0
+                carry = jax.lax.cond(
+                    any_rel,
+                    lambda c, s=start, e=stop, b=body: jax.lax.fori_loop(
+                        s, e, b, c
+                    ),
+                    lambda c: c,
+                    carry,
+                )
+            t_best, win_mat, s1, s2, s3, winsph = carry[:6]
+        else:
+            for run_tag, start, stop in type_runs:
+                body = bodies[run_tag]
+                if stop - start == 1:  # static index: direct SMEM reads
+                    carry = body(start, carry)
+                else:
+                    carry = jax.lax.fori_loop(start, stop, body, carry)
+            t_best, win_mat, s1, s2, s3, winsph = carry
         hit = t_best < _INF
         t_safe = jnp.where(hit, t_best, 0.0)
         ipx = ox + dx * t_safe
@@ -618,12 +680,15 @@ def build_megakernel(
             metal, rough, transw, ior, cauchy, win_mat,
         )
 
-    def shadow_blocked_fori_multi(geom, rays):
+    def shadow_blocked_fori_multi(geom, rays, relevant=None, cbounds=None):
         """Occlusion tests for several shadow rays (one per light) fused
         into ONE object loop: per-object scalar SMEM loads and loop
         control are shared across lights. ``rays`` is a list of
         ``(ox, oy, oz, dx, dy, dz, max_dist)``; returns one blocked mask
-        per ray. No normals, no materials."""
+        per ray. No normals, no materials. With ``cluster_runs``, a
+        cluster is skipped when no RELEVANT lane's shadow ray enters its
+        union AABB within its light distance (entry t_min <= max_dist is
+        conservative: any member hit obeys t >= cluster t_min)."""
         pre = []
         for (sox, soy, soz, sdx, sdy, sdz, maxd) in rays:
             a = _dot(sdx, sdy, sdz, sdx, sdy, sdz)
@@ -679,12 +744,42 @@ def build_megakernel(
             OBJ_ROTATED_BOX: rot_body,
         }
         t_bests = tuple(jnp.full((r8, LANE), _INF) for _ in rays)
-        for run_tag, start, stop in type_runs:
-            body = bodies[run_tag]
-            if stop - start == 1:
-                t_bests = body(start, t_bests)
-            else:
-                t_bests = jax.lax.fori_loop(start, stop, body, t_bests)
+        if clustered:
+            for cidx, (run_tag, start, stop, is_cl) in enumerate(cluster_runs):
+                body = bodies[run_tag]
+                if not is_cl:
+                    if stop - start == 1:
+                        t_bests = body(start, t_bests)
+                    else:
+                        t_bests = jax.lax.fori_loop(start, stop, body, t_bests)
+                    continue
+                rel = None
+                for (sox, soy, soz, sdx, sdy, sdz, maxd) in rays:
+                    ct_min, _ct_max, c_hit = _slab_t(
+                        sox, soy, soz, sdx, sdy, sdz,
+                        cbounds[cidx, 0], cbounds[cidx, 1], cbounds[cidx, 2],
+                        cbounds[cidx, 3], cbounds[cidx, 4], cbounds[cidx, 5],
+                    )
+                    r = c_hit & (ct_min <= maxd)
+                    rel = r if rel is None else (rel | r)
+                if relevant is not None:
+                    rel = rel & relevant
+                any_rel = jnp.max(rel.astype(jnp.float32)) > 0.0
+                t_bests = jax.lax.cond(
+                    any_rel,
+                    lambda ts, s=start, e=stop, b=body: jax.lax.fori_loop(
+                        s, e, b, ts
+                    ),
+                    lambda ts: ts,
+                    t_bests,
+                )
+        else:
+            for run_tag, start, stop in type_runs:
+                body = bodies[run_tag]
+                if stop - start == 1:
+                    t_bests = body(start, t_bests)
+                else:
+                    t_bests = jax.lax.fori_loop(start, stop, body, t_bests)
         return [
             (t < _INF) & (t <= ray[6]) for t, ray in zip(t_bests, rays)
         ]
@@ -697,6 +792,7 @@ def build_megakernel(
         lpos_ref, lspec_ref, rad_ref, thr_ref,
         cam_ref=None, valid=None,
         dirx_ref=None, diry_ref=None, dirz_ref=None,
+        cbounds_ref=None,
     ):
         """Bind the per-bounce body to this tile's refs."""
         frame_id = frame_ref[0, 0]
@@ -717,7 +813,10 @@ def build_megakernel(
                 (
                     t, hit, ipx, ipy, ipz, nx, ny, nz,
                     metal, rough, transw, ior, cauchy, win_mat,
-                ) = trace_tile_fori(geom, m_scal_ref, ox, oy, oz, dx, dy, dz)
+                ) = trace_tile_fori(
+                    geom, m_scal_ref, ox, oy, oz, dx, dy, dz,
+                    alive=alive, cbounds=cbounds_ref,
+                )
                 masks = None
                 if precompute_mat_masks:
                     _masks = [
@@ -791,7 +890,11 @@ def build_megakernel(
                 light_rays.append((offx, offy, offz, lnx, lny, lnz, dist))
                 light_geo.append((lnx, lny, lnz, dist2))
             if use_fori and n_lights:
-                blockeds = shadow_blocked_fori_multi(geom, light_rays)
+                blockeds = shadow_blocked_fori_multi(
+                    geom, light_rays,
+                    relevant=live & (~spec) & (~trans),
+                    cbounds=cbounds_ref,
+                )
             else:
                 blockeds = [
                     shadow_blocked(geom, *ray) for ray in light_rays
@@ -1024,6 +1127,7 @@ def build_megakernel(
         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # [R8,128] f32
         px_ref, py_ref,  # [R8,128] uint32
         geom_ref,  # [O, GEOM_COLS] f32 (SMEM)
+        cb_ref,  # [n_runs, 8] f32 (SMEM) cluster bounds (dummy unclustered)
         albedo_ref,  # [O, S] f32 (SMEM)
         emis_ref,  # [O, S] f32 (SMEM)
         m_alb_ref,  # [M, S] f32 (SMEM)
@@ -1049,6 +1153,7 @@ def build_megakernel(
             frame_ref, px_ref, py_ref, geom_ref, albedo_ref, emis_ref,
             m_alb_ref, m_emis_ref, m_scal_ref,
             lpos_ref, lspec_ref, rad_ref, thr_ref,
+            cbounds_ref=cb_ref,
         )
         carry = (
             ox_ref[:], oy_ref[:], oz_ref[:],
@@ -1064,7 +1169,7 @@ def build_megakernel(
         frame_ref,
         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         px_ref, py_ref,
-        geom_ref, albedo_ref, emis_ref,
+        geom_ref, cb_ref, albedo_ref, emis_ref,
         m_alb_ref, m_emis_ref, m_scal_ref,
         lpos_ref, lspec_ref,
         rad_ref, cost_ref, thr_ref,
@@ -1087,6 +1192,7 @@ def build_megakernel(
             frame_ref, px_ref, py_ref, geom_ref, albedo_ref, emis_ref,
             m_alb_ref, m_emis_ref, m_scal_ref,
             lpos_ref, lspec_ref, rad_ref, thr_ref,
+            cbounds_ref=cb_ref,
         )
         carry = (
             ox_ref[:], oy_ref[:], oz_ref[:],
@@ -1108,7 +1214,7 @@ def build_megakernel(
         frame_ref,  # SMEM (1,1) uint32: FIRST frame id of the K-frame run
         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # [R8,128] f32
         px_ref, py_ref,  # [R8,128] uint32
-        geom_ref, albedo_ref, emis_ref,
+        geom_ref, cb_ref, albedo_ref, emis_ref,
         m_alb_ref, m_emis_ref, m_scal_ref,
         lpos_ref, lspec_ref,
         cam_ref,  # [1,4] f32 (SMEM): camera position (pack_camera)
@@ -1134,6 +1240,7 @@ def build_megakernel(
             lpos_ref, lspec_ref, rad_ref, thr_ref,
             cam_ref=cam_ref, valid=valid,
             dirx_ref=dirx_ref, diry_ref=diry_ref, dirz_ref=dirz_ref,
+            cbounds_ref=cb_ref,
         )
         carry = (
             ox_ref[:], oy_ref[:], oz_ref[:],
@@ -1152,7 +1259,7 @@ def build_megakernel(
         frame_ref,  # SMEM (1,1) uint32
         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # [R8,128] f32
         px_ref, py_ref,  # [R8,128] uint32
-        geom_ref, albedo_ref, emis_ref,
+        geom_ref, cb_ref, albedo_ref, emis_ref,
         m_alb_ref, m_emis_ref, m_scal_ref,
         lpos_ref, lspec_ref,  # SMEM tables
         thr_in_ref,  # [S, R8, 128] f32
@@ -1174,6 +1281,7 @@ def build_megakernel(
             frame_ref, px_ref, py_ref, geom_ref, albedo_ref, emis_ref,
             m_alb_ref, m_emis_ref, m_scal_ref,
             lpos_ref, lspec_ref, rad_ref, thr_ref,
+            cbounds_ref=cb_ref,
         )
         carry = (
             ox_ref[:], oy_ref[:], oz_ref[:],
@@ -1191,7 +1299,8 @@ def build_megakernel(
     @functools.partial(jax.jit, static_argnames=())
     def run(
         ox, oy, oz, dx, dy, dz, px, py, frame_id,
-        geom, albedo, emission, m_albedo, m_emission, m_scalars, lpos, lspec,
+        geom, cbounds, albedo, emission, m_albedo, m_emission, m_scalars,
+        lpos, lspec,
     ):
         np_lanes = ox.shape[0] * ox.shape[1]
         n_tiles = np_lanes // tile
@@ -1210,7 +1319,7 @@ def build_megakernel(
                 ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec,
                 ray_spec, ray_spec,
                 # scalar-indexed tables live in SMEM
-                smem, smem, smem, smem, smem, smem, smem, smem,
+                smem, smem, smem, smem, smem, smem, smem, smem, smem,
             ],
             out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct(
@@ -1223,15 +1332,15 @@ def build_megakernel(
             interpret=interpret,
         )(
             frame_id.reshape(1, 1), ox, oy, oz, dx, dy, dz, px, py,
-            geom, albedo, emission, m_albedo, m_emission, m_scalars,
-            lpos, lspec,
+            geom, cbounds, albedo, emission, m_albedo, m_emission,
+            m_scalars, lpos, lspec,
         )
 
     @functools.partial(jax.jit, static_argnames=())
     def run_regen(
         ox, oy, oz, dx, dy, dz, px, py, frame_id,
-        geom, albedo, emission, m_albedo, m_emission, m_scalars, lpos, lspec,
-        cam, dirx, diry, dirz,
+        geom, cbounds, albedo, emission, m_albedo, m_emission, m_scalars,
+        lpos, lspec, cam, dirx, diry, dirz,
     ):
         np_lanes = ox.shape[0] * ox.shape[1]
         n_tiles = np_lanes // tile
@@ -1253,7 +1362,7 @@ def build_megakernel(
                 smem,
                 ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec,
                 ray_spec, ray_spec,
-                smem, smem, smem, smem, smem, smem, smem, smem,
+                smem, smem, smem, smem, smem, smem, smem, smem, smem,
                 smem,  # cam table
                 dir_spec, dir_spec, dir_spec,
             ],
@@ -1268,14 +1377,15 @@ def build_megakernel(
             interpret=interpret,
         )(
             frame_id.reshape(1, 1), ox, oy, oz, dx, dy, dz, px, py,
-            geom, albedo, emission, m_albedo, m_emission, m_scalars,
-            lpos, lspec, cam, dirx, diry, dirz,
+            geom, cbounds, albedo, emission, m_albedo, m_emission,
+            m_scalars, lpos, lspec, cam, dirx, diry, dirz,
         )
 
     @functools.partial(jax.jit, static_argnames=())
     def run_cost(
         ox, oy, oz, dx, dy, dz, px, py, frame_id,
-        geom, albedo, emission, m_albedo, m_emission, m_scalars, lpos, lspec,
+        geom, cbounds, albedo, emission, m_albedo, m_emission, m_scalars,
+        lpos, lspec,
     ):
         np_lanes = ox.shape[0] * ox.shape[1]
         n_tiles = np_lanes // tile
@@ -1293,7 +1403,7 @@ def build_megakernel(
                 smem,
                 ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec,
                 ray_spec, ray_spec,
-                smem, smem, smem, smem, smem, smem, smem, smem,
+                smem, smem, smem, smem, smem, smem, smem, smem, smem,
             ],
             out_specs=(out_spec, ray_spec),
             out_shape=(
@@ -1309,8 +1419,8 @@ def build_megakernel(
             interpret=interpret,
         )(
             frame_id.reshape(1, 1), ox, oy, oz, dx, dy, dz, px, py,
-            geom, albedo, emission, m_albedo, m_emission, m_scalars,
-            lpos, lspec,
+            geom, cbounds, albedo, emission, m_albedo, m_emission,
+            m_scalars, lpos, lspec,
         )
 
     if regen:
@@ -1325,8 +1435,8 @@ def build_megakernel(
     @functools.partial(jax.jit, static_argnames=())
     def run_seg(
         ox, oy, oz, dx, dy, dz, px, py, frame_id,
-        geom, albedo, emission, m_albedo, m_emission, m_scalars, lpos, lspec,
-        thr, rad, alive, gate, hero,
+        geom, cbounds, albedo, emission, m_albedo, m_emission, m_scalars,
+        lpos, lspec, thr, rad, alive, gate, hero,
     ):
         np_lanes = ox.shape[0] * ox.shape[1]
         n_tiles = np_lanes // tile
@@ -1348,7 +1458,7 @@ def build_megakernel(
                 smem,
                 ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec,
                 ray_spec, ray_spec,
-                smem, smem, smem, smem, smem, smem, smem, smem,
+                smem, smem, smem, smem, smem, smem, smem, smem, smem,
                 spec_spec, spec_spec, ray_spec, ray_spec, ray_spec,
             ],
             out_specs=(
@@ -1368,12 +1478,113 @@ def build_megakernel(
             interpret=interpret,
         )(
             frame_id.reshape(1, 1), ox, oy, oz, dx, dy, dz, px, py,
-            geom, albedo, emission, m_albedo, m_emission, m_scalars,
-            lpos, lspec,
+            geom, cbounds, albedo, emission, m_albedo, m_emission,
+            m_scalars, lpos, lspec,
             thr, rad, alive, gate, hero,
         )
 
     return run_seg
+
+
+def _morton3(q: "np.ndarray") -> "np.ndarray":
+    """Interleave 10-bit xyz quantized coordinates into a Morton key."""
+    def spread(v):
+        v = v.astype(np.uint64)
+        v = (v | (v << 16)) & np.uint64(0x030000FF)
+        v = (v | (v << 8)) & np.uint64(0x0300F00F)
+        v = (v | (v << 4)) & np.uint64(0x030C30C3)
+        v = (v | (v << 2)) & np.uint64(0x09249249)
+        return v
+
+    return spread(q[:, 0]) | (spread(q[:, 1]) << np.uint64(1)) | (
+        spread(q[:, 2]) << np.uint64(2)
+    )
+
+
+def plan_clusters(
+    aabb_min: "np.ndarray",
+    aabb_max: "np.ndarray",
+    obj_types: tuple[int, ...],
+    cluster_size: int = 32,
+    min_run: int = 8,
+    camera_pos=None,
+):
+    """Host-side cluster plan for the culled many-object loop.
+
+    Objects are partitioned by type, Morton-sorted by world-AABB center
+    within each type, and chunked into clusters of ``cluster_size``. Runs
+    smaller than ``min_run`` stay unclustered (always visited — the cond
+    overhead would exceed the skipped work).
+
+    ``camera_pos`` orders the clusters front-to-back from the camera:
+    near clusters tighten every lane's ``t_best`` early, so the
+    ``ct_min < t_best`` relevance test skips far clusters outright —
+    free early-out for the (dominant) primary bounces. Pure visit-order
+    change; results stay identical (original-index tie rule).
+
+    Returns ``(sigma, runs)``:
+    * ``sigma``: tuple of original object indices in visit order (the
+      geometry table is reordered by it — ``pack_geometry(scene, sigma)``);
+    * ``runs``: tuple of ``(type_tag, start, stop, clustered)`` in the NEW
+      index space, one entry per cluster (or per unclustered type run).
+
+    Both are static (hashable) so the kernel specializes on them; the
+    cluster AABBs themselves stay runtime arrays.
+    """
+    amin = np.asarray(aabb_min, np.float64)
+    amax = np.asarray(aabb_max, np.float64)
+    centers = (amin + amax) * 0.5
+    types = np.asarray(obj_types, np.int32)
+    lo = centers.min(axis=0)
+    span = np.maximum(centers.max(axis=0) - lo, 1e-9)
+    q = np.clip(((centers - lo) / span * 1023.0), 0, 1023).astype(np.uint32)
+    keys = _morton3(q)
+
+    sigma: list[int] = []
+    runs: list[tuple[int, int, int, bool]] = []
+    for tag in sorted(set(obj_types)):
+        idx = np.nonzero(types == tag)[0]
+        if len(idx) < min_run:
+            start = len(sigma)
+            sigma.extend(int(i) for i in idx)
+            runs.append((int(tag), start, len(sigma), False))
+            continue
+        order = idx[np.argsort(keys[idx], kind="stable")]
+        chunks = [
+            order[c0:c0 + cluster_size]
+            for c0 in range(0, len(order), cluster_size)
+        ]
+        if camera_pos is not None:
+            cam = np.asarray(camera_pos, np.float64)
+            chunks.sort(
+                key=lambda ch: float(
+                    np.linalg.norm(centers[ch].mean(axis=0) - cam)
+                )
+            )
+        for chunk in chunks:
+            start = len(sigma)
+            sigma.extend(int(i) for i in chunk)
+            runs.append((int(tag), start, len(sigma), True))
+    return tuple(sigma), tuple(runs)
+
+
+def pack_cluster_bounds(scene: SceneArrays, sigma: tuple, runs: tuple):
+    """[n_runs, 8] world-AABB union per run (min xyz, max xyz, pad) for the
+    in-kernel cluster slab test. Unclustered runs get rows too (never
+    read). Computed in-jit — cluster membership is static, bounds follow
+    the runtime scene values."""
+    sig = jnp.asarray(np.asarray(sigma, np.int32))
+    amin = scene.aabb_min[sig]
+    amax = scene.aabb_max[sig]
+    rows = []
+    z = jnp.zeros((2,), jnp.float32)
+    for _tag, start, stop, _clustered in runs:
+        rows.append(
+            jnp.concatenate(
+                [amin[start:stop].min(axis=0), amax[start:stop].max(axis=0), z]
+            )
+        )
+    return jnp.stack(rows).astype(jnp.float32)
 
 
 def pack_camera(scene: SceneArrays) -> jax.Array:
@@ -1387,9 +1598,12 @@ def pack_camera(scene: SceneArrays) -> jax.Array:
     ).astype(jnp.float32).reshape(1, 4)
 
 
-def pack_geometry(scene: SceneArrays) -> jax.Array:
+def pack_geometry(scene: SceneArrays, sigma: tuple | None = None) -> jax.Array:
     """Pack per-object geometry/material scalars into the [O, GEOM_COLS]
-    table."""
+    table. ``sigma`` (a static visit-order permutation from
+    ``plan_clusters``) reorders the rows; the _ORIG column always carries
+    the ORIGINAL object index so the clustered loop can keep the
+    reference's lowest-original-index tie rule."""
     o = scene.obj_type.shape[0]
     geom = jnp.zeros((o, GEOM_COLS), dtype=jnp.float32)
     geom = geom.at[:, _SLAB_MIN:_SLAB_MIN + 3].set(scene.slab_min)
@@ -1408,4 +1622,9 @@ def pack_geometry(scene: SceneArrays) -> jax.Array:
     geom = geom.at[:, _CAUCHY].set(scene.cauchy_b)
     geom = geom.at[:, _MATID].set(scene.mat_id.astype(jnp.float32))
     geom = geom.at[:, _TYPE].set(scene.obj_type.astype(jnp.float32))
+    geom = geom.at[:, _ORIG].set(
+        jnp.arange(o, dtype=jnp.int32).astype(jnp.float32)
+    )
+    if sigma is not None:
+        geom = geom[jnp.asarray(np.asarray(sigma, np.int32))]
     return geom

@@ -40,6 +40,7 @@ def shard_scene(
 def build_sharded_pallas_step(
     mesh, config: RenderConfig, obj_types: tuple, interpret: bool = False,
     has_transmission: bool = False, has_emission: bool = False,
+    clusters: tuple | None = None,
 ):
     """Row-sharded megakernel step via shard_map.
 
@@ -73,6 +74,7 @@ def build_sharded_pallas_step(
             has_emission=has_emission,
             full_height=config.height,
             row_offset=idx * local_h,
+            clusters=clusters,
         )
         return accumulate_frame(accum_local, rgb, frame_id)
 
@@ -91,6 +93,7 @@ def build_sharded_pallas_regen_step(
     mesh, config: RenderConfig, obj_types: tuple, k: int,
     interpret: bool = False,
     has_transmission: bool = False, has_emission: bool = False,
+    clusters: tuple | None = None,
 ):
     """Row-sharded path-regeneration step: each device retires ``k``
     progressive frames of its row slab in one megakernel launch
@@ -123,6 +126,7 @@ def build_sharded_pallas_regen_step(
             has_emission=has_emission,
             full_height=config.height,
             row_offset=idx * local_h,
+            clusters=clusters,
         )
         return accumulate_frames(accum_local, rgb_sum, first_frame, k)
 

@@ -32,6 +32,7 @@ def _kernel(
     has_transmission: bool,
     has_emission: bool,
     object_loop: str = "auto",
+    cluster_runs: tuple | None = None,
 ):
     return mk.build_megakernel(
         obj_types,
@@ -41,6 +42,7 @@ def _kernel(
         has_transmission=has_transmission,
         has_emission=has_emission,
         object_loop=object_loop,
+        cluster_runs=cluster_runs,
     )
 
 
@@ -54,6 +56,7 @@ def _kernel_seg(
     has_emission: bool,
     bounce_start: int,
     bounce_stop: int | None,
+    cluster_runs: tuple | None = None,
 ):
     return mk.build_megakernel(
         obj_types,
@@ -65,6 +68,7 @@ def _kernel_seg(
         bounce_start=bounce_start,
         bounce_stop=bounce_stop,
         state_io=True,
+        cluster_runs=cluster_runs,
     )
 
 
@@ -78,6 +82,7 @@ def _kernel_regen(
     has_emission: bool,
     object_loop: str,
     regen_frames: int,
+    cluster_runs: tuple | None = None,
 ):
     return mk.build_megakernel(
         obj_types,
@@ -88,6 +93,7 @@ def _kernel_regen(
         has_emission=has_emission,
         object_loop=object_loop,
         regen_frames=regen_frames,
+        cluster_runs=cluster_runs,
     )
 
 
@@ -100,6 +106,7 @@ def _kernel_cost(
     has_transmission: bool,
     has_emission: bool,
     object_loop: str,
+    cluster_runs: tuple | None = None,
 ):
     return mk.build_megakernel(
         obj_types,
@@ -110,6 +117,20 @@ def _kernel_cost(
         has_emission=has_emission,
         object_loop=object_loop,
         cost_out=True,
+        cluster_runs=cluster_runs,
+    )
+
+
+def _pack_geom_clusters(scene: SceneArrays, clusters: tuple | None):
+    """Geometry table + cluster-bounds table for the kernel. Without
+    clusters, ships a never-read one-row dummy bounds table (the kernel
+    signature is uniform)."""
+    if clusters is None:
+        return mk.pack_geometry(scene), jnp.zeros((1, 8), jnp.float32)
+    sigma, runs = clusters
+    return (
+        mk.pack_geometry(scene, sigma),
+        mk.pack_cluster_bounds(scene, sigma, runs),
     )
 
 
@@ -139,6 +160,7 @@ def integrate_frame_pallas(
     has_transmission: bool = False,
     has_emission: bool = False,
     object_loop: str = "auto",
+    clusters: tuple | None = None,
 ) -> jax.Array:
     """One progressive frame -> linear RGB ``[H, W, 3]``.
 
@@ -148,6 +170,12 @@ def integrate_frame_pallas(
     flags the caller derives outside jit.
     ``full_height``/``row_offset`` render a row slab of a taller image in
     global coordinates (row-sharded rendering).
+
+    ``clusters`` (static ``(sigma, runs)`` from ``mk.plan_clusters``)
+    switches the many-object loop to its cluster-culled form: objects are
+    visited in Morton order and a per-cluster AABB pre-test lets a tile
+    skip clusters none of its live rays can hit. Result-identical to the
+    unclustered loop (original-index tie rule carried in geom).
     """
     frame_id = jnp.asarray(frame_id, dtype=jnp.uint32)
     n = config.width * config.height
@@ -167,7 +195,7 @@ def integrate_frame_pallas(
         a = jnp.asarray(a, dtype)
         return jnp.pad(a, (0, n_pad - n)).reshape(n_pad // mk.LANE, mk.LANE)
 
-    geom = mk.pack_geometry(scene)
+    geom, cbounds = _pack_geom_clusters(scene, clusters)
     lpos = jnp.pad(scene.light_pos, ((0, 0), (0, 1)))  # [L, 4]
     lspec = scene.light_spec
     if config.n_lights == 0:
@@ -190,13 +218,13 @@ def integrate_frame_pallas(
 
     run = _kernel(
         obj_types, config, tile, interpret, has_transmission, has_emission,
-        object_loop,
+        object_loop, clusters[1] if clusters else None,
     )
     rad = run(
         lanes(origin.x), lanes(origin.y), lanes(origin.z),
         lanes(direction.x), lanes(direction.y), lanes(direction.z),
         lanes(px, jnp.uint32), lanes(py, jnp.uint32),
-        frame_id, geom, albedo_in, emission_in,
+        frame_id, geom, cbounds, albedo_in, emission_in,
         m_alb, m_emis, m_scal,
         lpos, lspec,
     )
@@ -217,6 +245,7 @@ def probe_path_cost(
     has_transmission: bool = False,
     has_emission: bool = False,
     object_loop: str = "auto",
+    clusters: tuple | None = None,
 ) -> jax.Array:
     """Per-pixel realized path length, summed over ``n_probe_frames``
     frames — flat ``[width * height]`` float32.
@@ -236,7 +265,7 @@ def probe_path_cost(
         a = jnp.asarray(a, dtype)
         return jnp.pad(a, (0, n_pad - n)).reshape(n_pad // mk.LANE, mk.LANE)
 
-    geom = mk.pack_geometry(scene)
+    geom, cbounds = _pack_geom_clusters(scene, clusters)
     lpos = jnp.pad(scene.light_pos, ((0, 0), (0, 1)))
     lspec = scene.light_spec
     if config.n_lights == 0:
@@ -254,7 +283,7 @@ def probe_path_cost(
 
     run = _kernel_cost(
         obj_types, config, tile, interpret, has_transmission, has_emission,
-        object_loop,
+        object_loop, clusters[1] if clusters else None,
     )
     total = jnp.zeros((n_pad // mk.LANE, mk.LANE), jnp.float32)
     for j in range(n_probe_frames):
@@ -267,7 +296,7 @@ def probe_path_cost(
             lanes(origin.x), lanes(origin.y), lanes(origin.z),
             lanes(direction.x), lanes(direction.y), lanes(direction.z),
             lanes(px, jnp.uint32), lanes(py, jnp.uint32),
-            fid, geom, albedo_in, emission_in,
+            fid, geom, cbounds, albedo_in, emission_in,
             m_alb, m_emis, m_scal, lpos, lspec,
         )
         total = total + cost
@@ -289,6 +318,7 @@ def integrate_frames_pallas_regen(
     row_offset=0,
     lane_perm: jax.Array | None = None,
     lane_inv: jax.Array | None = None,
+    clusters: tuple | None = None,
 ) -> jax.Array:
     """K progressive frames in ONE kernel launch via in-kernel path
     regeneration -> the SUM of their linear-RGB frames ``[H, W, 3]``.
@@ -389,7 +419,7 @@ def integrate_frames_pallas_regen(
     diry = jnp.stack([lanes(d.y) for d in later])
     dirz = jnp.stack([lanes(d.z) for d in later])
 
-    geom = mk.pack_geometry(scene)
+    geom, cbounds = _pack_geom_clusters(scene, clusters)
     cam = mk.pack_camera(scene)
     lpos = jnp.pad(scene.light_pos, ((0, 0), (0, 1)))
     lspec = scene.light_spec
@@ -408,13 +438,13 @@ def integrate_frames_pallas_regen(
 
     run = _kernel_regen(
         obj_types, config, tile, interpret, has_transmission, has_emission,
-        object_loop, int(k),
+        object_loop, int(k), clusters[1] if clusters else None,
     )
     rad = run(
         lanes(origin.x), lanes(origin.y), lanes(origin.z),
         lanes(direction.x), lanes(direction.y), lanes(direction.z),
         lanes(px, jnp.uint32), lanes(py, jnp.uint32),
-        first_frame_id, geom, albedo_in, emission_in,
+        first_frame_id, geom, cbounds, albedo_in, emission_in,
         m_alb, m_emis, m_scal,
         lpos, lspec, cam, dirx, diry, dirz,
     )
@@ -440,6 +470,7 @@ def render_frames_step_pallas_regen(
     tile: int | None = None,
     lane_perm: jax.Array | None = None,
     lane_inv: jax.Array | None = None,
+    clusters: tuple | None = None,
 ) -> jax.Array:
     """K progressive frames (one regeneration launch) blended into the
     accumulator — the K-frame analog of ``render_frame_step_pallas``."""
@@ -449,6 +480,7 @@ def render_frames_step_pallas_regen(
         scene, config, first_frame_id, obj_types, k, tile=tile,
         interpret=interpret, has_transmission=has_transmission,
         has_emission=has_emission, lane_perm=lane_perm, lane_inv=lane_inv,
+        clusters=clusters,
     )
     return accumulate_frames(accum, rgb_sum, first_frame_id, k)
 
@@ -497,7 +529,7 @@ def integrate_frame_pallas_split(
         a = jnp.asarray(a, dtype)
         return jnp.pad(a, (0, n_pad - n)).reshape(rows, mk.LANE)
 
-    geom = mk.pack_geometry(scene)
+    geom, cbounds = _pack_geom_clusters(scene, None)
     lpos = jnp.pad(scene.light_pos, ((0, 0), (0, 1)))
     lspec = scene.light_spec
     if config.n_lights == 0:
@@ -524,7 +556,7 @@ def integrate_frame_pallas_split(
         lanes(origin.x), lanes(origin.y), lanes(origin.z),
         lanes(direction.x), lanes(direction.y), lanes(direction.z),
         lanes(px, jnp.uint32), lanes(py, jnp.uint32),
-        frame_id, geom, albedo_in, emission_in,
+        frame_id, geom, cbounds, albedo_in, emission_in,
         scene.mat_albedo, scene.mat_emission, scene.mat_scalars,
         lpos, lspec,
     )
@@ -548,7 +580,7 @@ def integrate_frame_pallas_split(
     out2 = k2(
         P(ox1), P(oy1), P(oz1), P(dx1), P(dy1), P(dz1),
         P(px_lanes), P(py_lanes),
-        frame_id, geom, albedo_in, emission_in,
+        frame_id, geom, cbounds, albedo_in, emission_in,
         scene.mat_albedo, scene.mat_emission, scene.mat_scalars,
         lpos, lspec,
         PS(thr1), PS(rad1), P(alive1), P(gate1), P(hero1),
@@ -572,6 +604,7 @@ def integrate_frame_pallas_phased(
     interpret: bool = False,
     has_transmission: bool = False,
     has_emission: bool = False,
+    clusters: tuple | None = None,
 ):
     """Occupancy-harvesting two-phase frame integration.
 
@@ -607,7 +640,7 @@ def integrate_frame_pallas_phased(
     return integrate_frame_pallas_cascade(
         scene, config, frame_id, obj_types, ((split, cap),), tile=tile,
         interpret=interpret, has_transmission=has_transmission,
-        has_emission=has_emission,
+        has_emission=has_emission, clusters=clusters,
     )
 
 
@@ -621,6 +654,7 @@ def integrate_frame_pallas_cascade(
     interpret: bool = False,
     has_transmission: bool = False,
     has_emission: bool = False,
+    clusters: tuple | None = None,
 ):
     """N-stage occupancy-compacted frame integration.
 
@@ -670,7 +704,7 @@ def integrate_frame_pallas_cascade(
         a = jnp.asarray(a, dtype)
         return jnp.pad(a, (0, n_pad - n)).reshape(rows, mk.LANE)
 
-    geom = mk.pack_geometry(scene)
+    geom, cbounds = _pack_geom_clusters(scene, clusters)
     lpos = jnp.pad(scene.light_pos, ((0, 0), (0, 1)))
     lspec = scene.light_spec
     if config.n_lights == 0:
@@ -683,13 +717,17 @@ def integrate_frame_pallas_cascade(
     m_alb = scene.mat_albedo if fori else scene.mat_albedo[:1]
     m_emis = scene.mat_emission if fori else scene.mat_emission[:1]
     m_scal = scene.mat_scalars if fori else scene.mat_scalars[:1]
-    tables = (geom, albedo_in, emission_in, m_alb, m_emis, m_scal, lpos, lspec)
+    tables = (
+        geom, cbounds, albedo_in, emission_in, m_alb, m_emis, m_scal,
+        lpos, lspec,
+    )
 
     bounds = (0,) + splits + (None,)
     kernels = [
         _kernel_seg(
             obj_types, config, tile, interpret, has_transmission,
             has_emission, bounds[i], bounds[i + 1],
+            clusters[1] if clusters else None,
         )
         for i in range(len(bounds) - 1)
     ]
@@ -765,12 +803,13 @@ def render_frame_step_pallas(
     has_transmission: bool = False,
     has_emission: bool = False,
     tile: int | None = None,
+    clusters: tuple | None = None,
 ) -> jax.Array:
     """Pallas-path equivalent of ``render_frame_step``."""
     rgb = integrate_frame_pallas(
         scene, config, frame_id, obj_types, interpret=interpret,
         has_transmission=has_transmission, has_emission=has_emission,
-        tile=tile,
+        tile=tile, clusters=clusters,
     )
     return accumulate_frame(accum, rgb, frame_id)
 

@@ -79,10 +79,10 @@ def _step_k(scene: SceneArrays, config: RenderConfig, accum, first_frame, k):
     return accum
 
 
-@partial(jax.jit, static_argnums=(1, 4, 5, 6, 7), donate_argnums=(2,))
+@partial(jax.jit, static_argnums=(1, 4, 5, 6, 7, 8), donate_argnums=(2,))
 def _step_pallas_k(
     scene: SceneArrays, config: RenderConfig, accum, first_frame, k,
-    obj_types, has_transmission, has_emission,
+    obj_types, has_transmission, has_emission, clusters=None,
 ):
     """Pallas-path twin of ``_step_k`` (see measured note there)."""
     from spectral_tpu.render.pallas_integrator import render_frame_step_pallas
@@ -91,16 +91,18 @@ def _step_pallas_k(
         return render_frame_step_pallas(
             scene, config, acc, first_frame + i, obj_types,
             has_transmission=has_transmission, has_emission=has_emission,
+            clusters=clusters,
         ), None
 
     accum, _ = jax.lax.scan(body, accum, jnp.arange(k, dtype=jnp.uint32))
     return accum
 
 
-@partial(jax.jit, static_argnums=(1, 4, 5, 6, 7, 8), donate_argnums=(2,))
+@partial(jax.jit, static_argnums=(1, 4, 5, 6, 7, 8, 9), donate_argnums=(2,))
 def _step_regen(
     scene: SceneArrays, config: RenderConfig, accum, first_frame, k,
     obj_types, has_transmission, has_emission, interpret=False,
+    clusters=None,
 ):
     """K progressive frames in ONE megakernel launch via in-kernel path
     regeneration (terminating lanes immediately start the same pixel's
@@ -113,15 +115,15 @@ def _step_regen(
     return render_frames_step_pallas_regen(
         scene, config, accum, first_frame, obj_types, k,
         has_transmission=has_transmission, has_emission=has_emission,
-        interpret=interpret,
+        interpret=interpret, clusters=clusters,
     )
 
 
-@partial(jax.jit, static_argnums=(1, 4, 5, 6, 7, 8), donate_argnums=(2,))
+@partial(jax.jit, static_argnums=(1, 4, 5, 6, 7, 8, 11), donate_argnums=(2,))
 def _step_regen_sorted(
     scene: SceneArrays, config: RenderConfig, accum, first_frame, k,
     obj_types, has_transmission, has_emission, interpret,
-    lane_perm, lane_inv,
+    lane_perm, lane_inv, clusters=None,
 ):
     """Regeneration step with cost-sorted pixel->lane assignment: pixel
     ``lane_perm[p]`` rides wavefront lane ``p``, so systematically
@@ -135,6 +137,7 @@ def _step_regen_sorted(
         scene, config, accum, first_frame, obj_types, k,
         has_transmission=has_transmission, has_emission=has_emission,
         interpret=interpret, lane_perm=lane_perm, lane_inv=lane_inv,
+        clusters=clusters,
     )
 
 
@@ -146,24 +149,24 @@ def _step_grid(scene: SceneArrays, config: RenderConfig, accum, frame_id,
     )
 
 
-@partial(jax.jit, static_argnums=(1, 4, 5, 6, 7), donate_argnums=(2,))
+@partial(jax.jit, static_argnums=(1, 4, 5, 6, 7, 8), donate_argnums=(2,))
 def _step_pallas(
     scene: SceneArrays, config: RenderConfig, accum, frame_id, obj_types,
-    has_transmission, has_emission, interpret=False,
+    has_transmission, has_emission, interpret=False, clusters=None,
 ):
     from spectral_tpu.render.pallas_integrator import render_frame_step_pallas
 
     return render_frame_step_pallas(
         scene, config, accum, frame_id, obj_types,
         has_transmission=has_transmission, has_emission=has_emission,
-        interpret=interpret,
+        interpret=interpret, clusters=clusters,
     )
 
 
-@partial(jax.jit, static_argnums=(1, 3, 4, 5, 6, 7, 8))
+@partial(jax.jit, static_argnums=(1, 3, 4, 5, 6, 7, 8, 9))
 def _phased_rgb(
     scene: SceneArrays, config: RenderConfig, frame_id, obj_types,
-    stages, has_transmission, has_emission, interpret, tile,
+    stages, has_transmission, has_emission, interpret, tile, clusters,
 ):
     from spectral_tpu.render.pallas_integrator import (
         integrate_frame_pallas_cascade,
@@ -173,19 +176,21 @@ def _phased_rgb(
         scene, config, frame_id, obj_types, stages,
         interpret=interpret, tile=tile,
         has_transmission=has_transmission, has_emission=has_emission,
+        clusters=clusters,
     )
 
 
-@partial(jax.jit, static_argnums=(1, 3, 4, 5, 6, 7))
+@partial(jax.jit, static_argnums=(1, 3, 4, 5, 6, 7, 8))
 def _mono_rgb(
     scene: SceneArrays, config: RenderConfig, frame_id, obj_types,
-    has_transmission, has_emission, interpret, tile,
+    has_transmission, has_emission, interpret, tile, clusters,
 ):
     from spectral_tpu.render.pallas_integrator import integrate_frame_pallas
 
     return integrate_frame_pallas(
         scene, config, frame_id, obj_types, interpret=interpret, tile=tile,
         has_transmission=has_transmission, has_emission=has_emission,
+        clusters=clusters,
     )
 
 
@@ -418,6 +423,27 @@ class Renderer:
             )
             self.backend = "jnp"
         self.obj_types = tuple(_np.asarray(self.scene_arrays.obj_type).tolist())
+        # cluster-culled object loop for many-object scenes: Morton-sort
+        # objects into 32-object clusters whose union AABB is pre-tested
+        # per tile, skipping whole clusters no live ray can hit. Measured
+        # on v5e (tools/cluster_bench.py, 1000-sphere config): mono 131 ->
+        # 88 ms/frame (1.49x), regeneration 78.4 -> 48.7 ms/frame (1.61x),
+        # both BIT-identical to brute force (original-index tie rule).
+        # accel='none' disables; small scenes use the unrolled loop anyway.
+        self.clusters = None
+        if (
+            self.backend == "pallas"
+            and self.config.n_objects > 64
+            and accel != "none"
+        ):
+            from spectral_tpu.ops.pallas.megakernel import plan_clusters
+
+            self.clusters = plan_clusters(
+                _np.asarray(self.scene_arrays.aabb_min),
+                _np.asarray(self.scene_arrays.aabb_max),
+                self.obj_types,
+                cluster_size=32,
+            )
         self.sharding = sharding
         if sharding is not None:
             from spectral_tpu.parallel.sharding import shard_scene
@@ -433,6 +459,7 @@ class Renderer:
                     interpret=_interpret,
                     has_transmission=self.has_transmission,
                     has_emission=self.has_emission,
+                    clusters=self.clusters,
                 )
         else:
             self._accum_sharding = None
@@ -538,11 +565,15 @@ class Renderer:
         # probe each pixel's realized path length once (megakernel cost
         # instrumentation), then permute pixels into tiles by descending
         # cost so a tile's slowest lane is no slower than its peers.
-        # Bit-exact per pixel (pure relabeling). 'auto' enables it with
-        # regeneration on the single-device path (the sharded step keeps
-        # raygen in global coordinates and is left unsorted).
+        # Bit-exact per pixel (pure relabeling). MEASURED AND REJECTED as
+        # a default on v5e (tools/lane_sort_bench.py, K=100 tile=4096):
+        # 0.93-0.98x on every BASELINE config — per-pixel path cost is
+        # ~90% per-FRAME stochastic (frame-pair correlation 0.097 on
+        # cornell512), so the regen straggler tail is sqrt(K)-noise no
+        # static permutation can remove. Kept as a validated opt-in for
+        # scenes with genuinely systematic cost structure.
         if regen_sort == "auto":
-            regen_sort = self.regen_frames > 1 and sharding is None
+            regen_sort = False
         if regen_sort and (self.regen_frames < 2 or sharding is not None):
             raise ValueError(
                 "regen_sort requires regen_frames >= 2 on the "
@@ -567,6 +598,7 @@ class Renderer:
                 n_probe_frames=2, interpret=self._interpret,
                 has_transmission=self.has_transmission,
                 has_emission=self.has_emission,
+                clusters=self.clusters,
             )
         )
         order = np.argsort(-cost, kind="stable").astype(np.int32)
@@ -673,7 +705,7 @@ class Renderer:
             rgb = _mono_rgb(
                 self.scene_arrays, self.config, fid, self.obj_types,
                 self.has_transmission, self.has_emission, self._interpret,
-                self._phase_tile,
+                self._phase_tile, self.clusters,
             )
         self.accum = _blend(self.accum, rgb, fid)
 
@@ -687,7 +719,7 @@ class Renderer:
                 self.scene_arrays, self.config, fid, self.obj_types,
                 self.phase_stages,
                 self.has_transmission, self.has_emission,
-                self._interpret, self._phase_tile,
+                self._interpret, self._phase_tile, self.clusters,
             )
             self._resolve_pending()  # f-1 is done by now; sync is hidden
             self._pending = (fid, rgb, overflow)
@@ -698,7 +730,7 @@ class Renderer:
                 self.accum = _step_pallas(
                     self.scene_arrays, self.config, self.accum, fid,
                     self.obj_types, self.has_transmission, self.has_emission,
-                    self._interpret,
+                    self._interpret, self.clusters,
                 )
         elif self.grid is not None:
             self.accum = _step_grid(
@@ -725,6 +757,7 @@ class Renderer:
                         interpret=self._interpret,
                         has_transmission=self.has_transmission,
                         has_emission=self.has_emission,
+                        clusters=self.clusters,
                     )
                     self._sharded_regen_steps[k] = step
                 self.accum = step(self.scene_arrays, self.accum, fid)
@@ -734,17 +767,19 @@ class Renderer:
                     self.scene_arrays, self.config, self.accum, fid, k,
                     self.obj_types, self.has_transmission, self.has_emission,
                     self._interpret, self._lane_perm, self._lane_inv,
+                    self.clusters,
                 )
             else:
                 self.accum = _step_regen(
                     self.scene_arrays, self.config, self.accum, fid, k,
                     self.obj_types, self.has_transmission, self.has_emission,
-                    self._interpret,
+                    self._interpret, self.clusters,
                 )
         elif self.backend == "pallas":
             self.accum = _step_pallas_k(
                 self.scene_arrays, self.config, self.accum, fid, k,
                 self.obj_types, self.has_transmission, self.has_emission,
+                self.clusters,
             )
         else:
             self.accum = _step_k(

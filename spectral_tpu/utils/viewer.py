@@ -6,14 +6,26 @@ lands, a progress bar + timing labels, and an Abort button
 (``src/main.rs:1238-1247``). Here that is a tiny in-process HTTP server:
 
 * ``GET /``          — auto-refreshing page with the latest frame,
-                       progress, and an Abort button
+                       progress, an Abort button, and a scene editor
 * ``GET /frame.png`` — latest frame as PNG
 * ``GET /status``    — progress JSON
 * ``POST /abort``    — request frame-granular abort (same semantics as
                        Ctrl-C: the current frame is finished first)
+* ``GET /scene``     — the scene as editable JSON (the headless analog of
+                       the reference's Objects / Spectra-and-Materials
+                       tabs, reference ``src/main.rs:2392-2572``)
+* ``POST /scene``    — submit an edited scene JSON; it is validated
+                       immediately (HTTP 400 on a legality error — the
+                       reference's blinking-red dispatch refusal,
+                       ``src/main.rs:1452-1484``) and applied at the next
+                       frame boundary: the render restarts progressive
+                       accumulation with the new scene, exactly like
+                       pressing Start after editing in the reference UI
 
-The render thread pushes frames via :meth:`LiveViewer.update`; the server
-thread only ever serves cached bytes, so no JAX state crosses threads.
+The render thread pushes frames via :meth:`LiveViewer.update` and polls
+:meth:`LiveViewer.take_scene_edit` between frames; the server thread only
+ever serves cached bytes / queues validated edits, so no JAX state
+crosses threads.
 """
 
 from __future__ import annotations
@@ -38,6 +50,14 @@ _PAGE = """<!doctype html>
 <p><img id="frame" src="/frame.png" alt="(no frame yet)"></p>
 <button onclick="fetch('/abort', {method: 'POST'})">Abort
  (finishes current frame)</button>
+<details style="margin-top:1.5em"><summary>Edit scene (restarts render)</summary>
+ <p><textarea id="scene" rows="24" cols="100"
+  style="background:#181818;color:#cdc;border:1px solid #444;font:12px monospace"
+  ></textarea></p>
+ <button style="background:#272" onclick="applyScene()">Apply scene</button>
+ <button style="background:#444" onclick="loadScene()">Reload from server</button>
+ <span id="editmsg"></span>
+</details>
 <script>
  async function tick() {
    try {
@@ -50,7 +70,17 @@ _PAGE = """<!doctype html>
      document.getElementById('frame').src = '/frame.png?t=' + Date.now();
    } catch (e) {}
  }
- setInterval(tick, 1000); tick();
+ async function loadScene() {
+   const r = await fetch('/scene');
+   document.getElementById('scene').value =
+     JSON.stringify(await r.json(), null, 1);
+ }
+ async function applyScene() {
+   const r = await fetch('/scene', {
+     method: 'POST', body: document.getElementById('scene').value});
+   document.getElementById('editmsg').textContent = await r.text();
+ }
+ setInterval(tick, 1000); tick(); loadScene();
 </script></body></html>"""
 
 
@@ -62,6 +92,8 @@ class LiveViewer:
         self._png: bytes | None = None
         self._status: dict = {"frame": 0, "total": 0, "elapsed_s": 0.0}
         self._abort = threading.Event()
+        self._scene_dict: dict | None = None  # currently rendering scene
+        self._pending_scene = None  # validated edit awaiting frame boundary
         viewer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -93,6 +125,14 @@ class LiveViewer:
                     body["aborting"] = viewer._abort.is_set()
                     self._send(200, "application/json",
                                json.dumps(body).encode())
+                elif path == "/scene":
+                    with viewer._lock:
+                        scene = viewer._scene_dict
+                    if scene is None:
+                        self._send(404, "text/plain", b"no scene published")
+                    else:
+                        self._send(200, "application/json",
+                                   json.dumps(scene).encode())
                 else:
                     self._send(404, "text/plain", b"not found")
 
@@ -100,6 +140,22 @@ class LiveViewer:
                 if self.path == "/abort":
                     viewer._abort.set()
                     self._send(200, "text/plain", b"abort requested")
+                elif self.path == "/scene":
+                    length = int(self.headers.get("Content-Length", 0))
+                    raw = self.rfile.read(length)
+                    try:
+                        scene = viewer._validate_scene_json(raw)
+                    except Exception as e:  # legality / parse errors -> 400
+                        self._send(400, "text/plain",
+                                   f"scene rejected: {e}".encode())
+                        return
+                    with viewer._lock:
+                        viewer._pending_scene = scene
+                    self._send(
+                        200, "text/plain",
+                        b"scene accepted; the render restarts with it at "
+                        b"the next frame boundary",
+                    )
                 else:
                     self._send(404, "text/plain", b"not found")
 
@@ -120,6 +176,37 @@ class LiveViewer:
 
     def abort_requested(self) -> bool:
         return self._abort.is_set()
+
+    @staticmethod
+    def _validate_scene_json(raw: bytes):
+        """Parse + legality-check an edited scene (raises on any error —
+        the reference refuses dispatch on an illegal scene,
+        src/main.rs:1452-1484)."""
+        from spectral_tpu.utils import sceneio
+
+        scene = sceneio.scene_from_dict(json.loads(raw.decode()))
+        scene.update_all_spectrum_sample_sizes()
+        scene.validate()
+        return scene
+
+    def publish_scene(self, scene) -> None:
+        """Expose the scene currently being rendered on ``GET /scene``."""
+        from spectral_tpu.utils import sceneio
+
+        d = sceneio.scene_to_dict(scene)
+        with self._lock:
+            self._scene_dict = d
+
+    def take_scene_edit(self):
+        """Pop a pending validated scene edit (None if none). Called by
+        the render loop at frame boundaries."""
+        with self._lock:
+            scene, self._pending_scene = self._pending_scene, None
+        return scene
+
+    def scene_edit_pending(self) -> bool:
+        with self._lock:
+            return self._pending_scene is not None
 
     def update(self, framebuffer, frame: int, total: int, elapsed_s: float):
         """Publish a new frame (called from the render thread)."""

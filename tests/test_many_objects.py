@@ -133,3 +133,110 @@ def test_fori_kernel_many_materials_bit_exact():
         )
     )
     assert np.array_equal(img_a, img_b)
+
+
+def _cluster_scene(n_spheres=100, bounces=3):
+    scene = presets.sphere_field(n_spheres=n_spheres)
+    scene.width, scene.height = 16, 16
+    scene.nbr_of_iterations = 3
+    scene.nbr_of_ray_bounces = bounces
+    scene.spectrum_number_of_samples = 8
+    scene.update_all_spectrum_sample_sizes()
+    return scene
+
+
+def test_clustered_object_loop_bit_exact():
+    """The Morton-clustered, AABB-culled object loop must produce BIT-
+    identical results to the brute-force fori loop: cluster skips are
+    conservative (a skipped cluster could not be hit by any live lane)
+    and exact ties resolve by original object index."""
+    import numpy as np
+
+    from spectral_tpu.ops.pallas import megakernel as mk
+    from spectral_tpu.render.pallas_integrator import (
+        integrate_frame_pallas,
+        integrate_frames_pallas_regen,
+    )
+
+    arrays, config = flatten_scene(_cluster_scene())
+    obj_types = tuple(np.asarray(arrays.obj_type).tolist())
+    sigma, runs = mk.plan_clusters(
+        np.asarray(arrays.aabb_min), np.asarray(arrays.aabb_max),
+        obj_types, cluster_size=16,
+    )
+    assert sorted(sigma) == list(range(config.n_objects))
+    clusters = (sigma, runs)
+
+    plain = np.asarray(
+        integrate_frame_pallas(
+            arrays, config, np.uint32(1), obj_types, interpret=True
+        )
+    )
+    clustered = np.asarray(
+        integrate_frame_pallas(
+            arrays, config, np.uint32(1), obj_types, interpret=True,
+            clusters=clusters,
+        )
+    )
+    assert np.array_equal(plain, clustered)
+
+    plain_r = np.asarray(
+        integrate_frames_pallas_regen(
+            arrays, config, np.uint32(0), obj_types, 3, interpret=True
+        )
+    )
+    clustered_r = np.asarray(
+        integrate_frames_pallas_regen(
+            arrays, config, np.uint32(0), obj_types, 3, interpret=True,
+            clusters=clusters,
+        )
+    )
+    assert np.array_equal(plain_r, clustered_r)
+
+
+def test_clustered_tie_rule_lowest_original_index():
+    """Two IDENTICAL overlapping spheres: every hit is an exact t tie.
+    The clustered loop's Morton visit order differs from the original,
+    so the carried original-index tie-break is what keeps the winner—
+    and with it the material—the lowest-original-index object, exactly
+    like the reference's stable sort (src/shader.rs:481-483)."""
+    import dataclasses
+
+    import numpy as np
+
+    from spectral_tpu.ops.pallas import megakernel as mk
+    from spectral_tpu.render.pallas_integrator import integrate_frame_pallas
+    from spectral_tpu.scene.schema import Material, SceneObject, Sphere
+
+    scene = _cluster_scene(n_spheres=80, bounces=1)
+    # two coincident spheres in front of the camera with very different
+    # albedos: red (low index) must win the tie everywhere
+    red = dataclasses.replace(
+        scene.materials[1], name="tie-red"
+    )
+    green = dataclasses.replace(scene.materials[2], name="tie-green")
+    scene.materials += [red, green]
+    tie_lo = SceneObject((0.0, 0.0, 6.0), Sphere(3.0), red, "tie-lo")
+    tie_hi = SceneObject((0.0, 0.0, 6.0), Sphere(3.0), green, "tie-hi")
+    # insert at spread-out ORIGINAL indices so Morton order could reorder
+    scene.objects.insert(5, tie_lo)
+    scene.objects.append(tie_hi)
+
+    arrays, config = flatten_scene(scene)
+    obj_types = tuple(np.asarray(arrays.obj_type).tolist())
+    plain = np.asarray(
+        integrate_frame_pallas(
+            arrays, config, np.uint32(0), obj_types, interpret=True
+        )
+    )
+    sigma, runs = mk.plan_clusters(
+        np.asarray(arrays.aabb_min), np.asarray(arrays.aabb_max),
+        obj_types, cluster_size=16,
+    )
+    clustered = np.asarray(
+        integrate_frame_pallas(
+            arrays, config, np.uint32(0), obj_types, interpret=True,
+            clusters=(sigma, runs),
+        )
+    )
+    assert np.array_equal(plain, clustered)

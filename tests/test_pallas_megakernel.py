@@ -40,6 +40,12 @@ def test_direct_only_matches_jnp(preset):
 
 
 def test_multibounce_within_coinflip_envelope():
+    """Stochastic multibounce scene: flips at the un-offset diffuse
+    origin are irreducible across two compiled programs (see
+    test_multibounce_deterministic_zero_flips for the flip-free
+    equivalence pin); here the flip BUDGET is bounded and every
+    non-flipped pixel must agree to 1e-5 — a semantic regression shows
+    up as either mass flips or loose agreement."""
     arrays, config, obj_types = _pair("cornell", 16, 8, bounces=3)
     want = np.asarray(integrate_frame(arrays, config, np.uint32(1)))
     got = np.asarray(
@@ -48,10 +54,81 @@ def test_multibounce_within_coinflip_envelope():
     scale = max(1.0, float(np.abs(want).max()))
     err = np.abs(got - want).max(axis=-1) / scale
     flips = int((err > 1e-3).sum())
-    assert flips <= 0.25 * err.size
+    assert flips <= 0.15 * err.size
     agree = err[err <= 1e-3]
-    assert len(agree) >= 0.75 * err.size
-    assert float(agree.max()) < 1e-3
+    assert len(agree) >= 0.85 * err.size
+    assert float(agree.max()) < 1e-5
+
+
+def _periscope_scene(bounces=3, samples=8):
+    """Deterministic 3-bounce scene with NO coin-flip hazard: camera rays
+    reflect off two 45-degree mirrors (metal=1, offset origins — no
+    self-intersection coin) and land on a diffuse wall exactly at the
+    LAST bounce, so the un-offset diffuse continuation (the 1-ulp
+    self-intersection coin, SURVEY.md section 2.5) is never traced. Every
+    lane's path is fully determined by geometry, which pins pallas-vs-jnp
+    equivalence to pure f32 rounding on a genuinely multibounce scene."""
+    from spectral_tpu.scene import schema as S
+
+    base = presets.default_scene()
+    refl = [
+        sp for sp in base.spectra if sp.effect_type.name == "REFLECTIVE"
+    ][0]
+    emis = [sp for sp in base.spectra if sp.effect_type.name == "EMISSIVE"][0]
+    mirror = S.Material(1.0, 0.0, refl, "mirror")
+    diffuse = S.Material(0.0, 0.0, refl, "wall")
+    quarter = float(np.pi / 4)
+    scene = S.Scene(
+        width=12, height=8, nbr_of_iterations=2, nbr_of_ray_bounces=bounces,
+        camera=S.Camera(
+            position=(0.0, 0.0, 0.0), direction=(0.0, 0.0, 1.0),
+            up=(0.0, 1.0, 0.0), fov_y_deg=30.0,
+        ),
+        lights=[S.Light((0.0, 4.0, 9.0), emis, "lamp")],
+        objects=[
+            # periscope: +z -> up -> +z -> diffuse wall
+            S.SceneObject(
+                (0.0, 0.0, 6.0),
+                S.RotatedBox(4.0, 4.0, 0.2, quarter, 0.0, 0.0), mirror, "M1",
+            ),
+            S.SceneObject(
+                (0.0, 4.0, 6.0),
+                S.RotatedBox(4.0, 4.0, 0.2, quarter, 0.0, 0.0), mirror, "M2",
+            ),
+            S.SceneObject(
+                (0.0, 4.0, 12.0), S.PlainBox(8.0, 8.0, 0.2), diffuse, "wall",
+            ),
+        ],
+        spectra=base.spectra,
+        materials=[mirror, diffuse],
+        spectrum_number_of_samples=samples,
+    )
+    scene.update_all_spectrum_sample_sizes()
+    scene.validate()
+    return scene
+
+
+def test_multibounce_deterministic_zero_flips():
+    """Megakernel vs jnp on the periscope scene (VERDICT r2 #7): a REAL
+    multibounce path (mirror -> mirror -> diffuse NEE) with the coin-flip
+    hazard excluded by construction — so the equivalence bound is
+    1e-4-class on EVERY pixel, not a flip-budget envelope. A semantic
+    regression anywhere in the specular chain, gate, NEE, or throughput
+    product cannot hide here."""
+    arrays, config = flatten_scene(_periscope_scene())
+    obj_types = tuple(np.asarray(arrays.obj_type).tolist())
+    for frame in (0, 1):
+        want = np.asarray(integrate_frame(arrays, config, np.uint32(frame)))
+        got = np.asarray(
+            integrate_frame_pallas(
+                arrays, config, np.uint32(frame), obj_types, interpret=True
+            )
+        )
+        # the scene must actually exercise the 3-bounce chain
+        assert float(want.max()) > 0.1
+        assert int((want.max(-1) > 1e-6).sum()) > 20
+        scale = max(1.0, float(np.abs(want).max()))
+        assert float(np.abs(got - want).max()) / scale < 1e-4  # zero flips
 
 
 def test_transmission_emission_matches_jnp():
@@ -224,7 +301,7 @@ def test_renderer_phased_pipeline_and_fallback():
     for f in range(2):
         rgb = _mono_rgb(
             arrays, config, jnp.uint32(f), obj_types, False, False, True,
-            1024,
+            1024, None,
         )
         want = _blend(want, rgb, jnp.uint32(f))
     want = np.asarray(want)
@@ -247,7 +324,7 @@ def test_renderer_phased_pipeline_and_fallback():
             jnp.zeros((config.height, config.width, 4), jnp.float32),
             _mono_rgb(
                 arrays, config, jnp.uint32(0), obj_types, False, False,
-                True, 1024,
+                True, 1024, None,
             ),
             jnp.uint32(0),
         )
@@ -368,7 +445,7 @@ def test_renderer_auto_phase_and_cascade():
     for f in range(2):
         rgb = _mono_rgb(
             arrays, config, jnp.uint32(f), obj_types, False, False, True,
-            1024,
+            1024, None,
         )
         want = _blend(want, rgb, jnp.uint32(f))
     want = np.asarray(want)

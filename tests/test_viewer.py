@@ -67,7 +67,12 @@ def test_cli_serve_end_to_end(tmp_path):
         [
             sys.executable, "-m", "spectral_tpu", "--platform", "cpu",
             "render", "--preset", "default", "--width", "16", "--height",
-            "8", "--iterations", "300", "--bounces", "2", "--samples", "8",
+            # iterations high enough that the render can NEVER finish
+            # before the abort lands (with a warm persistent XLA cache a
+            # 300-iteration 16x8 render completes in ~2 s — faster than
+            # this poll loop can observe it — which orphans the poll)
+            "8", "--iterations", "100000", "--bounces", "2",
+            "--samples", "8",
             "--out", str(out), "--serve", "0", "--quiet",
         ],
         env=env,
@@ -90,6 +95,7 @@ def test_cli_serve_end_to_end(tmp_path):
     deadline = time.monotonic() + 900
     while True:
         assert time.monotonic() < deadline
+        assert proc.poll() is None, buf.decode(errors="replace")
         try:
             s = json.loads(_get(url + "status")[1])
             if s["frame"] > 0:
@@ -108,3 +114,135 @@ def test_cli_serve_end_to_end(tmp_path):
     assert "aborted after" in text
     assert out.exists()
     assert (tmp_path / "img.png.ckpt.npz").exists()
+
+
+def test_viewer_scene_edit_endpoints():
+    """GET /scene serves the published scene; POST /scene validates (400
+    on legality errors) and queues the edit for the render loop."""
+    from spectral_tpu.scene import presets
+    from spectral_tpu.utils import sceneio
+
+    v = LiveViewer(port=0)
+    try:
+        # nothing published yet
+        try:
+            status, _ = _get(v.url + "scene")
+        except urllib.error.HTTPError as e:
+            status = e.code
+        assert status == 404
+
+        scene = presets.default_scene()
+        v.publish_scene(scene)
+        status, body = _get(v.url + "scene")
+        assert status == 200
+        d = json.loads(body)
+        assert d["settings"]["width"] == scene.width
+
+        # illegal edit: nonpositive iterations -> 400, nothing queued
+        bad = json.loads(body)
+        bad["settings"]["iterations"] = 0
+        req = urllib.request.Request(
+            v.url + "scene", data=json.dumps(bad).encode(), method="POST"
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=10) as r:
+                status = r.status
+        except urllib.error.HTTPError as e:
+            status = e.code
+            msg = e.read()
+        assert status == 400 and b"iterations" in msg
+        assert not v.scene_edit_pending()
+
+        # legal edit: shrink the image -> queued and retrievable once
+        good = json.loads(body)
+        good["settings"]["width"] = 24
+        req = urllib.request.Request(
+            v.url + "scene", data=json.dumps(good).encode(), method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=10) as r:
+            assert r.status == 200
+        assert v.scene_edit_pending()
+        edited = v.take_scene_edit()
+        assert edited.width == 24
+        assert v.take_scene_edit() is None
+        # the queued object is a real Scene (round-trips through sceneio)
+        assert sceneio.scene_to_dict(edited)["settings"]["width"] == 24
+    finally:
+        v.close()
+
+
+def test_cli_serve_scene_edit_restarts(tmp_path):
+    """Submitting a scene edit over HTTP restarts the render with the new
+    scene at a frame boundary (the reference's edit-then-Start cycle)."""
+    import os
+    import re
+    import subprocess
+    import sys
+    import time
+
+    out = tmp_path / "img.png"
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    proc = subprocess.Popen(
+        [
+            sys.executable, "-m", "spectral_tpu", "--platform", "cpu",
+            "render", "--preset", "default", "--width", "16", "--height",
+            # never-finishing iteration count: see test_cli_serve_end_to_end
+            "8", "--iterations", "100000", "--bounces", "2",
+            "--samples", "8",
+            "--out", str(out), "--serve", "0", "--quiet",
+        ],
+        env=env,
+        stderr=subprocess.PIPE,
+    )
+    buf = b""
+    deadline = time.monotonic() + 180
+    while b"live view at " not in buf:
+        assert time.monotonic() < deadline, buf.decode(errors="replace")
+        chunk = proc.stderr.read1(4096)
+        buf += chunk or b""
+        if not chunk:
+            time.sleep(0.05)
+    url = re.search(rb"live view at (http://\S+)", buf).group(1).decode()
+
+    deadline = time.monotonic() + 900
+    while True:
+        assert time.monotonic() < deadline
+        assert proc.poll() is None, buf.decode(errors="replace")
+        try:
+            if json.loads(_get(url + "status")[1])["frame"] > 0:
+                break
+        except Exception:
+            pass
+        time.sleep(0.25)
+
+    # edit: brighten nothing fancy — just change the height (shape change
+    # proves the renderer was genuinely rebuilt)
+    d = json.loads(_get(url + "scene")[1])
+    d["settings"]["height"] = 16
+    req = urllib.request.Request(
+        url + "scene", data=json.dumps(d).encode(), method="POST"
+    )
+    with urllib.request.urlopen(req, timeout=10) as r:
+        assert r.status == 200
+
+    # the served scene must flip to the edited one after the restart
+    deadline = time.monotonic() + 900
+    while True:
+        assert time.monotonic() < deadline
+        assert proc.poll() is None, buf.decode(errors="replace")
+        try:
+            if json.loads(_get(url + "scene")[1])["settings"]["height"] == 16:
+                break
+        except Exception:
+            pass
+        time.sleep(0.25)
+
+    req = urllib.request.Request(url + "abort", method="POST")
+    urllib.request.urlopen(req, timeout=10)
+    _, rest = proc.communicate(timeout=300)
+    text = (buf + (rest or b"")).decode(errors="replace")
+    assert proc.returncode == 0, text
+    assert "restarting render" in text
+    from PIL import Image
+
+    assert np.asarray(Image.open(out)).shape[0] == 16  # edited height
