@@ -134,16 +134,18 @@ def main(config_name: str = "cornell512", tile: int | None = None) -> None:
     obj_types = tuple(np.asarray(arrays.obj_type).tolist())
     has_trans = bool(np.asarray(arrays.transmission).any())
     has_emis = bool(np.asarray(arrays.emission).any())
-    # many-object configs: Morton-clustered, AABB-culled object loop
-    # (bit-identical to brute force; v5e spheres regen 78.4 -> 48.7
-    # ms/frame, tools/cluster_bench.py)
+    # many-object configs: Morton-clustered, AABB-culled object loop with
+    # 8-wide member unroll (bit-identical to brute force; v5e spheres
+    # regen 78.4 -> 37.1 ms/frame, tools/cluster_bench.py +
+    # tools/block_tile_bench.py)
     clusters = None
     if config.n_objects > 64:
         from spectral_tpu.ops.pallas.megakernel import plan_clusters
 
         clusters = plan_clusters(
             np.asarray(arrays.aabb_min), np.asarray(arrays.aabb_max),
-            obj_types, cluster_size=32,
+            obj_types, cluster_size=64,
+            camera_pos=np.asarray(arrays.cam_pos)[:3],
         )
 
     # reference-equivalent ray counts + per-bounce live-lane occupancy,

@@ -154,6 +154,7 @@ def build_megakernel(
     regen_frames: int = 1,
     cost_out: bool = False,
     cluster_runs: tuple | None = None,
+    member_unroll: int = 8,
 ):
     """Compile-time specialization on the scene structure.
 
@@ -484,6 +485,32 @@ def build_megakernel(
         t = jnp.where(t_min >= 0.0, t_min, t_max)
         return t, hit & (t > 0.0), ir
 
+    def _member_loop(body, start, stop, carry):
+        """fori over objects [start, stop), unrolled ``member_unroll``-wide
+        (ragged tail visited at static indices) — the unrolled body gives
+        Mosaic independent work to overlap each member's SMEM scalar
+        loads and sqrt latency with its neighbours' vector math. Visit
+        order is unchanged, so results are bit-identical to the plain
+        loop. Measured on v5e (1000-sphere config, regen K=100, C=32
+        clusters): unroll 1/2/4/8/16 = 48.2/42.4/39.3/37.9/43.4 ms/frame
+        (tools/block_tile_bench.py --unrolls)."""
+        n_m = stop - start
+        u = member_unroll
+        if u <= 1 or n_m < u:
+            return jax.lax.fori_loop(start, stop, body, carry)
+        main = n_m - n_m % u
+
+        def body_u(i, c):
+            o0 = start + i * u
+            for j in range(u):
+                c = body(o0 + j, c)
+            return c
+
+        carry = jax.lax.fori_loop(0, main // u, body_u, carry)
+        for o in range(start + main, stop):  # static tail (< u members)
+            carry = body(o, carry)
+        return carry
+
     def trace_tile_fori(geom, m_scal, ox, oy, oz, dx, dy, dz,
                         alive=None, cbounds=None):
         """Per-type-run fori nearest hit: constant compile size in n_obj.
@@ -630,8 +657,8 @@ def build_megakernel(
                 any_rel = jnp.max(rel.astype(jnp.float32)) > 0.0
                 carry = jax.lax.cond(
                     any_rel,
-                    lambda c, s=start, e=stop, b=body: jax.lax.fori_loop(
-                        s, e, b, c
+                    lambda c, s=start, e=stop, b=body: _member_loop(
+                        b, s, e, c
                     ),
                     lambda c: c,
                     carry,
@@ -643,7 +670,7 @@ def build_megakernel(
                 if stop - start == 1:  # static index: direct SMEM reads
                     carry = body(start, carry)
                 else:
-                    carry = jax.lax.fori_loop(start, stop, body, carry)
+                    carry = _member_loop(body, start, stop, carry)
             t_best, win_mat, s1, s2, s3, winsph = carry
         hit = t_best < _INF
         t_safe = jnp.where(hit, t_best, 0.0)
@@ -754,21 +781,27 @@ def build_megakernel(
                         t_bests = jax.lax.fori_loop(start, stop, body, t_bests)
                     continue
                 rel = None
-                for (sox, soy, soz, sdx, sdy, sdz, maxd) in rays:
+                for ri, (sox, soy, soz, sdx, sdy, sdz, maxd) in enumerate(
+                    rays
+                ):
                     ct_min, _ct_max, c_hit = _slab_t(
                         sox, soy, soz, sdx, sdy, sdz,
                         cbounds[cidx, 0], cbounds[cidx, 1], cbounds[cidx, 2],
                         cbounds[cidx, 3], cbounds[cidx, 4], cbounds[cidx, 5],
                     )
-                    r = c_hit & (ct_min <= maxd)
+                    # a lane already blocked (some earlier cluster hit
+                    # within the light distance) needs no more tests —
+                    # occlusion is any-hit, so 'blocked' can only latch,
+                    # never unlatch: skipping keeps the output identical
+                    r = c_hit & (ct_min <= maxd) & ~(t_bests[ri] <= maxd)
                     rel = r if rel is None else (rel | r)
                 if relevant is not None:
                     rel = rel & relevant
                 any_rel = jnp.max(rel.astype(jnp.float32)) > 0.0
                 t_bests = jax.lax.cond(
                     any_rel,
-                    lambda ts, s=start, e=stop, b=body: jax.lax.fori_loop(
-                        s, e, b, ts
+                    lambda ts, s=start, e=stop, b=body: _member_loop(
+                        b, s, e, ts
                     ),
                     lambda ts: ts,
                     t_bests,
@@ -779,7 +812,7 @@ def build_megakernel(
                 if stop - start == 1:
                     t_bests = body(start, t_bests)
                 else:
-                    t_bests = jax.lax.fori_loop(start, stop, body, t_bests)
+                    t_bests = _member_loop(body, start, stop, t_bests)
         return [
             (t < _INF) & (t <= ray[6]) for t, ray in zip(t_bests, rays)
         ]

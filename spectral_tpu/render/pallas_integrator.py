@@ -83,6 +83,7 @@ def _kernel_regen(
     object_loop: str,
     regen_frames: int,
     cluster_runs: tuple | None = None,
+    member_unroll: int = 8,
 ):
     return mk.build_megakernel(
         obj_types,
@@ -94,6 +95,7 @@ def _kernel_regen(
         object_loop=object_loop,
         regen_frames=regen_frames,
         cluster_runs=cluster_runs,
+        member_unroll=member_unroll,
     )
 
 
@@ -319,6 +321,7 @@ def integrate_frames_pallas_regen(
     lane_perm: jax.Array | None = None,
     lane_inv: jax.Array | None = None,
     clusters: tuple | None = None,
+    member_unroll: int = 8,
 ) -> jax.Array:
     """K progressive frames in ONE kernel launch via in-kernel path
     regeneration -> the SUM of their linear-RGB frames ``[H, W, 3]``.
@@ -439,6 +442,7 @@ def integrate_frames_pallas_regen(
     run = _kernel_regen(
         obj_types, config, tile, interpret, has_transmission, has_emission,
         object_loop, int(k), clusters[1] if clusters else None,
+        member_unroll,
     )
     rad = run(
         lanes(origin.x), lanes(origin.y), lanes(origin.z),

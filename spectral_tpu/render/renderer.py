@@ -424,11 +424,13 @@ class Renderer:
             self.backend = "jnp"
         self.obj_types = tuple(_np.asarray(self.scene_arrays.obj_type).tolist())
         # cluster-culled object loop for many-object scenes: Morton-sort
-        # objects into 32-object clusters whose union AABB is pre-tested
+        # objects into 64-object clusters whose union AABB is pre-tested
         # per tile, skipping whole clusters no live ray can hit. Measured
-        # on v5e (tools/cluster_bench.py, 1000-sphere config): mono 131 ->
-        # 88 ms/frame (1.49x), regeneration 78.4 -> 48.7 ms/frame (1.61x),
-        # both BIT-identical to brute force (original-index tie rule).
+        # on v5e (tools/cluster_bench.py + block_tile_bench.py,
+        # 1000-sphere config): regeneration 78.4 -> 37.1 ms/frame (2.1x)
+        # composing with the 8-wide member unroll; BIT-identical to brute
+        # force (original-index tie rule). C=64 is the measured optimum
+        # with the unrolled members (C=16/32/64/96 = 48.3/37.9/37.1/39.9).
         # accel='none' disables; small scenes use the unrolled loop anyway.
         self.clusters = None
         if (
@@ -438,11 +440,16 @@ class Renderer:
         ):
             from spectral_tpu.ops.pallas.megakernel import plan_clusters
 
+            # camera_pos orders clusters front-to-back: near clusters
+            # tighten t_best early so the relevance pre-test skips far
+            # clusters (48.6 -> 48.2 ms/frame on the 1000-sphere config —
+            # small but free; visit order never changes results)
             self.clusters = plan_clusters(
                 _np.asarray(self.scene_arrays.aabb_min),
                 _np.asarray(self.scene_arrays.aabb_max),
                 self.obj_types,
-                cluster_size=32,
+                cluster_size=64,
+                camera_pos=_np.asarray(self.scene_arrays.cam_pos)[:3],
             )
         self.sharding = sharding
         if sharding is not None:

@@ -11,6 +11,13 @@ light distance also skips). Result-identical to the brute-force loop
 (original-index tie rule carried in the geometry table).
 
     python tools/cluster_bench.py [spheres] [--sizes 16,32,64] [--k 100]
+        [--camera] [--tile 4096]
+
+``--camera`` orders the clusters front-to-back from the camera (near
+clusters tighten t_best early, so the relevance pre-test skips far
+clusters outright); ``--tile`` sets the regeneration tile size (smaller
+tiles bundle tighter ray frusta -> more cluster skips, but pay more
+fixed per-tile overhead).
 
 Prints ms/frame for mono and regeneration, unclustered vs clustered.
 """
@@ -26,7 +33,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def bench(name: str, sizes, k: int, n_mono_frames: int = 6,
-          n_regen_launches: int = 2) -> None:
+          n_regen_launches: int = 2, camera: bool = False,
+          tile: int = 4096) -> None:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -75,7 +83,7 @@ def bench(name: str, sizes, k: int, n_mono_frames: int = 6,
         accum = jnp.zeros((config.height, config.width, 4), jnp.float32)
         accum = regen(
             arrays, config, accum, jnp.uint32(0), k, obj_types, ht, he,
-            4096, clusters,
+            tile, clusters,
         )
         jax.block_until_ready(accum)
         first = np.asarray(accum)
@@ -83,7 +91,7 @@ def bench(name: str, sizes, k: int, n_mono_frames: int = 6,
         for i in range(n_regen_launches):
             accum = regen(
                 arrays, config, accum, jnp.uint32((i + 1) * k), k, obj_types,
-                ht, he, 4096, clusters,
+                ht, he, tile, clusters,
             )
         jax.block_until_ready(accum)
         return (time.perf_counter() - t0) / (n_regen_launches * k) * 1e3, first
@@ -99,6 +107,9 @@ def bench(name: str, sizes, k: int, n_mono_frames: int = 6,
         sigma, runs = mk.plan_clusters(
             np.asarray(arrays.aabb_min), np.asarray(arrays.aabb_max),
             obj_types, cluster_size=c,
+            camera_pos=np.asarray(
+                [arrays.cam_pos[0], arrays.cam_pos[1], arrays.cam_pos[2]]
+            ) if camera else None,
         )
         clusters = (sigma, runs)
         cm, got_m = time_mono(clusters)
@@ -116,6 +127,8 @@ def main(argv=None) -> int:
     args = list(argv if argv is not None else sys.argv[1:])
     sizes = [16, 32, 64]
     k = 100
+    tile = 4096
+    camera = False
     names = []
     i = 0
     while i < len(args):
@@ -125,6 +138,12 @@ def main(argv=None) -> int:
         elif args[i] == "--k":
             k = int(args[i + 1])
             i += 2
+        elif args[i] == "--tile":
+            tile = int(args[i + 1])
+            i += 2
+        elif args[i] == "--camera":
+            camera = True
+            i += 1
         else:
             names.append(args[i])
             i += 1
@@ -137,7 +156,7 @@ def main(argv=None) -> int:
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     for n in names:
-        bench(n, sizes, k)
+        bench(n, sizes, k, camera=camera, tile=tile)
     return 0
 
 
