@@ -391,13 +391,17 @@ def main_rmse(iterations: int = 1000) -> None:
     )
 
 
-def _run_config(cfg: str, tile) -> None:
+def _run_config(cfg: str, tile) -> bool:
+    """Run one config; returns True on success. A timeout or crash in one
+    config prints an error JSON line instead of aborting the process, so
+    the remaining configs of an ``all`` run still report."""
     try:
         if cfg == "default_rmse":
             main_rmse()
         else:
             main(cfg, tile)
-    except BenchTimeout as e:
+        return True
+    except (BenchTimeout, Exception) as e:  # noqa: BLE001 — isolate configs
         print(
             json.dumps(
                 {
@@ -405,12 +409,12 @@ def _run_config(cfg: str, tile) -> None:
                     "value": 0.0,
                     "unit": "Mrays/s*lambda",
                     "vs_baseline": 0.0,
-                    "error": str(e),
+                    "error": f"{type(e).__name__}: {e}",
                 }
             ),
             flush=True,
         )
-        raise SystemExit(2)
+        return False
 
 
 if __name__ == "__main__":
@@ -421,7 +425,8 @@ if __name__ == "__main__":
     if _cfg == "all":
         # one JSON line per BASELINE config, driver-capturable in one run;
         # the headline cornell512 config prints LAST (the driver's tail)
+        _ok = True
         for _c in ("default_rmse", "hero", "prism", "spheres", "cornell512"):
-            _run_config(_c, None)
-        raise SystemExit(0)
-    _run_config(_cfg, _tile)
+            _ok = _run_config(_c, None) and _ok
+        raise SystemExit(0 if _ok else 2)
+    raise SystemExit(0 if _run_config(_cfg, _tile) else 2)

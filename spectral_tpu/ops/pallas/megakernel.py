@@ -179,9 +179,11 @@ def build_megakernel(
             cross-frame addition order differs from summing K separate
             launches). Requires ``state_io=False`` and full-range bounces.
     Returns:
-        fn(ox, oy, oz, dx, dy, dz, px, py, frame_id, geom, albedo,
-           emission, mat_albedo, mat_emission, mat_scalars, light_pos,
-           light_spec) -> radiance [S, NP//128, 128]
+        fn(ox, oy, oz, dx, dy, dz, px, py, frame_id, geom, cbounds,
+           albedo, emission, mat_albedo, mat_emission, mat_scalars,
+           light_pos, light_spec) -> radiance [S, NP//128, 128]
+        (``cbounds`` is the [n_runs, 8] cluster-bounds table; pass a
+        [1, 8] zero dummy when ``cluster_runs`` is None)
         (with ``state_io`` the fn also takes/returns the full wavefront
         state, see ``kernel_seg``; with ``regen_frames`` > 1 the fn takes
         a trailing ``cam`` table, see ``pack_camera``)
@@ -651,7 +653,12 @@ def build_megakernel(
                     cbounds[cidx, 0], cbounds[cidx, 1], cbounds[cidx, 2],
                     cbounds[cidx, 3], cbounds[cidx, 4], cbounds[cidx, 5],
                 )
-                rel = c_hit & (ct_min < carry[0])
+                # <= not <: a member hit can equal the current best
+                # bitwise (t >= ct_min, and ties are resolved by lowest
+                # ORIGINAL index) — a cluster whose entry t equals t_best
+                # may still hold the tie-winning member, so it must be
+                # visited. The shadow loop uses <= for the same reason.
+                rel = c_hit & (ct_min <= carry[0])
                 if alive is not None:
                     rel = rel & (alive > 0.0)
                 any_rel = jnp.max(rel.astype(jnp.float32)) > 0.0

@@ -211,7 +211,13 @@ def integrate_frame_pallas(
     # single-row dummies (never read) in that mode
     # each object-loop strategy reads exactly one family of material
     # tables; ship one-row dummies for the other so SMEM stays lean
-    fori = object_loop == "fori" or (object_loop == "auto" and len(obj_types) > 64)
+    # clusters force the fori loop inside build_megakernel, so the table
+    # trim decision must mirror that or the kernel reads OOB SMEM
+    fori = (
+        clusters is not None
+        or object_loop == "fori"
+        or (object_loop == "auto" and len(obj_types) > 64)
+    )
     albedo_in = scene.albedo[:1] if fori else scene.albedo
     emission_in = scene.emission[:1] if fori else scene.emission
     m_alb = scene.mat_albedo if fori else scene.mat_albedo[:1]
@@ -274,8 +280,10 @@ def probe_path_cost(
         lpos = jnp.zeros((1, 4), jnp.float32)
         lspec = jnp.zeros((1, config.n_samples), jnp.float32)
 
-    fori = object_loop == "fori" or (
-        object_loop == "auto" and len(obj_types) > 64
+    fori = (  # clusters force fori in build_megakernel; mirror it
+        clusters is not None
+        or object_loop == "fori"
+        or (object_loop == "auto" and len(obj_types) > 64)
     )
     albedo_in = scene.albedo[:1] if fori else scene.albedo
     emission_in = scene.emission[:1] if fori else scene.emission
@@ -430,8 +438,10 @@ def integrate_frames_pallas_regen(
         lpos = jnp.zeros((1, 4), jnp.float32)
         lspec = jnp.zeros((1, config.n_samples), jnp.float32)
 
-    fori = object_loop == "fori" or (
-        object_loop == "auto" and len(obj_types) > 64
+    fori = (  # clusters force fori in build_megakernel; mirror it
+        clusters is not None
+        or object_loop == "fori"
+        or (object_loop == "auto" and len(obj_types) > 64)
     )
     albedo_in = scene.albedo[:1] if fori else scene.albedo
     emission_in = scene.emission[:1] if fori else scene.emission
@@ -715,7 +725,7 @@ def integrate_frame_pallas_cascade(
         lpos = jnp.zeros((1, 4), jnp.float32)
         lspec = jnp.zeros((1, s_dim), jnp.float32)
 
-    fori = len(obj_types) > 64
+    fori = clusters is not None or len(obj_types) > 64
     albedo_in = scene.albedo[:1] if fori else scene.albedo
     emission_in = scene.emission[:1] if fori else scene.emission
     m_alb = scene.mat_albedo if fori else scene.mat_albedo[:1]

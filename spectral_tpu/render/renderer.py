@@ -834,9 +834,12 @@ class Renderer:
             k = min(chunk, n_frames - rendered, total - self.next_frame)
             if k > 1 and self.regen_frames > 1 and k < self.regen_frames:
                 # ragged tail of a regeneration render: K is a static arg,
-                # so a k-sized chunk would compile a whole NEW tail-sized
-                # kernel (20-40 s) to save k * ~2 ms — step the tail on the
-                # already-compiled per-frame kernel instead
+                # so a k-sized chunk would compile a NEW tail-sized regen
+                # kernel per distinct k (20-40 s each) to save k * ~2 ms.
+                # Step the tail on the monolithic per-frame kernel instead:
+                # its one compile is k-independent (amortized across every
+                # tail size and persisted in the XLA compile cache), though
+                # a pure-regen first run does pay it on the first tail frame
                 for j in range(k):
                     self._advance(self.next_frame + j)
             elif k > 1:

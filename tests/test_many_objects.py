@@ -240,3 +240,70 @@ def test_clustered_tie_rule_lowest_original_index():
         )
     )
     assert np.array_equal(plain, clustered)
+
+
+def test_clustered_tie_across_cluster_boundary_small_scene():
+    """Regression for two review findings in one scene.
+
+    (a) Tie at the cluster-AABB boundary: a plain box whose world AABB IS
+    its cluster's union AABB yields a cluster entry t bitwise equal to a
+    member hit t (both are the same `_slab_t` arithmetic). If an earlier
+    cluster already holds a coincident box, `t_best == ct_min` exactly —
+    the pre-test must use <= or the later cluster (holding the
+    tie-winning LOWER-original-index box) is skipped, breaking the
+    reference's stable-sort tie rule (src/shader.rs:481-483).
+
+    (b) A clustered scene with <= 64 objects: build_megakernel forces the
+    fori loop whenever clusters are passed, so the integrator's material-
+    table trim decision must follow (it used to trim the indirection
+    tables to one row in `auto` mode, leaving the kernel reading OOB).
+    """
+    import dataclasses
+
+    import numpy as np
+
+    from spectral_tpu.render.pallas_integrator import integrate_frame_pallas
+    from spectral_tpu.scene.flatten import OBJ_PLAIN_BOX, OBJ_SPHERE
+    from spectral_tpu.scene.schema import Material, PlainBox, SceneObject
+
+    scene = _cluster_scene(n_spheres=40, bounces=2)
+    red = dataclasses.replace(scene.materials[1], name="tie-red")
+    green = dataclasses.replace(scene.materials[2], name="tie-green")
+    scene.materials += [red, green]
+    # coincident boxes straight in front of the camera, nearer than the
+    # sphere field: every primary hit on them is an exact t tie
+    tie_lo = SceneObject((0.0, 1.0, 2.0), PlainBox(2.0, 2.0, 2.0), red,
+                         "tie-lo")
+    tie_hi = SceneObject((0.0, 1.0, 2.0), PlainBox(2.0, 2.0, 2.0), green,
+                         "tie-hi")
+    scene.objects.insert(1, tie_lo)   # original index 1 (after the floor)
+    scene.objects.append(tie_hi)      # original index 42
+
+    arrays, config = flatten_scene(scene)
+    assert config.n_objects == 43 and config.n_objects <= 64  # case (b)
+    obj_types = tuple(np.asarray(arrays.obj_type).tolist())
+    assert obj_types[0] == obj_types[1] == OBJ_PLAIN_BOX
+    assert obj_types[42] == OBJ_PLAIN_BOX
+
+    plain = np.asarray(
+        integrate_frame_pallas(
+            arrays, config, np.uint32(0), obj_types, interpret=True
+        )
+    )
+    # hand-built plan: the HIGHER-original-index twin sits in an EARLIER
+    # single-box cluster, so its hit t becomes t_best before the cluster
+    # holding the tie winner is pre-tested (case (a))
+    sigma = (42, 1, 0) + tuple(range(2, 42))
+    runs = (
+        (OBJ_PLAIN_BOX, 0, 1, True),   # green twin, visited first
+        (OBJ_PLAIN_BOX, 1, 2, True),   # red twin: ct_min == t_best exactly
+        (OBJ_PLAIN_BOX, 2, 3, False),  # floor
+        (OBJ_SPHERE, 3, 43, True),
+    )
+    clustered = np.asarray(
+        integrate_frame_pallas(
+            arrays, config, np.uint32(0), obj_types, interpret=True,
+            clusters=(sigma, runs),
+        )
+    )
+    assert np.array_equal(plain, clustered)
