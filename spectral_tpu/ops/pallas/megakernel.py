@@ -1162,22 +1162,21 @@ def build_megakernel(
     b_start = bounce_start
     b_stop = max_bounces if bounce_stop is None else bounce_stop
 
-    def kernel(
-        frame_ref,  # SMEM (1,1) uint32
-        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # [R8,128] f32
-        px_ref, py_ref,  # [R8,128] uint32
-        geom_ref,  # [O, GEOM_COLS] f32 (SMEM)
-        cb_ref,  # [n_runs, 8] f32 (SMEM) cluster bounds (dummy unclustered)
-        albedo_ref,  # [O, S] f32 (SMEM)
-        emis_ref,  # [O, S] f32 (SMEM)
-        m_alb_ref,  # [M, S] f32 (SMEM)
-        m_emis_ref,  # [M, S] f32 (SMEM)
-        m_scal_ref,  # [M, 8] f32 (SMEM)
-        lpos_ref,  # [L, 4] f32 (SMEM)
-        lspec_ref,  # [L, S] f32 (SMEM)
-        rad_ref,  # out [S, R8, 128] f32
-        thr_ref,  # scratch [S, R8, 128] f32
+    def _trace_tile(
+        frame_ref,
+        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+        px_ref, py_ref,
+        geom_ref, cb_ref, albedo_ref, emis_ref,
+        m_alb_ref, m_emis_ref, m_scal_ref,
+        lpos_ref, lspec_ref,
+        rad_ref, thr_ref,
     ):
+        """Shared monolithic-kernel body: init the tile's radiance/
+        throughput planes, build the bounce body, run the bounce loop.
+        Returns the final carry (``kernel`` discards it; ``kernel_cost``
+        derives the per-lane path cost from carry slot 9, the bounce
+        budget ``bl`` — keep that slot's position in sync with
+        ``make_body``'s carry layout)."""
         # lane validity: global index < n_valid
         tile_idx = pl.program_id(0)
         row = jax.lax.broadcasted_iota(jnp.int32, (r8, LANE), 0)
@@ -1203,7 +1202,30 @@ def build_megakernel(
             jnp.full((r8, LANE), max_bounces - b_start, jnp.uint32),
             jnp.zeros((r8, LANE), jnp.uint32) + frame_ref[0, 0],
         )
-        jax.lax.fori_loop(b_start, b_stop, guarded, carry)
+        return jax.lax.fori_loop(b_start, b_stop, guarded, carry)
+
+    def kernel(
+        frame_ref,  # SMEM (1,1) uint32
+        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # [R8,128] f32
+        px_ref, py_ref,  # [R8,128] uint32
+        geom_ref,  # [O, GEOM_COLS] f32 (SMEM)
+        cb_ref,  # [n_runs, 8] f32 (SMEM) cluster bounds (dummy unclustered)
+        albedo_ref,  # [O, S] f32 (SMEM)
+        emis_ref,  # [O, S] f32 (SMEM)
+        m_alb_ref,  # [M, S] f32 (SMEM)
+        m_emis_ref,  # [M, S] f32 (SMEM)
+        m_scal_ref,  # [M, 8] f32 (SMEM)
+        lpos_ref,  # [L, 4] f32 (SMEM)
+        lspec_ref,  # [L, S] f32 (SMEM)
+        rad_ref,  # out [S, R8, 128] f32
+        thr_ref,  # scratch [S, R8, 128] f32
+    ):
+        _trace_tile(
+            frame_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+            px_ref, py_ref, geom_ref, cb_ref, albedo_ref, emis_ref,
+            m_alb_ref, m_emis_ref, m_scal_ref, lpos_ref, lspec_ref,
+            rad_ref, thr_ref,
+        )
 
     def kernel_cost(
         frame_ref,
@@ -1218,31 +1240,12 @@ def build_megakernel(
         bounce iterations each lane executed while alive (its realized
         path length this frame) — the probe behind cost-sorted pixel->
         lane assignment for the regeneration kernel."""
-        tile_idx = pl.program_id(0)
-        row = jax.lax.broadcasted_iota(jnp.int32, (r8, LANE), 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (r8, LANE), 1)
-        gidx = tile_idx * tile + row * LANE + col
-        alive0 = (gidx < n_valid).astype(jnp.float32)
-
-        for s in range(s_dim):
-            rad_ref[s] = jnp.zeros((r8, LANE), jnp.float32)
-            thr_ref[s] = jnp.ones((r8, LANE), jnp.float32)
-
-        guarded = make_body(
-            frame_ref, px_ref, py_ref, geom_ref, albedo_ref, emis_ref,
-            m_alb_ref, m_emis_ref, m_scal_ref,
-            lpos_ref, lspec_ref, rad_ref, thr_ref,
-            cbounds_ref=cb_ref,
+        out = _trace_tile(
+            frame_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+            px_ref, py_ref, geom_ref, cb_ref, albedo_ref, emis_ref,
+            m_alb_ref, m_emis_ref, m_scal_ref, lpos_ref, lspec_ref,
+            rad_ref, thr_ref,
         )
-        carry = (
-            ox_ref[:], oy_ref[:], oz_ref[:],
-            dx_ref[:], dy_ref[:], dz_ref[:],
-            alive0, jnp.zeros((r8, LANE), jnp.float32),
-            jnp.full((r8, LANE), -1.0, jnp.float32),
-            jnp.full((r8, LANE), max_bounces - b_start, jnp.uint32),
-            jnp.zeros((r8, LANE), jnp.uint32) + frame_ref[0, 0],
-        )
-        out = jax.lax.fori_loop(b_start, b_stop, guarded, carry)
         # bl decrements once per continued iteration and freezes at death:
         # live iterations = max_bounces - bl_final + 1 (a lane that dies on
         # its primary trace scores 1; a budget-exhausted lane scores
