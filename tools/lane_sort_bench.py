@@ -26,12 +26,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def bench_config(name: str, k: int = 100, tile: int = 4096,
-                 n_launches: int = 3, probe_frames: int = 2) -> None:
+                 n_launches: int = 3, probe_frames: int = 2,
+                 use_clusters: bool = False) -> None:
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from bench import _make_scene
+    from spectral_tpu.ops.pallas import megakernel as mk
     from spectral_tpu.render.pallas_integrator import (
         probe_path_cost,
         render_frames_step_pallas_regen,
@@ -44,20 +46,31 @@ def bench_config(name: str, k: int = 100, tile: int = 4096,
     ht = bool(np.asarray(arrays.transmission).any())
     he = bool(np.asarray(arrays.emission).any())
     n = config.width * config.height
+    clusters = None
+    if use_clusters:
+        sigma, runs = mk.plan_clusters(
+            np.asarray(arrays.aabb_min), np.asarray(arrays.aabb_max),
+            obj_types, cluster_size=64,
+            camera_pos=np.asarray(arrays.cam_pos[:3]),
+        )
+        clusters = (sigma, runs)
 
-    @partial(jax.jit, static_argnums=(1, 4, 5, 6, 7, 8), donate_argnums=(2,))
-    def step(scn, cfg, accum, first_fid, kk, ots, t, e, tl):
+    @partial(jax.jit, static_argnums=(1, 4, 5, 6, 7, 8, 9),
+             donate_argnums=(2,))
+    def step(scn, cfg, accum, first_fid, kk, ots, t, e, tl, cl):
         return render_frames_step_pallas_regen(
             scn, cfg, accum, first_fid, ots, kk,
-            has_transmission=t, has_emission=e, tile=tl,
+            has_transmission=t, has_emission=e, tile=tl, clusters=cl,
         )
 
-    @partial(jax.jit, static_argnums=(1, 4, 5, 6, 7, 8), donate_argnums=(2,))
-    def step_sorted(scn, cfg, accum, first_fid, kk, ots, t, e, tl, perm, inv):
+    @partial(jax.jit, static_argnums=(1, 4, 5, 6, 7, 8, 9),
+             donate_argnums=(2,))
+    def step_sorted(scn, cfg, accum, first_fid, kk, ots, t, e, tl, cl,
+                    perm, inv):
         return render_frames_step_pallas_regen(
             scn, cfg, accum, first_fid, ots, kk,
             has_transmission=t, has_emission=e, tile=tl,
-            lane_perm=perm, lane_inv=inv,
+            lane_perm=perm, lane_inv=inv, clusters=cl,
         )
 
     # probe + permutation
@@ -65,7 +78,7 @@ def bench_config(name: str, k: int = 100, tile: int = 4096,
     cost = np.asarray(
         probe_path_cost(
             arrays, config, obj_types, n_probe_frames=probe_frames,
-            has_transmission=ht, has_emission=he,
+            has_transmission=ht, has_emission=he, clusters=clusters,
         )
     )
     jax.block_until_ready(cost)
@@ -77,7 +90,7 @@ def bench_config(name: str, k: int = 100, tile: int = 4096,
     def run(sorted_: bool):
         accum = jnp.zeros((config.height, config.width, 4), jnp.float32)
         args = (arrays, config, accum, jnp.uint32(0), k, obj_types, ht, he,
-                tile)
+                tile, clusters)
         if sorted_:
             accum = step_sorted(*args, perm, inv)
         else:
@@ -89,12 +102,12 @@ def bench_config(name: str, k: int = 100, tile: int = 4096,
             if sorted_:
                 accum = step_sorted(
                     arrays, config, accum, jnp.uint32((i + 1) * k), k,
-                    obj_types, ht, he, tile, perm, inv,
+                    obj_types, ht, he, tile, clusters, perm, inv,
                 )
             else:
                 accum = step(
                     arrays, config, accum, jnp.uint32((i + 1) * k), k,
-                    obj_types, ht, he, tile,
+                    obj_types, ht, he, tile, clusters,
                 )
         jax.block_until_ready(accum)
         dt = time.perf_counter() - t0
@@ -116,6 +129,17 @@ def bench_config(name: str, k: int = 100, tile: int = 4096,
 def main(argv=None) -> int:
     args = argv if argv is not None else sys.argv[1:]
     names = [a for a in args if not a.startswith("--")] or ["cornell512"]
+
+    def flag(key, default, cast=int):
+        for a in args:
+            if a.startswith(f"--{key}="):
+                return cast(a.split("=", 1)[1])
+        return default
+
+    probe = flag("probe", 2)
+    k = flag("k", 100)
+    tile = flag("tile", 4096)
+    use_clusters = "--clusters" in args
     import jax
 
     cache = os.path.expanduser("~/.cache/spectral_tpu_xla")
@@ -123,7 +147,8 @@ def main(argv=None) -> int:
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     for name in names:
-        bench_config(name)
+        bench_config(name, k=k, tile=tile, probe_frames=probe,
+                     use_clusters=use_clusters)
     return 0
 
 
