@@ -155,6 +155,7 @@ def build_megakernel(
     cost_out: bool = False,
     cluster_runs: tuple | None = None,
     member_unroll: int = 8,
+    persist: tuple[int, int] | None = None,
 ):
     """Compile-time specialization on the scene structure.
 
@@ -178,6 +179,27 @@ def build_megakernel(
             each path bit-identical to its monolithic rendering; only the
             cross-frame addition order differs from summing K separate
             launches). Requires ``state_io=False`` and full-range bounces.
+        persist: ``(ring_slots, budget)`` enables *persistent
+            lane-asynchronous regeneration*: every launch runs exactly
+            ``budget`` bounce iterations over CARRIED per-lane state
+            (ray, throughput, radiance sum, frame id, bounce budget), so
+            no tile ever waits for its slowest lane to finish a fixed
+            frame window — the regeneration straggler tail (measured
+            1.79x E[tile-max]/ideal on the 1000-sphere config, and
+            irreducible by any static pixel->lane permutation because
+            per-pixel cost is jitter-coupled noise) becomes per-lane
+            frame-progress skew absorbed by a ring of ``ring_slots``
+            (power of two) host-precomputed primary-direction planes.
+            A lane whose path terminates restarts at its own next frame
+            ``nf = fid + 1`` if ``nf < lead`` (its primary plane is
+            resident in ring slot ``nf & (ring_slots - 1)``) and
+            ``nf < end`` (frames still owed); otherwise it idles until a
+            later launch advances ``lead``. The host advances ``lead``
+            at most to ``min(fid) + ring_slots`` using a one-launch-
+            stale min-progress readback, which keeps every resident
+            slot's previous occupant unreachable (safe) and the minimum
+            lane always able to restart (deadlock-free). Mutually
+            exclusive with ``regen_frames``/``state_io``/``cost_out``.
     Returns:
         fn(ox, oy, oz, dx, dy, dz, px, py, frame_id, geom, cbounds,
            albedo, emission, mat_albedo, mat_emission, mat_scalars,
@@ -195,6 +217,21 @@ def build_megakernel(
         )
     if cost_out and (state_io or regen_frames > 1):
         raise ValueError("cost_out is a monolithic-kernel instrumentation")
+    persist_mode = persist is not None
+    if persist_mode:
+        ring_w, budget = int(persist[0]), int(persist[1])
+        if ring_w < 2 or ring_w & (ring_w - 1):
+            raise ValueError("persist ring_slots must be a power of two >= 2")
+        if budget < 1:
+            raise ValueError("persist budget must be >= 1")
+        if regen_frames > 1 or state_io or cost_out or bounce_start != 0 \
+                or bounce_stop is not None:
+            raise ValueError(
+                "persist needs the monolithic full-bounce kernel (no "
+                "regen_frames/state_io/cost_out/bounce segments)"
+            )
+    else:
+        ring_w, budget = 0, 0
     n_obj = len(obj_types)
     n_lights = config.n_lights
     s_dim = config.n_samples
@@ -824,7 +861,7 @@ def build_megakernel(
             (t < _INF) & (t <= ray[6]) for t, ray in zip(t_bests, rays)
         ]
 
-    regen = regen_frames > 1
+    regen = regen_frames > 1 or persist_mode
 
     def make_body(
         frame_ref, px_ref, py_ref, geom_ref, albedo_ref, emis_ref,
@@ -833,6 +870,7 @@ def build_megakernel(
         cam_ref=None, valid=None,
         dirx_ref=None, diry_ref=None, dirz_ref=None,
         cbounds_ref=None,
+        lead=None, end=None,
     ):
         """Bind the per-bounce body to this tile's refs."""
         frame_id = frame_ref[0, 0]
@@ -883,7 +921,17 @@ def build_megakernel(
             # next progressive frame at the end of this iteration
             can_bounce = (bounces_left > jnp.uint32(1)).astype(jnp.float32)
             cont = alive * can_bounce
-            if regen:
+            if persist_mode:
+                # restart is gated by the ring window (plane resident) and
+                # the render's total frame budget; lanes failing either
+                # simply idle — a stalled lane re-checks every iteration,
+                # so a later launch with an advanced `lead` revives it.
+                new_path = (
+                    valid & (cont <= 0.0)
+                    & (fid + jnp.uint32(1) < lead)
+                    & (fid + jnp.uint32(1) < end)
+                )
+            elif regen:
                 new_path = (
                     valid & (cont <= 0.0)
                     & (fid < frame_id + jnp.uint32(regen_frames - 1))
@@ -1117,12 +1165,24 @@ def build_megakernel(
                 # the kernel selects by the lane's frame counter — keeping
                 # every path bit-identical to its monolithic rendering.
                 nf = fid + jnp.uint32(1)
-                gdx, gdy, gdz = dirx_ref[0], diry_ref[0], dirz_ref[0]
-                for k in range(2, regen_frames):
-                    m = nf == frame_id + jnp.uint32(k)
-                    gdx = jnp.where(m, dirx_ref[k - 1], gdx)
-                    gdy = jnp.where(m, diry_ref[k - 1], gdy)
-                    gdz = jnp.where(m, dirz_ref[k - 1], gdz)
+                if persist_mode:
+                    # ring slot by frame modulo (power-of-two -> AND). The
+                    # select chain's cost was measured free at K=100 in
+                    # the fixed-window kernel; W is the same scale.
+                    slot = nf & jnp.uint32(ring_w - 1)
+                    gdx, gdy, gdz = dirx_ref[0], diry_ref[0], dirz_ref[0]
+                    for w in range(1, ring_w):
+                        m = slot == jnp.uint32(w)
+                        gdx = jnp.where(m, dirx_ref[w], gdx)
+                        gdy = jnp.where(m, diry_ref[w], gdy)
+                        gdz = jnp.where(m, dirz_ref[w], gdz)
+                else:
+                    gdx, gdy, gdz = dirx_ref[0], diry_ref[0], dirz_ref[0]
+                    for k in range(2, regen_frames):
+                        m = nf == frame_id + jnp.uint32(k)
+                        gdx = jnp.where(m, dirx_ref[k - 1], gdx)
+                        gdy = jnp.where(m, diry_ref[k - 1], gdy)
+                        gdz = jnp.where(m, dirz_ref[k - 1], gdz)
                 cpx, cpy, cpz = cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2]
 
                 ox = jnp.where(cl, newox, jnp.where(new_path, cpx, ox))
@@ -1155,6 +1215,19 @@ def build_megakernel(
 
         def guarded(i, carry):
             any_alive = jnp.max(carry[6]) > 0.0
+            if persist_mode:
+                # a tile of all-dead lanes may still hold restartable ones
+                # (revival happens inside `bounce`); skipping them would
+                # deadlock a launch that begins with every lane stalled
+                fid_c = carry[10]
+                restartable = (
+                    valid
+                    & (fid_c + jnp.uint32(1) < lead)
+                    & (fid_c + jnp.uint32(1) < end)
+                )
+                any_alive = any_alive | (
+                    jnp.max(restartable.astype(jnp.float32)) > 0.0
+                )
             return jax.lax.cond(any_alive, lambda c: bounce(i, c), lambda c: c, carry)
 
         return guarded
@@ -1298,6 +1371,57 @@ def build_megakernel(
         # straggler tail (the all-done guard skips the rest)
         jax.lax.fori_loop(0, regen_frames * max_bounces, guarded, carry)
 
+    def kernel_persist(
+        lead_ref,  # SMEM (1,1) uint32: first frame WITHOUT a resident plane
+        end_ref,  # SMEM (1,1) uint32: total frames owed per pixel
+        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # state [R8,128] f32
+        px_ref, py_ref,  # [R8,128] uint32
+        alive_in, gate_in, hero_in,  # [R8,128] f32
+        bl_in, fid_in,  # [R8,128] uint32
+        geom_ref, cb_ref, albedo_ref, emis_ref,
+        m_alb_ref, m_emis_ref, m_scal_ref,
+        lpos_ref, lspec_ref, cam_ref,
+        ringx_ref, ringy_ref, ringz_ref,  # [W, R8, 128] f32 primary ring
+        thr_in_ref, rad_in_ref,  # [S, R8, 128] f32
+        # outputs (aliased onto the state inputs by run_persist)
+        rad_ref, thr_ref,
+        oxo_ref, oyo_ref, ozo_ref, dxo_ref, dyo_ref, dzo_ref,
+        alive_o, gate_o, hero_o, bl_o, fid_o,
+    ):
+        """Persistent-state kernel: exactly ``budget`` bounce iterations
+        over carried lane state; lanes advance through their own frame
+        streams, restarting from the primary-direction ring."""
+        tile_idx = pl.program_id(0)
+        row = jax.lax.broadcasted_iota(jnp.int32, (r8, LANE), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (r8, LANE), 1)
+        gidx = tile_idx * tile + row * LANE + col
+        valid = gidx < n_valid
+
+        for s in range(s_dim):
+            rad_ref[s] = rad_in_ref[s]
+            thr_ref[s] = thr_in_ref[s]
+
+        guarded = make_body(
+            lead_ref, px_ref, py_ref, geom_ref, albedo_ref, emis_ref,
+            m_alb_ref, m_emis_ref, m_scal_ref,
+            lpos_ref, lspec_ref, rad_ref, thr_ref,
+            cam_ref=cam_ref, valid=valid,
+            dirx_ref=ringx_ref, diry_ref=ringy_ref, dirz_ref=ringz_ref,
+            cbounds_ref=cb_ref,
+            lead=lead_ref[0, 0], end=end_ref[0, 0],
+        )
+        carry = (
+            ox_ref[:], oy_ref[:], oz_ref[:],
+            dx_ref[:], dy_ref[:], dz_ref[:],
+            alive_in[:], gate_in[:], hero_in[:],
+            bl_in[:], fid_in[:],
+        )
+        out = jax.lax.fori_loop(0, budget, guarded, carry)
+        oxo_ref[:], oyo_ref[:], ozo_ref[:] = out[0], out[1], out[2]
+        dxo_ref[:], dyo_ref[:], dzo_ref[:] = out[3], out[4], out[5]
+        alive_o[:], gate_o[:], hero_o[:] = out[6], out[7], out[8]
+        bl_o[:], fid_o[:] = out[9], out[10]
+
     def kernel_seg(
         frame_ref,  # SMEM (1,1) uint32
         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # [R8,128] f32
@@ -1425,6 +1549,77 @@ def build_megakernel(
         )
 
     @functools.partial(jax.jit, static_argnames=())
+    def run_persist(
+        ox, oy, oz, dx, dy, dz, px, py,
+        alive, gate, hero, bl, fid, thr, rad,
+        lead, end,
+        geom, cbounds, albedo, emission, m_albedo, m_emission, m_scalars,
+        lpos, lspec, cam, ringx, ringy, ringz,
+    ):
+        np_lanes = ox.shape[0] * ox.shape[1]
+        n_tiles = np_lanes // tile
+        ray_spec = pl.BlockSpec(
+            (r8, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+        smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+        ring_spec = pl.BlockSpec(
+            (ring_w, r8, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        )
+        spec_spec = pl.BlockSpec(
+            (s_dim, r8, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        )
+        lane_f32 = jax.ShapeDtypeStruct((np_lanes // LANE, LANE), jnp.float32)
+        lane_u32 = jax.ShapeDtypeStruct((np_lanes // LANE, LANE), jnp.uint32)
+        spec_shape = jax.ShapeDtypeStruct(
+            (s_dim, np_lanes // LANE, LANE), jnp.float32
+        )
+        return pl.pallas_call(
+            kernel_persist,
+            grid=(n_tiles,),
+            in_specs=[
+                smem, smem,  # lead, end
+                ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec,
+                ray_spec, ray_spec,  # px, py
+                ray_spec, ray_spec, ray_spec,  # alive, gate, hero
+                ray_spec, ray_spec,  # bl, fid
+                smem, smem, smem, smem, smem, smem, smem, smem, smem,
+                smem,  # cam
+                ring_spec, ring_spec, ring_spec,
+                spec_spec, spec_spec,  # thr_in, rad_in
+            ],
+            out_specs=(
+                spec_spec, spec_spec,
+                ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec,
+                ray_spec, ray_spec, ray_spec,
+                ray_spec, ray_spec,
+            ),
+            out_shape=(
+                spec_shape, spec_shape,
+                lane_f32, lane_f32, lane_f32, lane_f32, lane_f32, lane_f32,
+                lane_f32, lane_f32, lane_f32,
+                lane_u32, lane_u32,
+            ),
+            # carried state updates in place: ray planes, flags, counters,
+            # throughput and the radiance running sum
+            input_output_aliases={
+                2: 2, 3: 3, 4: 4, 5: 5, 6: 6, 7: 7,
+                10: 8, 11: 9, 12: 10, 13: 11, 14: 12,
+                28: 1, 29: 0,
+            },
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            interpret=interpret,
+        )(
+            lead.reshape(1, 1), end.reshape(1, 1),
+            ox, oy, oz, dx, dy, dz, px, py,
+            alive, gate, hero, bl, fid,
+            geom, cbounds, albedo, emission, m_albedo, m_emission,
+            m_scalars, lpos, lspec, cam, ringx, ringy, ringz,
+            thr, rad,
+        )
+
+    @functools.partial(jax.jit, static_argnames=())
     def run_cost(
         ox, oy, oz, dx, dy, dz, px, py, frame_id,
         geom, cbounds, albedo, emission, m_albedo, m_emission, m_scalars,
@@ -1465,6 +1660,9 @@ def build_megakernel(
             geom, cbounds, albedo, emission, m_albedo, m_emission,
             m_scalars, lpos, lspec,
         )
+
+    if persist_mode:
+        return run_persist
 
     if regen:
         return run_regen

@@ -99,6 +99,32 @@ def _kernel_regen(
     )
 
 
+@functools.lru_cache(maxsize=16)
+def _kernel_persist(
+    obj_types: tuple,
+    config: RenderConfig,
+    tile: int,
+    interpret: bool,
+    has_transmission: bool,
+    has_emission: bool,
+    ring_slots: int,
+    budget: int,
+    cluster_runs: tuple | None = None,
+    member_unroll: int = 8,
+):
+    return mk.build_megakernel(
+        obj_types,
+        config,
+        tile=tile,
+        interpret=interpret,
+        has_transmission=has_transmission,
+        has_emission=has_emission,
+        cluster_runs=cluster_runs,
+        member_unroll=member_unroll,
+        persist=(ring_slots, budget),
+    )
+
+
 @functools.lru_cache(maxsize=32)
 def _kernel_cost(
     obj_types: tuple,
@@ -497,6 +523,298 @@ def render_frames_step_pallas_regen(
         clusters=clusters,
     )
     return accumulate_frames(accum, rgb_sum, first_frame_id, k)
+
+
+@functools.lru_cache(maxsize=16)
+def _persist_step_fn(
+    obj_types: tuple,
+    config: RenderConfig,
+    tile: int,
+    interpret: bool,
+    has_transmission: bool,
+    has_emission: bool,
+    ring_slots: int,
+    budget: int,
+    cluster_runs: tuple | None,
+    member_unroll: int,
+):
+    """One persistent launch: ``budget`` bounce iterations over donated
+    carried state; returns the new state and the minimum per-lane count of
+    COMPLETED frames (the scheduler scalar)."""
+    run = _kernel_persist(
+        obj_types, config, tile, interpret, has_transmission, has_emission,
+        ring_slots, budget, cluster_runs, member_unroll,
+    )
+    n = config.width * config.height
+
+    @functools.partial(
+        jax.jit,
+        donate_argnums=(0, 1, 2, 3, 4, 5, 8, 9, 10, 11, 12, 13, 14),
+    )
+    def step(
+        ox, oy, oz, dx, dy, dz, px, py, alive, gate, hero, bl, fid,
+        thr, rad, lead, end,
+        geom, cbounds, albedo, emission, m_alb, m_emis, m_scal,
+        lpos, lspec, cam, ringx, ringy, ringz,
+    ):
+        rad_o, thr_o, oxo, oyo, ozo, dxo, dyo, dzo, al_o, ga_o, he_o, \
+            bl_o, fid_o = run(
+                ox, oy, oz, dx, dy, dz, px, py, alive, gate, hero, bl, fid,
+                thr, rad, lead, end,
+                geom, cbounds, albedo, emission, m_alb, m_emis, m_scal,
+                lpos, lspec, cam, ringx, ringy, ringz,
+            )
+        # a dead lane has COMPLETED its current frame (it shaded the
+        # terminal hit before going dead); an alive lane is mid-path
+        completed = fid_o + jnp.where(
+            al_o <= 0.0, jnp.uint32(1), jnp.uint32(0)
+        )
+        min_done = jnp.min(completed.reshape(-1)[:n])
+        state = (oxo, oyo, ozo, dxo, dyo, dzo, al_o, ga_o, he_o, bl_o,
+                 fid_o, thr_o, rad_o)
+        return state, min_done
+
+    return step
+
+
+@functools.lru_cache(maxsize=16)
+def _persist_refill_fn(
+    config: RenderConfig, ring_slots: int, n_pad: int, jit_refill: bool = True
+):
+    """Write one frame's primary directions into its ring slot
+    (``frame % ring_slots``).
+
+    With ``jit_refill`` the raygen + ring update is one donated XLA
+    program (production: one tiny dispatch per advanced frame). A jitted
+    raygen picks up different FMA contraction than op-by-op eager raygen
+    and lands ulps away — which flips the un-offset diffuse
+    self-intersection coin on ~11% of pixels/frame (the round-2
+    measurement) — so bit-exactness tests against the eager-raygen regen
+    path pass ``jit_refill=False``; either program's rays are an equally
+    valid sample of the estimator."""
+    n = config.width * config.height
+
+    def refill(ringx, ringy, ringz, frame_id, cam_pos, cam_dir, cam_up, fov):
+        _o, d, _px, _py = generate_primary_rays(
+            cam_pos, cam_dir, cam_up, fov,
+            config.width, config.height, frame_id, config.intended_frames,
+        )
+
+        def lanes(a):
+            a = jnp.asarray(a, jnp.float32)
+            return jnp.pad(a, (0, n_pad - n)).reshape(
+                n_pad // mk.LANE, mk.LANE
+            )
+
+        slot = (frame_id % jnp.uint32(ring_slots)).astype(jnp.int32)
+        ringx = jax.lax.dynamic_update_slice(ringx, lanes(d.x)[None], (slot, 0, 0))
+        ringy = jax.lax.dynamic_update_slice(ringy, lanes(d.y)[None], (slot, 0, 0))
+        ringz = jax.lax.dynamic_update_slice(ringz, lanes(d.z)[None], (slot, 0, 0))
+        return ringx, ringy, ringz
+
+    if jit_refill:
+        refill = jax.jit(refill, donate_argnums=(0, 1, 2))
+    return refill
+
+
+def render_persistent(
+    scene: SceneArrays,
+    config: RenderConfig,
+    obj_types: tuple,
+    n_frames: int,
+    tile: int | None = None,
+    interpret: bool = False,
+    has_transmission: bool = False,
+    has_emission: bool = False,
+    clusters: tuple | None = None,
+    ring_slots: int | None = None,
+    budget: int | None = None,
+    frames_per_launch: int | None = None,
+    member_unroll: int = 8,
+    progress: "callable | None" = None,
+    should_abort: "callable | None" = None,
+    jit_refill: bool = True,
+):
+    """Render ``n_frames`` progressive frames with *persistent
+    lane-asynchronous regeneration* and return ``(rgb_mean, info)``.
+
+    Fixed-window regeneration (``integrate_frames_pallas_regen``) makes a
+    4096-lane tile run until its SLOWEST lane finishes all K frames; the
+    measured straggler factor (E[sum of tile maxes] / ideal) is 1.79x on
+    the 1000-sphere config at K=100 and is irreducible by any static
+    pixel->lane permutation because per-pixel cost is ~90% per-frame
+    stochastic (see PARITY.md). Here instead every launch executes exactly
+    ``budget`` bounce iterations and each lane advances through its OWN
+    frame stream (state carried in HBM between launches), so a fast lane
+    simply runs ahead — the only idle work left is the end-of-render tail
+    and ring-edge stalls. Primary directions come from a ``ring_slots``-
+    frame ring the host refills as the global minimum completed-frame
+    count advances (read back one launch stale, so the device pipeline
+    never drains); the trailing window invariant ``lead <= min_done +
+    ring_slots`` keeps every resident slot's prior occupant unreachable.
+
+    Every path is bit-identical to its monolithic rendering (host-raygen
+    primaries, per-lane (frame, bounces_left) RNG counters); a pixel's
+    frames accumulate in ascending order exactly as in the fixed-window
+    kernel, so the per-pixel sum matches regeneration with K=n_frames.
+
+    ``progress(min_frames_done, launches)`` is called once per launch;
+    ``should_abort()`` checked once per launch — on abort the returned
+    image is the per-pixel average of each pixel's COMPLETED frames (a
+    valid estimator; counts may differ by a few frames across pixels,
+    unlike the reference's frame-granular abort — documented divergence).
+    ``info`` is a dict with launches, min frames done, budget, ring size.
+    """
+    if n_frames < 1:
+        raise ValueError("n_frames must be >= 1")
+    n = config.width * config.height
+    if config.n_objects == 0:
+        return (
+            jnp.zeros((config.height, config.width, 3), dtype=jnp.float32),
+            {"launches": 0, "frames_done": n_frames, "budget": 0,
+             "ring_slots": 0, "tile": 0},
+        )
+    s_dim = config.n_samples
+    if ring_slots is None:
+        ring_slots = 64 if s_dim <= 32 else 32
+    fpl = frames_per_launch or max(4, ring_slots // 4)
+
+    tile = tile or min(_pick_tile(n), 4096)
+    # VMEM model: state planes stream in AND out (double-buffered), the
+    # ring and throughput/radiance ride along: ~(80 + 8S + 6W) f32/lane
+    f32_per_lane = 80 + 8 * s_dim + 6 * ring_slots
+    while tile > _MIN_TILE and tile * f32_per_lane * 4 > 15_500_000:
+        tile //= 2
+    n_pad = -(-n // tile) * tile
+
+    def lanes(a, dtype=jnp.float32):
+        a = jnp.asarray(a, dtype)
+        return jnp.pad(a, (0, n_pad - n)).reshape(n_pad // mk.LANE, mk.LANE)
+
+    if budget is None:
+        cost = probe_path_cost(
+            scene, config, obj_types, n_probe_frames=1,
+            interpret=interpret, has_transmission=has_transmission,
+            has_emission=has_emission, clusters=clusters,
+        )
+        mean_cost = float(jnp.mean(cost))
+        budget = max(8, int(round(fpl * mean_cost)))
+
+    # --- tables (mirror integrate_frames_pallas_regen's fori trimming)
+    geom, cbounds = _pack_geom_clusters(scene, clusters)
+    cam = mk.pack_camera(scene)
+    lpos = jnp.pad(scene.light_pos, ((0, 0), (0, 1)))
+    lspec = scene.light_spec
+    if config.n_lights == 0:
+        lpos = jnp.zeros((1, 4), jnp.float32)
+        lspec = jnp.zeros((1, config.n_samples), jnp.float32)
+    fori = clusters is not None or len(obj_types) > 64
+    albedo_in = scene.albedo[:1] if fori else scene.albedo
+    emission_in = scene.emission[:1] if fori else scene.emission
+    m_alb = scene.mat_albedo if fori else scene.mat_albedo[:1]
+    m_emis = scene.mat_emission if fori else scene.mat_emission[:1]
+    m_scal = scene.mat_scalars if fori else scene.mat_scalars[:1]
+    tables = (geom, cbounds, albedo_in, emission_in, m_alb, m_emis, m_scal,
+              lpos, lspec, cam)
+
+    # --- initial state: every lane starts frame 0
+    origin, direction, px, py = generate_primary_rays(
+        scene.cam_pos, scene.cam_dir, scene.cam_up, scene.fov_y_deg,
+        config.width, config.height, jnp.uint32(0), config.intended_frames,
+    )
+    rows = n_pad // mk.LANE
+    state = (
+        lanes(origin.x), lanes(origin.y), lanes(origin.z),
+        lanes(direction.x), lanes(direction.y), lanes(direction.z),
+        lanes(jnp.ones((n,), jnp.float32)),              # alive (pad dead)
+        jnp.zeros((rows, mk.LANE), jnp.float32),          # gate
+        jnp.full((rows, mk.LANE), -1.0, jnp.float32),     # hero
+        jnp.full((rows, mk.LANE), config.max_bounces, jnp.uint32),  # bl
+        jnp.zeros((rows, mk.LANE), jnp.uint32),           # fid
+        jnp.ones((s_dim, rows, mk.LANE), jnp.float32),    # thr
+        jnp.zeros((s_dim, rows, mk.LANE), jnp.float32),   # rad
+    )
+    px_l = lanes(px, jnp.uint32)
+    py_l = lanes(py, jnp.uint32)
+
+    # --- primary ring: frames 1 .. lead-1 resident
+    ring = (
+        jnp.zeros((ring_slots, rows, mk.LANE), jnp.float32),
+        jnp.zeros((ring_slots, rows, mk.LANE), jnp.float32),
+        jnp.zeros((ring_slots, rows, mk.LANE), jnp.float32),
+    )
+    refill = _persist_refill_fn(config, ring_slots, n_pad, jit_refill)
+    lead = min(ring_slots, n_frames)
+    for f in range(1, lead):
+        ring = refill(
+            *ring, jnp.uint32(f),
+            scene.cam_pos, scene.cam_dir, scene.cam_up, scene.fov_y_deg,
+        )
+
+    step = _persist_step_fn(
+        obj_types, config, tile, interpret, has_transmission, has_emission,
+        ring_slots, budget, clusters[1] if clusters else None, member_unroll,
+    )
+
+    end_arr = jnp.uint32(n_frames)
+    pending: list = []
+    launches = 0
+    min_done = 0
+    aborted = False
+    # generous runaway bound: ideal launches * 8 + slack
+    max_launches = 16 + 8 * (
+        (n_frames * config.max_bounces) // max(budget, 1) + 1
+    )
+    while True:
+        st = step(
+            *state[:6], px_l, py_l, *state[6:],
+            jnp.uint32(lead), end_arr, *tables, *ring,
+        )
+        state, md = st
+        pending.append(md)
+        launches += 1
+        if launches > max_launches:
+            raise RuntimeError(
+                f"persistent render exceeded {max_launches} launches "
+                f"(budget={budget}, n_frames={n_frames}) — scheduler bug"
+            )
+        if len(pending) >= 2:
+            # one-launch-stale readback: blocks only on an already-retired
+            # launch, so the device queue never drains
+            min_done = int(pending.pop(0))
+            if min_done >= n_frames:
+                break
+            new_lead = min(min_done + ring_slots, n_frames)
+            while lead < new_lead:
+                ring = refill(
+                    *ring, jnp.uint32(lead),
+                    scene.cam_pos, scene.cam_dir, scene.cam_up,
+                    scene.fov_y_deg,
+                )
+                lead += 1
+        if progress is not None:
+            progress(min_done, launches)
+        if should_abort is not None and should_abort():
+            aborted = True
+            break
+    # drain the pipeline
+    for md in pending:
+        min_done = max(min_done, int(md))
+
+    alive_f, fid_f, rad_f = state[6], state[10], state[12]
+    rad2 = rad_f.reshape(s_dim, n_pad).T[:n]
+    rgb = spectra_to_rgb(rad2, scene.xyz_weights, scene.xyz_to_rgb)
+    completed = fid_f + jnp.where(alive_f <= 0.0, jnp.uint32(1), jnp.uint32(0))
+    counts = jnp.maximum(
+        completed.reshape(-1)[:n].astype(jnp.float32), 1.0
+    )
+    rgb = (rgb / counts[:, None]).reshape(config.height, config.width, 3)
+    info = {
+        "launches": launches, "frames_done": int(min_done),
+        "budget": budget, "ring_slots": ring_slots, "tile": tile,
+        "aborted": aborted,
+    }
+    return rgb, info
 
 
 def integrate_frame_pallas_split(
