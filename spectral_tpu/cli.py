@@ -260,6 +260,18 @@ def cmd_scene_dump(args) -> int:
 
 
 def cmd_describe(args) -> int:
+    if getattr(args, "help_for", None) is not None:
+        key = args.help_for
+        if key == "list":
+            for k in sorted(HELP):
+                print(k)
+            return 0
+        if key not in HELP:
+            near = ", ".join(k for k in sorted(HELP) if key in k) or "none"
+            print(f"no help entry {key!r} (close: {near})", file=sys.stderr)
+            return 2
+        print(HELP[key])
+        return 0
     scene = _load_scene(args)
     scene.validate()
     print(f"{scene.width}x{scene.height}, {scene.nbr_of_iterations} iterations, "
@@ -410,6 +422,12 @@ def build_parser() -> argparse.ArgumentParser:
     srcd.add_argument("--preset", choices=sorted(PRESETS), default="default")
     srcd.add_argument("--scene", help="path to a scene JSON file")
     _add_render_overrides(pdesc)
+    pdesc.add_argument(
+        "--help-for", metavar="KEY", dest="help_for",
+        help="print the help entry for a scene/spectrum knob "
+             "('list' shows all keys); the reference's tooltip catalog "
+             "(text_resources.rs) surfaced headlessly",
+    )
     pdesc.set_defaults(func=cmd_describe)
 
     return parser

@@ -132,6 +132,10 @@ HELP = {
         "Color of a roughly white illuminant after reflecting off a "
         "surface with this reflective spectrum."
     ),
+    "spectrum.wavelength_edit": (
+        "Editing the wavelength bounds is not supported; every spectrum "
+        "spans the full visible range."
+    ),
     "spectrum.edit": (
         "Per-sample editing requires the 'custom' spectrum type; other "
         "types are generated from their parameters."
@@ -168,5 +172,10 @@ HELP = {
     "checkpoint": (
         "Progressive renders can be checkpointed (accumulator + frame "
         "counter) and resumed later — useful for long hero renders."
+    ),
+    "element.rename": "Change the name of this element.",
+    "help": (
+        "See README.md for a tutorial; every scene and spectrum knob has "
+        "a help entry here (`describe --help-for <key>`)."
     ),
 }
