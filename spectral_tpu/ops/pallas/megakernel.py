@@ -91,6 +91,20 @@ def _u32_to_f32(u):
     return hi.astype(jnp.float32) * jnp.float32(65536.0) + lo.astype(jnp.float32)
 
 
+def _radical_inverse_m(bits):
+    """Mosaic-safe ``ops.rng.radical_inverse``: the same bit reversal,
+    with the final uint32 -> float32 conversion routed through 16-bit
+    halves (Mosaic has no direct u32->f32 cast; the halved conversion is
+    exact round-to-nearest, so values match the host bit-for-bit)."""
+    u = jnp.uint32
+    bits = (bits >> 16) | (bits << 16)
+    bits = ((bits & u(0x55555555)) << 1) | ((bits & u(0xAAAAAAAA)) >> 1)
+    bits = ((bits & u(0x33333333)) << 2) | ((bits & u(0xCCCCCCCC)) >> 2)
+    bits = ((bits & u(0x0F0F0F0F)) << 4) | ((bits & u(0xF0F0F0F0)) >> 4)
+    bits = ((bits & u(0x00FF00FF)) << 8) | ((bits & u(0xFF00FF00)) >> 8)
+    return _u32_to_f32(bits) * np.float32(2.3283064365386963e-10)
+
+
 def _pcg3d(x, y, z):
     mul = jnp.uint32(1664525)
     add = jnp.uint32(1013904223)
@@ -200,6 +214,24 @@ def build_megakernel(
             slot's previous occupant unreachable (safe) and the minimum
             lane always able to restart (deadlock-free). Mutually
             exclusive with ``regen_frames``/``state_io``/``cost_out``.
+
+            ``ring_slots=0`` selects the *free-running* variant: there is
+            no ring and no ``lead`` gate — a terminated lane recomputes
+            its next frame's primary direction IN-KERNEL from
+            ``(px, py, nf)`` and the host-packed camera basis (the
+            screen-wide-jitter quirk makes raygen elementwise per lane:
+            Hammersley of the frame id is pure bit arithmetic). Every
+            lane advances through its own frame stream with no global
+            coupling, so the trailing-window pathology of the ring
+            variant (measured: steady-state throughput gated by the
+            single slowest PIXEL on the whole device) disappears; the
+            residual straggler is the per-tile max of whole-render cost
+            (CV ~ 1/sqrt(n_frames)). In-kernel raygen lands ulps from
+            host raygen (cross-program FMA), so free-running renders are
+            valid estimator samples but not bit-comparable with
+            host-primary paths; launch-split invariance (same total
+            budget, different launch boundaries) IS bit-exact. The cam
+            table must come from ``pack_camera_basis``.
     Returns:
         fn(ox, oy, oz, dx, dy, dz, px, py, frame_id, geom, cbounds,
            albedo, emission, mat_albedo, mat_emission, mat_scalars,
@@ -220,8 +252,11 @@ def build_megakernel(
     persist_mode = persist is not None
     if persist_mode:
         ring_w, budget = int(persist[0]), int(persist[1])
-        if ring_w < 2 or ring_w & (ring_w - 1):
-            raise ValueError("persist ring_slots must be a power of two >= 2")
+        if ring_w != 0 and (ring_w < 2 or ring_w & (ring_w - 1)):
+            raise ValueError(
+                "persist ring_slots must be 0 (free-running, in-kernel "
+                "restart raygen) or a power of two >= 2"
+            )
         if budget < 1:
             raise ValueError("persist budget must be >= 1")
         if regen_frames > 1 or state_io or cost_out or bounce_start != 0 \
@@ -922,15 +957,14 @@ def build_megakernel(
             can_bounce = (bounces_left > jnp.uint32(1)).astype(jnp.float32)
             cont = alive * can_bounce
             if persist_mode:
-                # restart is gated by the ring window (plane resident) and
-                # the render's total frame budget; lanes failing either
-                # simply idle — a stalled lane re-checks every iteration,
-                # so a later launch with an advanced `lead` revives it.
-                new_path = (
-                    valid & (cont <= 0.0)
-                    & (fid + jnp.uint32(1) < lead)
-                    & (fid + jnp.uint32(1) < end)
-                )
+                # restart is gated by the render's total frame budget and
+                # (ring variant only) the ring window; a gated lane idles
+                # and re-checks every iteration, so a later launch with an
+                # advanced `lead` revives it. Free-running lanes never
+                # stall short of `end`.
+                new_path = valid & (cont <= 0.0) & (fid + jnp.uint32(1) < end)
+                if ring_w:
+                    new_path &= fid + jnp.uint32(1) < lead
             elif regen:
                 new_path = (
                     valid & (cont <= 0.0)
@@ -1165,7 +1199,36 @@ def build_megakernel(
                 # the kernel selects by the lane's frame counter — keeping
                 # every path bit-identical to its monolithic rendering.
                 nf = fid + jnp.uint32(1)
-                if persist_mode:
+                if persist_mode and ring_w == 0:
+                    # free-running: in-kernel restart raygen. The screen-
+                    # wide jitter quirk (one Hammersley offset per FRAME,
+                    # reference src/shader.rs:271-293) makes the primary
+                    # direction elementwise in (px, py, nf): jitter is
+                    # pure bit arithmetic on nf, and the camera basis is
+                    # host-packed frame-independent scalars — no gathers,
+                    # no ring, no global window.
+                    cb = cam_ref
+                    # u32 -> f32 via int32 (values < 2^31; Mosaic has no
+                    # direct u32 -> f32 cast)
+                    nff = nf.astype(jnp.int32).astype(jnp.float32)
+                    pxf = px.astype(jnp.int32).astype(jnp.float32)
+                    pyf = py.astype(jnp.int32).astype(jnp.float32)
+                    off_x = (nff + 0.5) / cb[0, 16]
+                    off_y = _radical_inverse_m(nf + jnp.uint32(1))
+                    y_ndc = -(((pyf + off_y) / cb[0, 15]) * 2.0 - 1.0)
+                    x_ndc = (((pxf + off_x) / cb[0, 14]) * 2.0 - 1.0) * cb[0, 13]
+                    focal = cb[0, 12]
+                    gdx = cb[0, 3] * focal - cb[0, 6] * x_ndc + cb[0, 9] * y_ndc
+                    gdy = cb[0, 4] * focal - cb[0, 7] * x_ndc + cb[0, 10] * y_ndc
+                    gdz = cb[0, 5] * focal - cb[0, 8] * x_ndc + cb[0, 11] * y_ndc
+                    # reference normalizes in raygen AND in Ray::new;
+                    # 1/sqrt (not rsqrt) to mirror Vec3.normalize
+                    for _ in range(2):
+                        inv = 1.0 / jnp.sqrt(
+                            gdx * gdx + gdy * gdy + gdz * gdz
+                        )
+                        gdx, gdy, gdz = gdx * inv, gdy * inv, gdz * inv
+                elif persist_mode:
                     # ring slot by frame modulo (power-of-two -> AND). The
                     # select chain's cost was measured free at K=100 in
                     # the fixed-window kernel; W is the same scale.
@@ -1220,11 +1283,9 @@ def build_megakernel(
                 # (revival happens inside `bounce`); skipping them would
                 # deadlock a launch that begins with every lane stalled
                 fid_c = carry[10]
-                restartable = (
-                    valid
-                    & (fid_c + jnp.uint32(1) < lead)
-                    & (fid_c + jnp.uint32(1) < end)
-                )
+                restartable = valid & (fid_c + jnp.uint32(1) < end)
+                if ring_w:
+                    restartable &= fid_c + jnp.uint32(1) < lead
                 any_alive = any_alive | (
                     jnp.max(restartable.astype(jnp.float32)) > 0.0
                 )
@@ -1371,26 +1432,24 @@ def build_megakernel(
         # straggler tail (the all-done guard skips the rest)
         jax.lax.fori_loop(0, regen_frames * max_bounces, guarded, carry)
 
-    def kernel_persist(
-        lead_ref,  # SMEM (1,1) uint32: first frame WITHOUT a resident plane
-        end_ref,  # SMEM (1,1) uint32: total frames owed per pixel
-        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # state [R8,128] f32
-        px_ref, py_ref,  # [R8,128] uint32
-        alive_in, gate_in, hero_in,  # [R8,128] f32
-        bl_in, fid_in,  # [R8,128] uint32
+    def _persist_core(
+        lead_ref, end_ref,
+        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+        px_ref, py_ref, alive_in, gate_in, hero_in, bl_in, fid_in,
         geom_ref, cb_ref, albedo_ref, emis_ref,
         m_alb_ref, m_emis_ref, m_scal_ref,
         lpos_ref, lspec_ref, cam_ref,
-        ringx_ref, ringy_ref, ringz_ref,  # [W, R8, 128] f32 primary ring
-        thr_in_ref, rad_in_ref,  # [S, R8, 128] f32
-        # outputs (aliased onto the state inputs by run_persist)
+        ringx_ref, ringy_ref, ringz_ref,
+        thr_in_ref, rad_in_ref,
         rad_ref, thr_ref,
         oxo_ref, oyo_ref, ozo_ref, dxo_ref, dyo_ref, dzo_ref,
         alive_o, gate_o, hero_o, bl_o, fid_o,
     ):
-        """Persistent-state kernel: exactly ``budget`` bounce iterations
-        over carried lane state; lanes advance through their own frame
-        streams, restarting from the primary-direction ring."""
+        """Persistent-state kernel body: exactly ``budget`` bounce
+        iterations over carried lane state; lanes advance through their
+        own frame streams, restarting from the primary-direction ring
+        (ring variant) or from in-kernel raygen (free-running,
+        ``lead_ref``/ring refs None)."""
         tile_idx = pl.program_id(0)
         row = jax.lax.broadcasted_iota(jnp.int32, (r8, LANE), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (r8, LANE), 1)
@@ -1402,13 +1461,15 @@ def build_megakernel(
             thr_ref[s] = thr_in_ref[s]
 
         guarded = make_body(
-            lead_ref, px_ref, py_ref, geom_ref, albedo_ref, emis_ref,
+            end_ref if lead_ref is None else lead_ref,  # frame_id unused
+            px_ref, py_ref, geom_ref, albedo_ref, emis_ref,
             m_alb_ref, m_emis_ref, m_scal_ref,
             lpos_ref, lspec_ref, rad_ref, thr_ref,
             cam_ref=cam_ref, valid=valid,
             dirx_ref=ringx_ref, diry_ref=ringy_ref, dirz_ref=ringz_ref,
             cbounds_ref=cb_ref,
-            lead=lead_ref[0, 0], end=end_ref[0, 0],
+            lead=None if lead_ref is None else lead_ref[0, 0],
+            end=end_ref[0, 0],
         )
         carry = (
             ox_ref[:], oy_ref[:], oz_ref[:],
@@ -1421,6 +1482,16 @@ def build_megakernel(
         dxo_ref[:], dyo_ref[:], dzo_ref[:] = out[3], out[4], out[5]
         alive_o[:], gate_o[:], hero_o[:] = out[6], out[7], out[8]
         bl_o[:], fid_o[:] = out[9], out[10]
+
+    if ring_w:
+        def kernel_persist(lead_ref, end_ref, *refs):
+            _persist_core(lead_ref, end_ref, *refs)
+    else:
+        def kernel_persist(end_ref, *refs):
+            # free-running: no lead scalar, no ring planes — splice Nones
+            # into the core's (cam_ref | ring refs) slots
+            pre, post = refs[:23], refs[23:]
+            _persist_core(None, end_ref, *pre, None, None, None, *post)
 
     def kernel_seg(
         frame_ref,  # SMEM (1,1) uint32
@@ -1554,7 +1625,7 @@ def build_megakernel(
         alive, gate, hero, bl, fid, thr, rad,
         lead, end,
         geom, cbounds, albedo, emission, m_albedo, m_emission, m_scalars,
-        lpos, lspec, cam, ringx, ringy, ringz,
+        lpos, lspec, cam, ringx=None, ringy=None, ringz=None,
     ):
         np_lanes = ox.shape[0] * ox.shape[1]
         n_tiles = np_lanes // tile
@@ -1562,9 +1633,6 @@ def build_megakernel(
             (r8, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
         )
         smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-        ring_spec = pl.BlockSpec(
-            (ring_w, r8, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
-        )
         spec_spec = pl.BlockSpec(
             (s_dim, r8, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
         )
@@ -1573,18 +1641,38 @@ def build_megakernel(
         spec_shape = jax.ShapeDtypeStruct(
             (s_dim, np_lanes // LANE, LANE), jnp.float32
         )
+        # input order: [lead?] end state... tables cam [ring?] thr rad;
+        # state planes, thr and rad update in place via aliasing
+        lead_in, lead_spec = ((lead.reshape(1, 1),), (smem,)) if ring_w \
+            else ((), ())
+        if ring_w:
+            ring_spec = pl.BlockSpec(
+                (ring_w, r8, LANE), lambda i: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            )
+            ring_in = (ringx, ringy, ringz)
+            ring_specs = (ring_spec,) * 3
+        else:
+            ring_in, ring_specs = (), ()
+        base = len(lead_in) + 1  # index of ox
+        cam_idx = base + 13 + 9  # 13 state planes, 9 scalar tables
+        thr_idx = cam_idx + 1 + len(ring_in)
+        aliases = {base + i: 2 + i for i in range(6)}  # ray planes
+        aliases.update({base + 8 + i: 8 + i for i in range(5)})  # flags/ctrs
+        aliases[thr_idx] = 1
+        aliases[thr_idx + 1] = 0
         return pl.pallas_call(
             kernel_persist,
             grid=(n_tiles,),
             in_specs=[
-                smem, smem,  # lead, end
+                *lead_spec, smem,  # [lead], end
                 ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec,
                 ray_spec, ray_spec,  # px, py
                 ray_spec, ray_spec, ray_spec,  # alive, gate, hero
                 ray_spec, ray_spec,  # bl, fid
                 smem, smem, smem, smem, smem, smem, smem, smem, smem,
                 smem,  # cam
-                ring_spec, ring_spec, ring_spec,
+                *ring_specs,
                 spec_spec, spec_spec,  # thr_in, rad_in
             ],
             out_specs=(
@@ -1599,23 +1687,17 @@ def build_megakernel(
                 lane_f32, lane_f32, lane_f32,
                 lane_u32, lane_u32,
             ),
-            # carried state updates in place: ray planes, flags, counters,
-            # throughput and the radiance running sum
-            input_output_aliases={
-                2: 2, 3: 3, 4: 4, 5: 5, 6: 6, 7: 7,
-                10: 8, 11: 9, 12: 10, 13: 11, 14: 12,
-                28: 1, 29: 0,
-            },
+            input_output_aliases=aliases,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
             ),
             interpret=interpret,
         )(
-            lead.reshape(1, 1), end.reshape(1, 1),
+            *lead_in, end.reshape(1, 1),
             ox, oy, oz, dx, dy, dz, px, py,
             alive, gate, hero, bl, fid,
             geom, cbounds, albedo, emission, m_albedo, m_emission,
-            m_scalars, lpos, lspec, cam, ringx, ringy, ringz,
+            m_scalars, lpos, lspec, cam, *ring_in,
             thr, rad,
         )
 
@@ -1837,6 +1919,36 @@ def pack_camera(scene: SceneArrays) -> jax.Array:
     return jnp.stack(
         [scene.cam_pos[0], scene.cam_pos[1], scene.cam_pos[2], z]
     ).astype(jnp.float32).reshape(1, 4)
+
+
+def pack_camera_basis(scene: SceneArrays, config: RenderConfig) -> jax.Array:
+    """[1, 20] SMEM table for the FREE-RUNNING persist kernel's in-kernel
+    restart raygen: camera position (cols 0-2, same slots as
+    ``pack_camera`` so ``make_body``'s origin reads are unchanged), the
+    frame-independent basis from :func:`camera_basis` — forward (3-5),
+    right (6-8), true_up (9-11), focal (12), aspect (13) — plus the NDC
+    divisors width/height (14-15) and the Hammersley denominator
+    ``intended_frames`` (16). Basis values are computed ONCE here with
+    the host raygen's exact op order, so only the per-lane NDC/direction
+    arithmetic can differ (by FMA ulps) from host raygen."""
+    from spectral_tpu.render.camera import camera_basis
+
+    fwd, right, true_up, focal, aspect = camera_basis(
+        scene.cam_dir, scene.cam_up, scene.fov_y_deg,
+        config.width, config.height,
+    )
+    z = jnp.zeros((), jnp.float32)
+    cols = [
+        scene.cam_pos[0], scene.cam_pos[1], scene.cam_pos[2],
+        fwd.x, fwd.y, fwd.z,
+        right.x, right.y, right.z,
+        true_up.x, true_up.y, true_up.z,
+        focal, aspect,
+        jnp.float32(config.width), jnp.float32(config.height),
+        jnp.float32(config.intended_frames),
+        z, z, z,
+    ]
+    return jnp.stack([jnp.asarray(c, jnp.float32) for c in cols]).reshape(1, 20)
 
 
 def pack_geometry(scene: SceneArrays, sigma: tuple | None = None) -> jax.Array:

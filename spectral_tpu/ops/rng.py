@@ -10,11 +10,15 @@ exactly, a prerequisite for pixel-comparable renders.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 # 1 / 2^32, the float32 nearest to the reference's literals
 # (`1.0 / 0xffffffff as f32` rounds to 2^-32; `2.328_306_4e-10` also
 # rounds to 2^-32 -- both reference literals are exactly this value).
-_INV_2_32 = jnp.float32(2.3283064365386963e-10)
+# np (not jnp) scalar: a literal, not a traced constant — radical_inverse
+# must stay usable inside pallas kernels (captured jnp constants are
+# rejected by pallas_call); f32 result is preserved by weak typing
+_INV_2_32 = np.float32(2.3283064365386963e-10)
 
 
 def radical_inverse(bits):

@@ -22,6 +22,23 @@ from spectral_tpu.ops.vecmath import Vec3
 PI = jnp.float32(jnp.pi)
 
 
+def camera_basis(cam_dir, cam_up, fov_y_deg, width: int, height: int):
+    """Frame-independent camera scalars shared by host raygen and the
+    megakernel's in-kernel restart raygen (free-running persist mode):
+    ``(forward, right, true_up, focal_distance, aspect_ratio)`` with the
+    exact op order of :func:`generate_primary_rays`."""
+    w = jnp.float32(width)
+    h = jnp.float32(height)
+    aspect_ratio = w / h
+    fov_half_rad = (fov_y_deg / 2.0) / 180.0 * PI
+    focal_distance = 1.0 / jnp.tan(fov_half_rad)
+    up = Vec3(cam_up[0], cam_up[1], cam_up[2]).normalize()
+    forward = Vec3(cam_dir[0], cam_dir[1], cam_dir[2]).normalize()
+    right = forward.cross(up).normalize()
+    true_up = right.cross(forward)
+    return forward, right, true_up, focal_distance, aspect_ratio
+
+
 def generate_primary_rays(
     cam_pos: jax.Array,
     cam_dir: jax.Array,
@@ -68,19 +85,14 @@ def generate_primary_rays(
     yf = py.astype(jnp.float32)
     w = jnp.float32(width)
     h = jnp.float32(height)
-    aspect_ratio = w / h
-    fov_half_rad = (fov_y_deg / 2.0) / 180.0 * PI
-    focal_distance = 1.0 / jnp.tan(fov_half_rad)
+    forward, right, true_up, focal_distance, aspect_ratio = camera_basis(
+        cam_dir, cam_up, fov_y_deg, width, height
+    )
 
     off_x, off_y = hammersley(frame_id, jnp.uint32(intended_frames))
 
     y_ndc = -(((yf + off_y) / h) * 2.0 - 1.0)
     x_ndc = (((xf + off_x) / w) * 2.0 - 1.0) * aspect_ratio
-
-    up = Vec3(cam_up[0], cam_up[1], cam_up[2]).normalize()
-    forward = Vec3(cam_dir[0], cam_dir[1], cam_dir[2]).normalize()
-    right = forward.cross(up).normalize()
-    true_up = right.cross(forward)
 
     d = forward * focal_distance - right * x_ndc + true_up * y_ndc
     # reference normalizes in raygen AND in Ray::new

@@ -555,14 +555,14 @@ def _persist_step_fn(
         ox, oy, oz, dx, dy, dz, px, py, alive, gate, hero, bl, fid,
         thr, rad, lead, end,
         geom, cbounds, albedo, emission, m_alb, m_emis, m_scal,
-        lpos, lspec, cam, ringx, ringy, ringz,
+        lpos, lspec, cam, ringx=None, ringy=None, ringz=None,
     ):
         rad_o, thr_o, oxo, oyo, ozo, dxo, dyo, dzo, al_o, ga_o, he_o, \
             bl_o, fid_o = run(
                 ox, oy, oz, dx, dy, dz, px, py, alive, gate, hero, bl, fid,
                 thr, rad, lead, end,
                 geom, cbounds, albedo, emission, m_alb, m_emis, m_scal,
-                lpos, lspec, cam, ringx, ringy, ringz,
+                lpos, lspec, cam, ringx=ringx, ringy=ringy, ringz=ringz,
             )
         # a dead lane has COMPLETED its current frame (it shaded the
         # terminal hit before going dead); an alive lane is mid-path
@@ -646,17 +646,26 @@ def render_persistent(
     stochastic (see PARITY.md). Here instead every launch executes exactly
     ``budget`` bounce iterations and each lane advances through its OWN
     frame stream (state carried in HBM between launches), so a fast lane
-    simply runs ahead — the only idle work left is the end-of-render tail
-    and ring-edge stalls. Primary directions come from a ``ring_slots``-
-    frame ring the host refills as the global minimum completed-frame
-    count advances (read back one launch stale, so the device pipeline
-    never drains); the trailing window invariant ``lead <= min_done +
-    ring_slots`` keeps every resident slot's prior occupant unreachable.
+    simply runs ahead — the only idle work left is the end-of-render tail.
 
-    Every path is bit-identical to its monolithic rendering (host-raygen
-    primaries, per-lane (frame, bounces_left) RNG counters); a pixel's
-    frames accumulate in ascending order exactly as in the fixed-window
-    kernel, so the per-pixel sum matches regeneration with K=n_frames.
+    Two restart-raygen variants, selected by ``ring_slots``:
+
+    * ``ring_slots=0`` (default, *free-running*): a terminated lane
+      recomputes its next frame's primary direction IN-KERNEL (the
+      screen-wide-jitter quirk makes raygen elementwise per lane). No
+      global coupling at all — measured on v5e, the ring variant's
+      steady state was gated by the single slowest pixel on the whole
+      device (cornell512 7.58 vs regen 2.88 ms/frame). Paths are valid
+      estimator samples but land FMA-ulps from host-raygen paths, so
+      results are launch-split invariant yet not bit-comparable with
+      the regen/monolithic kernels.
+    * ``ring_slots=W`` (power of two >= 2): primary directions come from
+      a W-frame host-refilled ring; every path is bit-identical to its
+      monolithic rendering (host-raygen primaries, per-lane RNG
+      counters), and the per-pixel sum matches fixed-window regeneration
+      with K=n_frames. Lanes stall at the trailing-window edge
+      (``lead <= min_done + ring_slots``) — bit-exactness at the price
+      of slowest-pixel pacing; use for parity testing, not speed.
 
     ``progress(min_frames_done, launches)`` is called once per launch;
     ``should_abort()`` checked once per launch — on abort the returned
@@ -676,8 +685,8 @@ def render_persistent(
         )
     s_dim = config.n_samples
     if ring_slots is None:
-        ring_slots = 64 if s_dim <= 32 else 32
-    fpl = frames_per_launch or max(4, ring_slots // 4)
+        ring_slots = 0
+    fpl = frames_per_launch or max(4, (ring_slots or 64) // 4)
 
     tile = tile or min(_pick_tile(n), 4096)
     # VMEM model: state planes stream in AND out (double-buffered), the
@@ -702,7 +711,8 @@ def render_persistent(
 
     # --- tables (mirror integrate_frames_pallas_regen's fori trimming)
     geom, cbounds = _pack_geom_clusters(scene, clusters)
-    cam = mk.pack_camera(scene)
+    cam = (mk.pack_camera(scene) if ring_slots
+           else mk.pack_camera_basis(scene, config))
     lpos = jnp.pad(scene.light_pos, ((0, 0), (0, 1)))
     lspec = scene.light_spec
     if config.n_lights == 0:
@@ -737,19 +747,23 @@ def render_persistent(
     px_l = lanes(px, jnp.uint32)
     py_l = lanes(py, jnp.uint32)
 
-    # --- primary ring: frames 1 .. lead-1 resident
-    ring = (
-        jnp.zeros((ring_slots, rows, mk.LANE), jnp.float32),
-        jnp.zeros((ring_slots, rows, mk.LANE), jnp.float32),
-        jnp.zeros((ring_slots, rows, mk.LANE), jnp.float32),
-    )
-    refill = _persist_refill_fn(config, ring_slots, n_pad, jit_refill)
-    lead = min(ring_slots, n_frames)
-    for f in range(1, lead):
-        ring = refill(
-            *ring, jnp.uint32(f),
-            scene.cam_pos, scene.cam_dir, scene.cam_up, scene.fov_y_deg,
+    # --- primary ring (ring variant only): frames 1 .. lead-1 resident
+    if ring_slots:
+        ring = (
+            jnp.zeros((ring_slots, rows, mk.LANE), jnp.float32),
+            jnp.zeros((ring_slots, rows, mk.LANE), jnp.float32),
+            jnp.zeros((ring_slots, rows, mk.LANE), jnp.float32),
         )
+        refill = _persist_refill_fn(config, ring_slots, n_pad, jit_refill)
+        lead = min(ring_slots, n_frames)
+        for f in range(1, lead):
+            ring = refill(
+                *ring, jnp.uint32(f),
+                scene.cam_pos, scene.cam_dir, scene.cam_up, scene.fov_y_deg,
+            )
+    else:
+        ring = ()
+        lead = n_frames  # unused by the free-running kernel
 
     step = _persist_step_fn(
         obj_types, config, tile, interpret, has_transmission, has_emission,
@@ -784,14 +798,15 @@ def render_persistent(
             min_done = int(pending.pop(0))
             if min_done >= n_frames:
                 break
-            new_lead = min(min_done + ring_slots, n_frames)
-            while lead < new_lead:
-                ring = refill(
-                    *ring, jnp.uint32(lead),
-                    scene.cam_pos, scene.cam_dir, scene.cam_up,
-                    scene.fov_y_deg,
-                )
-                lead += 1
+            if ring_slots:
+                new_lead = min(min_done + ring_slots, n_frames)
+                while lead < new_lead:
+                    ring = refill(
+                        *ring, jnp.uint32(lead),
+                        scene.cam_pos, scene.cam_dir, scene.cam_up,
+                        scene.fov_y_deg,
+                    )
+                    lead += 1
         if progress is not None:
             progress(min_done, launches)
         if should_abort is not None and should_abort():
