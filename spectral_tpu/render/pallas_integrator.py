@@ -578,6 +578,73 @@ def _persist_step_fn(
 
 
 @functools.lru_cache(maxsize=16)
+def _persist_init_fn(config: RenderConfig, n_pad: int, jit_host: bool = True):
+    """Build the full frame-0 carried state (+ pixel-coordinate planes)
+    in ONE program. Eager construction costs ~50 host dispatches (~0.4 s
+    through the axon tunnel — measured dominating a single-frame persist
+    render at 415 ms); jitted it is one dispatch. ``jit_host=False``
+    keeps the eager op-by-op path whose raygen is bit-comparable with
+    the other eager-raygen consumers (tests)."""
+    n = config.width * config.height
+    rows = n_pad // mk.LANE
+    s_dim = config.n_samples
+
+    def init(cam_pos, cam_dir, cam_up, fov):
+        origin, direction, px, py = generate_primary_rays(
+            cam_pos, cam_dir, cam_up, fov,
+            config.width, config.height, jnp.uint32(0),
+            config.intended_frames,
+        )
+
+        def lanes(a, dtype=jnp.float32):
+            a = jnp.asarray(a, dtype)
+            return jnp.pad(a, (0, n_pad - n)).reshape(rows, mk.LANE)
+
+        state = (
+            lanes(origin.x), lanes(origin.y), lanes(origin.z),
+            lanes(direction.x), lanes(direction.y), lanes(direction.z),
+            lanes(jnp.ones((n,), jnp.float32)),               # alive
+            jnp.zeros((rows, mk.LANE), jnp.float32),          # gate
+            jnp.full((rows, mk.LANE), -1.0, jnp.float32),     # hero
+            jnp.full((rows, mk.LANE), config.max_bounces, jnp.uint32),
+            jnp.zeros((rows, mk.LANE), jnp.uint32),           # fid
+            jnp.ones((s_dim, rows, mk.LANE), jnp.float32),    # thr
+            jnp.zeros((s_dim, rows, mk.LANE), jnp.float32),   # rad
+        )
+        return state + (lanes(px, jnp.uint32), lanes(py, jnp.uint32))
+
+    if jit_host:
+        init = jax.jit(init)
+    return init
+
+
+@functools.lru_cache(maxsize=16)
+def _persist_finish_fn(config: RenderConfig, n_pad: int,
+                       jit_host: bool = True):
+    """Per-pixel completed-frame average of the carried radiance, as one
+    program (the eager epilogue is another ~10 tunnel dispatches)."""
+    n = config.width * config.height
+    s_dim = config.n_samples
+
+    def finish(alive_f, fid_f, rad_f, xyz_weights, xyz_to_rgb):
+        rad2 = rad_f.reshape(s_dim, n_pad).T[:n]
+        rgb = spectra_to_rgb(rad2, xyz_weights, xyz_to_rgb)
+        completed = fid_f + jnp.where(
+            alive_f <= 0.0, jnp.uint32(1), jnp.uint32(0)
+        )
+        counts = jnp.maximum(
+            completed.reshape(-1)[:n].astype(jnp.float32), 1.0
+        )
+        return (rgb / counts[:, None]).reshape(
+            config.height, config.width, 3
+        )
+
+    if jit_host:
+        finish = jax.jit(finish)
+    return finish
+
+
+@functools.lru_cache(maxsize=16)
 def _persist_refill_fn(
     config: RenderConfig, ring_slots: int, n_pad: int, jit_refill: bool = True
 ):
@@ -696,10 +763,6 @@ def render_persistent(
         tile //= 2
     n_pad = -(-n // tile) * tile
 
-    def lanes(a, dtype=jnp.float32):
-        a = jnp.asarray(a, dtype)
-        return jnp.pad(a, (0, n_pad - n)).reshape(n_pad // mk.LANE, mk.LANE)
-
     if budget is None:
         cost = probe_path_cost(
             scene, config, obj_types, n_probe_frames=1,
@@ -727,25 +790,13 @@ def render_persistent(
     tables = (geom, cbounds, albedo_in, emission_in, m_alb, m_emis, m_scal,
               lpos, lspec, cam)
 
-    # --- initial state: every lane starts frame 0
-    origin, direction, px, py = generate_primary_rays(
-        scene.cam_pos, scene.cam_dir, scene.cam_up, scene.fov_y_deg,
-        config.width, config.height, jnp.uint32(0), config.intended_frames,
-    )
+    # --- initial state: every lane starts frame 0 (one jitted program;
+    # jit_refill=False keeps the eager bit-comparable path for tests)
     rows = n_pad // mk.LANE
-    state = (
-        lanes(origin.x), lanes(origin.y), lanes(origin.z),
-        lanes(direction.x), lanes(direction.y), lanes(direction.z),
-        lanes(jnp.ones((n,), jnp.float32)),              # alive (pad dead)
-        jnp.zeros((rows, mk.LANE), jnp.float32),          # gate
-        jnp.full((rows, mk.LANE), -1.0, jnp.float32),     # hero
-        jnp.full((rows, mk.LANE), config.max_bounces, jnp.uint32),  # bl
-        jnp.zeros((rows, mk.LANE), jnp.uint32),           # fid
-        jnp.ones((s_dim, rows, mk.LANE), jnp.float32),    # thr
-        jnp.zeros((s_dim, rows, mk.LANE), jnp.float32),   # rad
+    *state, px_l, py_l = _persist_init_fn(config, n_pad, jit_refill)(
+        scene.cam_pos, scene.cam_dir, scene.cam_up, scene.fov_y_deg,
     )
-    px_l = lanes(px, jnp.uint32)
-    py_l = lanes(py, jnp.uint32)
+    state = tuple(state)
 
     # --- primary ring (ring variant only): frames 1 .. lead-1 resident
     if ring_slots:
@@ -816,14 +867,9 @@ def render_persistent(
     for md in pending:
         min_done = max(min_done, int(md))
 
-    alive_f, fid_f, rad_f = state[6], state[10], state[12]
-    rad2 = rad_f.reshape(s_dim, n_pad).T[:n]
-    rgb = spectra_to_rgb(rad2, scene.xyz_weights, scene.xyz_to_rgb)
-    completed = fid_f + jnp.where(alive_f <= 0.0, jnp.uint32(1), jnp.uint32(0))
-    counts = jnp.maximum(
-        completed.reshape(-1)[:n].astype(jnp.float32), 1.0
+    rgb = _persist_finish_fn(config, n_pad, jit_refill)(
+        state[6], state[10], state[12], scene.xyz_weights, scene.xyz_to_rgb
     )
-    rgb = (rgb / counts[:, None]).reshape(config.height, config.width, 3)
     info = {
         "launches": launches, "frames_done": int(min_done),
         "budget": budget, "ring_slots": ring_slots, "tile": tile,
