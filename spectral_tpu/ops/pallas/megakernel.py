@@ -1477,7 +1477,24 @@ def build_megakernel(
             alive_in[:], gate_in[:], hero_in[:],
             bl_in[:], fid_in[:],
         )
-        out = jax.lax.fori_loop(0, budget, guarded, carry)
+        # whole-launch tile skip: a tile with no live and no restartable
+        # lane cannot acquire one mid-launch (`lead`/`end` are fixed for
+        # the launch), so one reduce replaces `budget` per-iteration
+        # guard evaluations — measured 29-launch cornell512 runs spent
+        # more time in finished tiles' guard loops than in real work
+        fid0 = fid_in[:]
+        startable = valid & (fid0 + jnp.uint32(1) < end_ref[0, 0])
+        if lead_ref is not None:
+            startable &= fid0 + jnp.uint32(1) < lead_ref[0, 0]
+        has_work = (jnp.max(alive_in[:]) > 0.0) | (
+            jnp.max(startable.astype(jnp.float32)) > 0.0
+        )
+        out = jax.lax.cond(
+            has_work,
+            lambda c: jax.lax.fori_loop(0, budget, guarded, c),
+            lambda c: c,
+            carry,
+        )
         oxo_ref[:], oyo_ref[:], ozo_ref[:] = out[0], out[1], out[2]
         dxo_ref[:], dyo_ref[:], dzo_ref[:] = out[3], out[4], out[5]
         alive_o[:], gate_o[:], hero_o[:] = out[6], out[7], out[8]

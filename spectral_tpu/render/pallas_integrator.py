@@ -753,7 +753,13 @@ def render_persistent(
     s_dim = config.n_samples
     if ring_slots is None:
         ring_slots = 0
-    fpl = frames_per_launch or max(4, (ring_slots or 64) // 4)
+    # frames-per-launch default: the ring variant must keep launches
+    # shorter than the ring window (lead only advances between launches);
+    # free-running has no such constraint, and per-launch costs (state
+    # round trip, min-reduce readback, finished tiles' guard loops before
+    # the whole-launch skip) favor LONG launches — budget=1760 (~200
+    # frames) measured 4.56 ms/frame vs 9.63 at budget=138 on cornell512
+    fpl = frames_per_launch or (max(4, ring_slots // 4) if ring_slots else 64)
 
     tile = tile or min(_pick_tile(n), 4096)
     # VMEM model: state planes stream in AND out (double-buffered), the
