@@ -111,16 +111,24 @@ def cmd_render(args) -> int:
         # update cadence. Explicit --regen-frames overrides this.
         regen = ("auto", 16)
 
+    if args.persist and (args.resume or args.checkpoint):
+        print("--persist does not support --resume/--checkpoint (the "
+              "carried lane state is not a frame-boundary accumulator)",
+              file=sys.stderr)
+        return 2
+
     def build_renderer(sc):
         return Renderer(
             sc, sharding=sharding,
             phase_split=_parse_phase(args.phase_split),
             phase_capacity=_parse_phase(args.phase_capacity, allow_auto=False),
             frames_per_dispatch=args.frames_per_dispatch,
-            regen_frames=regen,
+            regen_frames=1 if args.persist else regen,
             regen_sort={"auto": "auto", "on": True, "off": False}[
                 args.regen_sort
             ],
+            persist=args.persist,
+            persist_budget=args.persist_budget,
         )
 
     renderer = build_renderer(scene)
@@ -401,6 +409,18 @@ def build_parser() -> argparse.ArgumentParser:
                     "cost is dominated by per-frame noise there — so "
                     "'auto' leaves it off; 'on' opts in for scenes with "
                     "systematic per-pixel cost structure")
+    pr.add_argument("--persist", action="store_true",
+                    help="(TPU) free-running lane-asynchronous batch "
+                    "render: every lane advances through its own frame "
+                    "stream with state carried between launches, so no "
+                    "tile waits for its slowest lane each K-frame window. "
+                    "Whole-render batch mode: no --checkpoint/--resume; "
+                    "abort at launch (~64-frame) granularity returns the "
+                    "per-pixel average of completed frames")
+    pr.add_argument("--persist-budget", type=int, default=None,
+                    metavar="B",
+                    help="bounce iterations per persist launch (default: "
+                    "~64 frames' worth from a one-frame cost probe)")
     pr.add_argument("--profile",
                     help="capture a jax.profiler trace of the render into DIR")
     pr.set_defaults(func=cmd_render)

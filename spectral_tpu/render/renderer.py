@@ -348,6 +348,9 @@ class Renderer:
         frames_per_dispatch: int = 1,
         regen_frames: int = 1,
         regen_sort: bool | str = "auto",
+        persist: bool = False,
+        persist_budget: int | None = None,
+        persist_frames_per_launch: int | None = None,
         _interpret: bool = False,
         _phase_tile: int | None = None,
     ):
@@ -530,6 +533,8 @@ class Renderer:
         ):
             auto_cap = int(regen_frames[1])
             regen_frames = "auto"
+        if persist and regen_frames == "auto":
+            regen_frames = 1  # persist supersedes the default regen chunking
         if regen_frames == "auto":
             if self.backend != "pallas" or (
                 phase_split is not None or self.grid is not None
@@ -589,6 +594,30 @@ class Renderer:
         self.regen_sort = bool(regen_sort)
         self._lane_perm = self._lane_inv = None
         self._sharded_regen_steps: dict = {}
+        # persist: the free-running lane-asynchronous kernel — every lane
+        # advances through its OWN frame stream with state carried in HBM
+        # between launches, so no tile ever waits for its slowest lane to
+        # finish a fixed K-frame window (the regeneration straggler,
+        # measured 1.6-1.8x). Whole-render batch mode: renders all frames
+        # in one call from frame 0; no mid-render checkpoints (the carried
+        # state is not a frame-boundary accumulator), abort at launch
+        # granularity with a per-pixel completed-frame average.
+        self.persist = bool(persist)
+        self.persist_budget = persist_budget
+        self.persist_fpl = persist_frames_per_launch
+        if self.persist:
+            if self.backend != "pallas" and not _interpret:
+                raise ValueError("persist requires the pallas backend")
+            if (
+                phase_split is not None or self.grid is not None
+                or frames_per_dispatch > 1 or self.regen_frames > 1
+                or sharding is not None or self.regen_sort
+            ):
+                raise ValueError(
+                    "persist is a standalone dispatch mode: drop "
+                    "phase_split/grid/frames_per_dispatch/regen_frames/"
+                    "sharding/regen_sort"
+                )
         self.accum = self._zero_accum()
         self.next_frame = 0
 
@@ -824,7 +853,16 @@ class Renderer:
 
         With ``frames_per_dispatch=k > 1``, progress/abort/check_finite
         all operate at k-frame-chunk granularity instead.
+
+        With ``persist=True`` the whole render runs as one free-running
+        batch (all intended frames from frame 0, in ~64-frame launches);
+        progress/abort operate at launch granularity and an aborted
+        render returns the per-pixel average of completed frames.
         """
+        if self.persist:
+            return self._render_persistent(
+                n_frames, progress, abort, check_finite
+            )
         begin = time.monotonic()
         total = self.config.intended_frames
         pixels = self.config.width * self.config.height
@@ -866,6 +904,54 @@ class Renderer:
                 )
             if abort is not None and abort():
                 break
+        return self.framebuffer()
+
+    def _render_persistent(
+        self, n_frames, progress, abort, check_finite
+    ) -> np.ndarray:
+        """Whole-render free-running batch (``persist=True``). Renders
+        ALL intended frames from frame 0 in one call — the carried lane
+        state is not a frame-boundary accumulator, so partial/resumed
+        renders are not expressible; ask for the full render."""
+        total = self.config.intended_frames
+        if self.next_frame != 0 or n_frames < total:
+            raise ValueError(
+                "persist renders the whole image in one batch: call "
+                "render()/render_frames(intended_frames) from frame 0 "
+                "(partial or resumed persist renders are not supported)"
+            )
+        from spectral_tpu.render.pallas_integrator import render_persistent
+
+        begin = time.monotonic()
+        pixels = self.config.width * self.config.height
+
+        def on_launch(min_done, launches):
+            if progress is not None:
+                progress(
+                    RenderProgress(
+                        max(min_done - 1, 0), total,
+                        time.monotonic() - begin,
+                        pixels=pixels, n_samples=self.config.n_samples,
+                    )
+                )
+
+        rgb, info = render_persistent(
+            self.scene_arrays, self.config, self.obj_types,
+            n_frames=total,
+            interpret=self._interpret,
+            has_transmission=self.has_transmission,
+            has_emission=self.has_emission,
+            clusters=self.clusters,
+            budget=self.persist_budget,
+            frames_per_launch=self.persist_fpl,
+            progress=on_launch,
+            should_abort=abort,
+        )
+        alpha = jnp.ones(rgb.shape[:2] + (1,), jnp.float32)
+        self.accum = jnp.concatenate([rgb, alpha], axis=-1)
+        self.next_frame = total if not info["aborted"] else info["frames_done"]
+        if check_finite and not bool(jnp.isfinite(self.accum).all()):
+            raise FloatingPointError("non-finite framebuffer after persist render")
         return self.framebuffer()
 
     def render(
