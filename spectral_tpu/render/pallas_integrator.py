@@ -589,11 +589,11 @@ def _persist_init_fn(config: RenderConfig, n_pad: int, jit_host: bool = True):
     rows = n_pad // mk.LANE
     s_dim = config.n_samples
 
-    def init(cam_pos, cam_dir, cam_up, fov):
+    def init(cam_pos, cam_dir, cam_up, fov, px_in, py_in):
         origin, direction, px, py = generate_primary_rays(
             cam_pos, cam_dir, cam_up, fov,
             config.width, config.height, jnp.uint32(0),
-            config.intended_frames,
+            config.intended_frames, pixel_xy=(px_in, py_in),
         )
 
         def lanes(a, dtype=jnp.float32):
@@ -626,7 +626,8 @@ def _persist_finish_fn(config: RenderConfig, n_pad: int,
     n = config.width * config.height
     s_dim = config.n_samples
 
-    def finish(alive_f, fid_f, rad_f, xyz_weights, xyz_to_rgb):
+    def finish(alive_f, fid_f, rad_f, xyz_weights, xyz_to_rgb,
+               lane_inv=None):
         rad2 = rad_f.reshape(s_dim, n_pad).T[:n]
         rgb = spectra_to_rgb(rad2, xyz_weights, xyz_to_rgb)
         completed = fid_f + jnp.where(
@@ -635,9 +636,11 @@ def _persist_finish_fn(config: RenderConfig, n_pad: int,
         counts = jnp.maximum(
             completed.reshape(-1)[:n].astype(jnp.float32), 1.0
         )
-        return (rgb / counts[:, None]).reshape(
-            config.height, config.width, 3
-        )
+        rgb = rgb / counts[:, None]
+        if lane_inv is not None:
+            # back to pixel order AFTER the RGB fold: one [n, 3] gather
+            rgb = rgb[lane_inv]
+        return rgb.reshape(config.height, config.width, 3)
 
     if jit_host:
         finish = jax.jit(finish)
@@ -701,9 +704,22 @@ def render_persistent(
     progress: "callable | None" = None,
     should_abort: "callable | None" = None,
     jit_refill: bool = True,
+    cost_sort: int = 0,
 ):
     """Render ``n_frames`` progressive frames with *persistent
     lane-asynchronous regeneration* and return ``(rgb_mean, info)``.
+
+    ``cost_sort=N > 0`` probes per-pixel path cost over N frames and
+    assigns pixels to lanes in descending-cost order (bit-exact
+    relabeling: raygen — host AND in-kernel — is elementwise in (px,
+    py), so only WHICH tile computes a pixel changes). Rationale: a
+    free-running tile runs until its slowest lane finishes ALL
+    n_frames, and whole-render pixel totals are dominated by the
+    SYSTEMATIC component of per-pixel cost (the per-frame noise, which
+    defeated cost-sorting for fixed-window regeneration — see
+    PARITY.md — averages out over the render), so a probe-learned rank
+    transfers to totals. Cost-homogeneous tiles retire together instead
+    of every tile waiting on one expensive pixel.
 
     Fixed-window regeneration (``integrate_frames_pallas_regen``) makes a
     4096-lane tile run until its SLOWEST lane finishes all K frames; the
@@ -753,6 +769,11 @@ def render_persistent(
     s_dim = config.n_samples
     if ring_slots is None:
         ring_slots = 0
+    if cost_sort and ring_slots:
+        raise ValueError(
+            "cost_sort needs the free-running variant (ring_slots=0): "
+            "the ring's refill planes are row-major"
+        )
     # frames-per-launch default: the ring variant must keep launches
     # shorter than the ring window (lead only advances between launches);
     # free-running has no such constraint, and per-launch costs (state
@@ -769,14 +790,28 @@ def render_persistent(
         tile //= 2
     n_pad = -(-n // tile) * tile
 
-    if budget is None:
+    lane_perm = lane_inv = None
+    if budget is None or cost_sort:
+        # one probe serves both: the budget heuristic needs the MEAN
+        # cost, the sort needs the per-pixel rank (noise in the rank
+        # shrinks with probe frames; the budget only needs frame 1)
         cost = probe_path_cost(
-            scene, config, obj_types, n_probe_frames=1,
+            scene, config, obj_types,
+            n_probe_frames=max(1, int(cost_sort)),
             interpret=interpret, has_transmission=has_transmission,
             has_emission=has_emission, clusters=clusters,
         )
-        mean_cost = float(jnp.mean(cost))
-        budget = max(8, int(round(fpl * mean_cost)))
+        if budget is None:
+            mean_cost = float(jnp.mean(cost)) / max(1, int(cost_sort) or 1)
+            budget = max(8, int(round(fpl * mean_cost)))
+        if cost_sort:
+            import numpy as _np
+
+            order = _np.argsort(
+                -_np.asarray(cost), kind="stable"
+            ).astype(_np.int32)
+            lane_perm = jnp.asarray(order)
+            lane_inv = jnp.asarray(_np.argsort(order).astype(_np.int32))
 
     # --- tables (mirror integrate_frames_pallas_regen's fori trimming)
     geom, cbounds = _pack_geom_clusters(scene, clusters)
@@ -799,8 +834,17 @@ def render_persistent(
     # --- initial state: every lane starts frame 0 (one jitted program;
     # jit_refill=False keeps the eager bit-comparable path for tests)
     rows = n_pad // mk.LANE
+    py0 = jax.lax.broadcasted_iota(
+        jnp.uint32, (config.height, config.width), 0
+    ).reshape(n)
+    px0 = jax.lax.broadcasted_iota(
+        jnp.uint32, (config.height, config.width), 1
+    ).reshape(n)
+    if lane_perm is not None:
+        px0, py0 = px0[lane_perm], py0[lane_perm]
     *state, px_l, py_l = _persist_init_fn(config, n_pad, jit_refill)(
         scene.cam_pos, scene.cam_dir, scene.cam_up, scene.fov_y_deg,
+        px0, py0,
     )
     state = tuple(state)
 
@@ -874,7 +918,8 @@ def render_persistent(
         min_done = max(min_done, int(md))
 
     rgb = _persist_finish_fn(config, n_pad, jit_refill)(
-        state[6], state[10], state[12], scene.xyz_weights, scene.xyz_to_rgb
+        state[6], state[10], state[12], scene.xyz_weights, scene.xyz_to_rgb,
+        lane_inv,
     )
     info = {
         "launches": launches, "frames_done": int(min_done),

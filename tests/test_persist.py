@@ -154,6 +154,25 @@ def test_persist_free_running_within_coinflip_envelope():
     assert (err <= 1e-3).sum() >= 0.5 * err.size
 
 
+def test_persist_cost_sort_is_pure_relabeling():
+    """cost_sort permutes pixels into tiles by probed cost; every
+    per-pixel quantity (raygen, RNG streams) is elementwise in (px, py),
+    so the rendered image must be BIT-identical to the unsorted
+    free-running render."""
+    arrays, config, obj_types, ht, he = _setup()
+    plain, _ = render_persistent(
+        arrays, config, obj_types, n_frames=6, tile=256,
+        interpret=True, has_transmission=ht, has_emission=he,
+        ring_slots=0, budget=64,
+    )
+    sorted_, info = render_persistent(
+        arrays, config, obj_types, n_frames=6, tile=256,
+        interpret=True, has_transmission=ht, has_emission=he,
+        ring_slots=0, budget=64, cost_sort=2,
+    )
+    assert (np.asarray(plain) == np.asarray(sorted_)).all()
+
+
 def test_persist_progress_monotonic():
     arrays, config, obj_types, ht, he = _setup(w=16, h=8, bounces=3)
     seen = []

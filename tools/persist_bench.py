@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def bench_config(name: str, n_frames: int, ring: int | None,
                  fpl: int | None, budget: int | None,
-                 with_regen: bool = True) -> None:
+                 with_regen: bool = True, sort: int = 0) -> None:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -54,6 +54,7 @@ def bench_config(name: str, n_frames: int, ring: int | None,
     kw = dict(
         has_transmission=ht, has_emission=he, clusters=clusters,
         ring_slots=ring, budget=budget, frames_per_launch=fpl,
+        cost_sort=sort,
     )
 
     # warmup (compile), then timed full renders
@@ -73,7 +74,8 @@ def bench_config(name: str, n_frames: int, ring: int | None,
         best = dt if best is None else min(best, dt)
     print(f"[{name}] PERSIST {best * 1e3:.2f} ms/frame "
           f"({info['launches']} launches, budget={info['budget']}, "
-          f"ring={info['ring_slots']}, tile={info['tile']})", flush=True)
+          f"ring={info['ring_slots']}, tile={info['tile']}, "
+          f"sort={sort})", flush=True)
 
     if not with_regen:
         return
@@ -123,6 +125,7 @@ def main(argv=None) -> int:
     ring = flag("ring", None)
     fpl = flag("fpl", None)
     budget = flag("budget", None)
+    sort = flag("sort", 0)
     with_regen = "--no-regen" not in args
 
     import jax
@@ -132,7 +135,7 @@ def main(argv=None) -> int:
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     for name in names:
-        bench_config(name, frames, ring, fpl, budget, with_regen)
+        bench_config(name, frames, ring, fpl, budget, with_regen, sort)
     return 0
 
 
