@@ -905,7 +905,7 @@ def build_megakernel(
         cam_ref=None, valid=None,
         dirx_ref=None, diry_ref=None, dirz_ref=None,
         cbounds_ref=None,
-        lead=None, end=None,
+        lead=None, end=None, persist_pre=None,
     ):
         """Bind the per-bounce body to this tile's refs."""
         frame_id = frame_ref[0, 0]
@@ -1204,27 +1204,25 @@ def build_megakernel(
                     # wide jitter quirk (one Hammersley offset per FRAME,
                     # reference src/shader.rs:271-293) makes the primary
                     # direction elementwise in (px, py, nf): jitter is
-                    # pure bit arithmetic on nf, and the camera basis is
-                    # host-packed frame-independent scalars — no gathers,
-                    # no ring, no global window.
-                    cb = cam_ref
-                    # u32 -> f32 via int32 (values < 2^31; Mosaic has no
-                    # direct u32 -> f32 cast)
+                    # pure bit arithmetic on nf, and everything frame-
+                    # independent (per-lane jitter-free direction `base`,
+                    # the jitter axis vectors `va`/`vb`, 1/N) is hoisted
+                    # to launch entry (`persist_pre`) — the loop body
+                    # pays only the Hammersley bits, 8 FMAs and two
+                    # rsqrt-normalizes per iteration. This program lands
+                    # FMA-ulps from host raygen anyway (documented), so
+                    # reciprocal-multiply and rsqrt are fair game.
+                    (bdx, bdy, bdz, vax, vay, vaz, vbx, vby, vbz,
+                     inv_n) = persist_pre
                     nff = nf.astype(jnp.int32).astype(jnp.float32)
-                    pxf = px.astype(jnp.int32).astype(jnp.float32)
-                    pyf = py.astype(jnp.int32).astype(jnp.float32)
-                    off_x = (nff + 0.5) / cb[0, 16]
+                    off_x = (nff + 0.5) * inv_n
                     off_y = _radical_inverse_m(nf + jnp.uint32(1))
-                    y_ndc = -(((pyf + off_y) / cb[0, 15]) * 2.0 - 1.0)
-                    x_ndc = (((pxf + off_x) / cb[0, 14]) * 2.0 - 1.0) * cb[0, 13]
-                    focal = cb[0, 12]
-                    gdx = cb[0, 3] * focal - cb[0, 6] * x_ndc + cb[0, 9] * y_ndc
-                    gdy = cb[0, 4] * focal - cb[0, 7] * x_ndc + cb[0, 10] * y_ndc
-                    gdz = cb[0, 5] * focal - cb[0, 8] * x_ndc + cb[0, 11] * y_ndc
-                    # reference normalizes in raygen AND in Ray::new;
-                    # 1/sqrt (not rsqrt) to mirror Vec3.normalize
+                    gdx = bdx - vax * off_x - vbx * off_y
+                    gdy = bdy - vay * off_x - vby * off_y
+                    gdz = bdz - vaz * off_x - vbz * off_y
+                    # reference normalizes in raygen AND in Ray::new
                     for _ in range(2):
-                        inv = 1.0 / jnp.sqrt(
+                        inv = jax.lax.rsqrt(
                             gdx * gdx + gdy * gdy + gdz * gdz
                         )
                         gdx, gdy, gdz = gdx * inv, gdy * inv, gdz * inv
@@ -1277,18 +1275,20 @@ def build_megakernel(
             return (ox, oy, oz, dx, dy, dz, cont, gate, hero, bl, fid)
 
         def guarded(i, carry):
-            any_alive = jnp.max(carry[6]) > 0.0
             if persist_mode:
                 # a tile of all-dead lanes may still hold restartable ones
                 # (revival happens inside `bounce`); skipping them would
-                # deadlock a launch that begins with every lane stalled
+                # deadlock a launch that begins with every lane stalled.
+                # One fused reduce: max(alive, restartable) > 0.
                 fid_c = carry[10]
                 restartable = valid & (fid_c + jnp.uint32(1) < end)
                 if ring_w:
                     restartable &= fid_c + jnp.uint32(1) < lead
-                any_alive = any_alive | (
-                    jnp.max(restartable.astype(jnp.float32)) > 0.0
-                )
+                any_alive = jnp.max(
+                    jnp.maximum(carry[6], restartable.astype(jnp.float32))
+                ) > 0.0
+            else:
+                any_alive = jnp.max(carry[6]) > 0.0
             return jax.lax.cond(any_alive, lambda c: bounce(i, c), lambda c: c, carry)
 
         return guarded
@@ -1460,6 +1460,29 @@ def build_megakernel(
             rad_ref[s] = rad_in_ref[s]
             thr_ref[s] = thr_in_ref[s]
 
+        persist_pre = None
+        if ring_w == 0:
+            # hoist every frame-independent piece of the restart raygen
+            # to launch entry: per-lane jitter-free direction (base),
+            # jitter axis vectors va = right*(2*aspect/w), vb = up*(2/h)
+            # and 1/N — the loop body then costs ~8 FMAs + 2 rsqrt
+            cb = cam_ref
+            pxf = px_ref[:].astype(jnp.int32).astype(jnp.float32)
+            pyf = py_ref[:].astype(jnp.int32).astype(jnp.float32)
+            focal, aspect = cb[0, 12], cb[0, 13]
+            inv_w, inv_h = 1.0 / cb[0, 14], 1.0 / cb[0, 15]
+            x_base = (pxf * inv_w * 2.0 - 1.0) * aspect
+            y_base = -(pyf * inv_h * 2.0 - 1.0)
+            sx = 2.0 * inv_w * aspect
+            sy = 2.0 * inv_h
+            persist_pre = (
+                cb[0, 3] * focal - cb[0, 6] * x_base + cb[0, 9] * y_base,
+                cb[0, 4] * focal - cb[0, 7] * x_base + cb[0, 10] * y_base,
+                cb[0, 5] * focal - cb[0, 8] * x_base + cb[0, 11] * y_base,
+                cb[0, 6] * sx, cb[0, 7] * sx, cb[0, 8] * sx,
+                cb[0, 9] * sy, cb[0, 10] * sy, cb[0, 11] * sy,
+                1.0 / cb[0, 16],
+            )
         guarded = make_body(
             end_ref if lead_ref is None else lead_ref,  # frame_id unused
             px_ref, py_ref, geom_ref, albedo_ref, emis_ref,
@@ -1470,6 +1493,7 @@ def build_megakernel(
             cbounds_ref=cb_ref,
             lead=None if lead_ref is None else lead_ref[0, 0],
             end=end_ref[0, 0],
+            persist_pre=persist_pre,
         )
         carry = (
             ox_ref[:], oy_ref[:], oz_ref[:],

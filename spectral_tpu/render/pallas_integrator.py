@@ -705,6 +705,8 @@ def render_persistent(
     should_abort: "callable | None" = None,
     jit_refill: bool = True,
     cost_sort: int = 0,
+    lane_perm: jax.Array | None = None,
+    lane_inv: jax.Array | None = None,
 ):
     """Render ``n_frames`` progressive frames with *persistent
     lane-asynchronous regeneration* and return ``(rgb_mean, info)``.
@@ -790,21 +792,25 @@ def render_persistent(
         tile //= 2
     n_pad = -(-n // tile) * tile
 
-    lane_perm = lane_inv = None
-    if budget is None or cost_sort:
+    if (lane_perm is None) != (lane_inv is None):
+        raise ValueError("lane_perm and lane_inv must be passed together")
+    if lane_perm is not None and ring_slots:
+        raise ValueError("lane_perm needs the free-running variant")
+    want_sort = cost_sort and lane_perm is None
+    if budget is None or want_sort:
         # one probe serves both: the budget heuristic needs the MEAN
         # cost, the sort needs the per-pixel rank (noise in the rank
         # shrinks with probe frames; the budget only needs frame 1)
+        n_probe = max(1, int(cost_sort)) if want_sort else 1
         cost = probe_path_cost(
-            scene, config, obj_types,
-            n_probe_frames=max(1, int(cost_sort)),
+            scene, config, obj_types, n_probe_frames=n_probe,
             interpret=interpret, has_transmission=has_transmission,
             has_emission=has_emission, clusters=clusters,
         )
         if budget is None:
-            mean_cost = float(jnp.mean(cost)) / max(1, int(cost_sort) or 1)
+            mean_cost = float(jnp.mean(cost)) / n_probe
             budget = max(8, int(round(fpl * mean_cost)))
-        if cost_sort:
+        if want_sort:
             import numpy as _np
 
             order = _np.argsort(

