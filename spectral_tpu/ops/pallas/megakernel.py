@@ -1212,14 +1212,20 @@ def build_megakernel(
                     # rsqrt-normalizes per iteration. This program lands
                     # FMA-ulps from host raygen anyway (documented), so
                     # reciprocal-multiply and rsqrt are fair game.
-                    (bdx, bdy, bdz, vax, vay, vaz, vbx, vby, vbz,
-                     inv_n) = persist_pre
+                    (fx, fy, fz, rx, ry, rz, ux, uy, uz,
+                     sx, sy, aspect, inv_n) = persist_pre
                     nff = nf.astype(jnp.int32).astype(jnp.float32)
+                    pxf = px.astype(jnp.int32).astype(jnp.float32)
+                    pyf = py.astype(jnp.int32).astype(jnp.float32)
                     off_x = (nff + 0.5) * inv_n
                     off_y = _radical_inverse_m(nf + jnp.uint32(1))
-                    gdx = bdx - vax * off_x - vbx * off_y
-                    gdy = bdy - vay * off_x - vby * off_y
-                    gdz = bdz - vaz * off_x - vbz * off_y
+                    # x_ndc = ((x+ox)/w*2-1)*aspect = (x+ox)*sx - aspect;
+                    # y_ndc = -((y+oy)/h*2-1)      = 1 - (y+oy)*sy
+                    x_ndc = (pxf + off_x) * sx - aspect
+                    y_ndc = 1.0 - (pyf + off_y) * sy
+                    gdx = fx - rx * x_ndc + ux * y_ndc
+                    gdy = fy - ry * x_ndc + uy * y_ndc
+                    gdz = fz - rz * x_ndc + uz * y_ndc
                     # reference normalizes in raygen AND in Ray::new
                     for _ in range(2):
                         inv = jax.lax.rsqrt(
@@ -1462,25 +1468,20 @@ def build_megakernel(
 
         persist_pre = None
         if ring_w == 0:
-            # hoist every frame-independent piece of the restart raygen
-            # to launch entry: per-lane jitter-free direction (base),
-            # jitter axis vectors va = right*(2*aspect/w), vb = up*(2/h)
-            # and 1/N — the loop body then costs ~8 FMAs + 2 rsqrt
+            # hoist the frame-independent SCALARS of the restart raygen
+            # to launch entry (repeated SMEM scalar reads serialize
+            # against vector math — the member-unroll finding). Only
+            # scalars: hoisting the per-lane jitter-free direction as 3
+            # extra loop-carried planes measured 4.68 -> 5.78 ms/frame
+            # on cornell512 (live-range pressure on the bounce body).
             cb = cam_ref
-            pxf = px_ref[:].astype(jnp.int32).astype(jnp.float32)
-            pyf = py_ref[:].astype(jnp.int32).astype(jnp.float32)
             focal, aspect = cb[0, 12], cb[0, 13]
             inv_w, inv_h = 1.0 / cb[0, 14], 1.0 / cb[0, 15]
-            x_base = (pxf * inv_w * 2.0 - 1.0) * aspect
-            y_base = -(pyf * inv_h * 2.0 - 1.0)
-            sx = 2.0 * inv_w * aspect
-            sy = 2.0 * inv_h
             persist_pre = (
-                cb[0, 3] * focal - cb[0, 6] * x_base + cb[0, 9] * y_base,
-                cb[0, 4] * focal - cb[0, 7] * x_base + cb[0, 10] * y_base,
-                cb[0, 5] * focal - cb[0, 8] * x_base + cb[0, 11] * y_base,
-                cb[0, 6] * sx, cb[0, 7] * sx, cb[0, 8] * sx,
-                cb[0, 9] * sy, cb[0, 10] * sy, cb[0, 11] * sy,
+                cb[0, 3] * focal, cb[0, 4] * focal, cb[0, 5] * focal,
+                cb[0, 6], cb[0, 7], cb[0, 8],
+                cb[0, 9], cb[0, 10], cb[0, 11],
+                2.0 * inv_w * aspect, 2.0 * inv_h, aspect,
                 1.0 / cb[0, 16],
             )
         guarded = make_body(
