@@ -1285,14 +1285,13 @@ def build_megakernel(
                 # a tile of all-dead lanes may still hold restartable ones
                 # (revival happens inside `bounce`); skipping them would
                 # deadlock a launch that begins with every lane stalled.
-                # One fused reduce: max(alive, restartable) > 0.
                 fid_c = carry[10]
                 restartable = valid & (fid_c + jnp.uint32(1) < end)
                 if ring_w:
                     restartable &= fid_c + jnp.uint32(1) < lead
-                any_alive = jnp.max(
-                    jnp.maximum(carry[6], restartable.astype(jnp.float32))
-                ) > 0.0
+                any_alive = (jnp.max(carry[6]) > 0.0) | (
+                    jnp.max(restartable.astype(jnp.float32)) > 0.0
+                )
             else:
                 any_alive = jnp.max(carry[6]) > 0.0
             return jax.lax.cond(any_alive, lambda c: bounce(i, c), lambda c: c, carry)
