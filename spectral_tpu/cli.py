@@ -116,6 +116,19 @@ def cmd_render(args) -> int:
               "carried lane state is not a frame-boundary accumulator)",
               file=sys.stderr)
         return 2
+    adaptive = None
+    if args.adaptive is not None:
+        if not args.persist:
+            print("--adaptive requires --persist (it runs on the "
+                  "free-running persist kernel)", file=sys.stderr)
+            return 2
+        try:
+            mn, rt, at = args.adaptive.split(",")
+            adaptive = (int(mn), float(rt), float(at))
+        except ValueError:
+            print(f"--adaptive expects MIN,RTOL,ATOL (got "
+                  f"{args.adaptive!r})", file=sys.stderr)
+            return 2
 
     def build_renderer(sc):
         return Renderer(
@@ -129,6 +142,7 @@ def cmd_render(args) -> int:
             ],
             persist=args.persist,
             persist_budget=args.persist_budget,
+            adaptive=adaptive,
         )
 
     renderer = build_renderer(scene)
@@ -252,6 +266,17 @@ def cmd_render(args) -> int:
             f"{time.monotonic() - t0:.1f}s -> {args.out}",
             file=sys.stderr,
         )
+        info = renderer.persist_info
+        if info is not None and "mean_counts" in info:
+            cap = renderer.config.intended_frames
+            print(
+                f"adaptive: {info['mean_counts']:.1f} frames/pixel mean "
+                f"(min {info['min_counts']}, max {info['max_counts']}, "
+                f"cap {cap}) — "
+                f"{100.0 * (1.0 - info['mean_counts'] / cap):.0f}% of "
+                f"frame work saved vs the fixed-count render",
+                file=sys.stderr,
+            )
         if aborted and checkpoint:
             print(f"resume with --resume {checkpoint}", file=sys.stderr)
     return 0
@@ -421,6 +446,12 @@ def build_parser() -> argparse.ArgumentParser:
                     metavar="B",
                     help="bounce iterations per persist launch (default: "
                     "~64 frames' worth from a one-frame cost probe)")
+    pr.add_argument("--adaptive", default=None, metavar="MIN,RTOL,ATOL",
+                    help="(with --persist) per-pixel variance-adaptive "
+                    "stopping: each pixel renders until the standard "
+                    "error of its per-frame luminance mean is under "
+                    "RTOL*|mean|+ATOL (at least MIN frames; iterations "
+                    "becomes the cap). E.g. --adaptive 16,0.02,1e-4")
     pr.add_argument("--profile",
                     help="capture a jax.profiler trace of the render into DIR")
     pr.set_defaults(func=cmd_render)

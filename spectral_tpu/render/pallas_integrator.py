@@ -111,6 +111,7 @@ def _kernel_persist(
     budget: int,
     cluster_runs: tuple | None = None,
     member_unroll: int = 8,
+    adaptive: tuple | None = None,
 ):
     return mk.build_megakernel(
         obj_types,
@@ -122,6 +123,7 @@ def _kernel_persist(
         cluster_runs=cluster_runs,
         member_unroll=member_unroll,
         persist=(ring_slots, budget),
+        adaptive=adaptive,
     )
 
 
@@ -537,41 +539,54 @@ def _persist_step_fn(
     budget: int,
     cluster_runs: tuple | None,
     member_unroll: int,
+    adaptive: tuple | None = None,
 ):
     """One persistent launch: ``budget`` bounce iterations over donated
     carried state; returns the new state and the minimum per-lane count of
-    COMPLETED frames (the scheduler scalar)."""
+    COMPLETED frames (the scheduler scalar; an adaptive-stopped lane
+    counts as fully done — its tile owes no more frames)."""
     run = _kernel_persist(
         obj_types, config, tile, interpret, has_transmission, has_emission,
-        ring_slots, budget, cluster_runs, member_unroll,
+        ring_slots, budget, cluster_runs, member_unroll, adaptive,
     )
     n = config.width * config.height
 
     @functools.partial(
         jax.jit,
-        donate_argnums=(0, 1, 2, 3, 4, 5, 8, 9, 10, 11, 12, 13, 14),
+        donate_argnums=(0, 1, 2, 3, 4, 5, 8, 9, 10, 11, 12, 13, 14)
+        + ((15, 16, 17, 18) if adaptive is not None else ()),
     )
     def step(
         ox, oy, oz, dx, dy, dz, px, py, alive, gate, hero, bl, fid,
-        thr, rad, lead, end,
-        geom, cbounds, albedo, emission, m_alb, m_emis, m_scal,
-        lpos, lspec, cam, ringx=None, ringy=None, ringz=None,
+        thr, rad, amean=None, am2=None, acur=None, astop=None,
+        lead=None, end=None,
+        geom=None, cbounds=None, albedo=None, emission=None, m_alb=None,
+        m_emis=None, m_scal=None,
+        lpos=None, lspec=None, cam=None, ringx=None, ringy=None, ringz=None,
     ):
+        out = run(
+            ox, oy, oz, dx, dy, dz, px, py, alive, gate, hero, bl, fid,
+            thr, rad, lead, end,
+            geom, cbounds, albedo, emission, m_alb, m_emis, m_scal,
+            lpos, lspec, cam, ringx=ringx, ringy=ringy, ringz=ringz,
+            amean=amean, am2=am2, acur=acur, astop=astop,
+        )
         rad_o, thr_o, oxo, oyo, ozo, dxo, dyo, dzo, al_o, ga_o, he_o, \
-            bl_o, fid_o = run(
-                ox, oy, oz, dx, dy, dz, px, py, alive, gate, hero, bl, fid,
-                thr, rad, lead, end,
-                geom, cbounds, albedo, emission, m_alb, m_emis, m_scal,
-                lpos, lspec, cam, ringx=ringx, ringy=ringy, ringz=ringz,
-            )
+            bl_o, fid_o = out[:13]
         # a dead lane has COMPLETED its current frame (it shaded the
         # terminal hit before going dead); an alive lane is mid-path
         completed = fid_o + jnp.where(
             al_o <= 0.0, jnp.uint32(1), jnp.uint32(0)
         )
-        min_done = jnp.min(completed.reshape(-1)[:n])
         state = (oxo, oyo, ozo, dxo, dyo, dzo, al_o, ga_o, he_o, bl_o,
                  fid_o, thr_o, rad_o)
+        if adaptive is not None:
+            mean_o, m2_o, cur_o, stop_o = out[13:]
+            # a stopped lane owes no more frames: it is done for
+            # scheduling purposes whatever its frame counter says
+            completed = jnp.where(stop_o > 0.0, end, completed)
+            state = state + (mean_o, m2_o, cur_o, stop_o)
+        min_done = jnp.min(completed.reshape(-1)[:n])
         return state, min_done
 
     return step
@@ -707,9 +722,21 @@ def render_persistent(
     cost_sort: int = 0,
     lane_perm: jax.Array | None = None,
     lane_inv: jax.Array | None = None,
+    adaptive: tuple | None = None,
 ):
     """Render ``n_frames`` progressive frames with *persistent
     lane-asynchronous regeneration* and return ``(rgb_mean, info)``.
+
+    ``adaptive=(min_frames, rtol, atol)`` enables per-lane variance-
+    adaptive stopping (free-running variant only): each lane tracks its
+    pixel's per-frame luminance statistics in-kernel and stops restarting
+    once the standard error of its mean falls under
+    ``rtol * |mean| + atol`` (with at least ``min_frames`` completed
+    frames; the test is evaluated one frame late, see
+    ``build_megakernel``). ``n_frames`` becomes the per-pixel CAP.
+    The returned image is each pixel's average over its own completed
+    frames, and ``info`` gains ``min_counts`` / ``max_counts`` /
+    ``mean_counts`` (per-pixel frame counts).
 
     ``cost_sort=N > 0`` probes per-pixel path cost over N frames and
     assigns pixels to lanes in descending-cost order (bit-exact
@@ -776,6 +803,14 @@ def render_persistent(
             "cost_sort needs the free-running variant (ring_slots=0): "
             "the ring's refill planes are row-major"
         )
+    if adaptive is not None:
+        if ring_slots:
+            raise ValueError(
+                "adaptive sampling needs the free-running variant "
+                "(ring_slots=0): the ring's host refills assume uniform "
+                "frame progress across lanes"
+            )
+        adaptive = (int(adaptive[0]), float(adaptive[1]), float(adaptive[2]))
     # frames-per-launch default: the ring variant must keep launches
     # shorter than the ring window (lead only advances between launches);
     # free-running has no such constraint, and per-launch costs (state
@@ -786,8 +821,10 @@ def render_persistent(
 
     tile = tile or min(_pick_tile(n), 4096)
     # VMEM model: state planes stream in AND out (double-buffered), the
-    # ring and throughput/radiance ride along: ~(80 + 8S + 6W) f32/lane
-    f32_per_lane = 80 + 8 * s_dim + 6 * ring_slots
+    # ring and throughput/radiance ride along: ~(80 + 8S + 6W) f32/lane;
+    # adaptive stats add 4 planes each way
+    f32_per_lane = 80 + 8 * s_dim + 6 * ring_slots \
+        + (8 if adaptive is not None else 0)
     while tile > _MIN_TILE and tile * f32_per_lane * 4 > 15_500_000:
         tile //= 2
     n_pad = -(-n // tile) * tile
@@ -853,6 +890,12 @@ def render_persistent(
         px0, py0,
     )
     state = tuple(state)
+    if adaptive is not None:
+        # Welford mean, M2, current-frame luminance, stop flag — four
+        # distinct buffers (each is donated to its own output)
+        state = state + tuple(
+            jnp.zeros((rows, mk.LANE), jnp.float32) for _ in range(4)
+        )
 
     # --- primary ring (ring variant only): frames 1 .. lead-1 resident
     if ring_slots:
@@ -875,6 +918,7 @@ def render_persistent(
     step = _persist_step_fn(
         obj_types, config, tile, interpret, has_transmission, has_emission,
         ring_slots, budget, clusters[1] if clusters else None, member_unroll,
+        adaptive,
     )
 
     end_arr = jnp.uint32(n_frames)
@@ -887,8 +931,11 @@ def render_persistent(
         (n_frames * config.max_bounces) // max(budget, 1) + 1
     )
     while True:
+        # state[6:13] = alive..rad; state[13:] = adaptive stats (empty
+        # without adaptive — the step signature's stat slots take None)
+        ad_state = state[13:] if adaptive is not None else (None,) * 4
         st = step(
-            *state[:6], px_l, py_l, *state[6:],
+            *state[:6], px_l, py_l, *state[6:13], *ad_state,
             jnp.uint32(lead), end_arr, *tables, *ring,
         )
         state, md = st
@@ -932,6 +979,18 @@ def render_persistent(
         "budget": budget, "ring_slots": ring_slots, "tile": tile,
         "aborted": aborted,
     }
+    if adaptive is not None:
+        import numpy as _np
+
+        fid_f = _np.asarray(state[10]).reshape(-1)[:n].astype(_np.int64)
+        dead = _np.asarray(state[6]).reshape(-1)[:n] <= 0.0
+        counts = fid_f + dead  # a dead lane completed its current frame
+        info.update(
+            min_counts=int(counts.min()),
+            max_counts=int(counts.max()),
+            mean_counts=float(counts.mean()),
+            adaptive=adaptive,
+        )
     return rgb, info
 
 

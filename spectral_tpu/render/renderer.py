@@ -351,6 +351,7 @@ class Renderer:
         persist: bool = False,
         persist_budget: int | None = None,
         persist_frames_per_launch: int | None = None,
+        adaptive: tuple | None = None,
         _interpret: bool = False,
         _phase_tile: int | None = None,
     ):
@@ -605,6 +606,23 @@ class Renderer:
         self.persist = bool(persist)
         self.persist_budget = persist_budget
         self.persist_fpl = persist_frames_per_launch
+        # adaptive=(min_frames, rtol, atol): per-pixel variance-adaptive
+        # stopping on the persist kernel — nbr_of_iterations becomes the
+        # per-pixel CAP and each pixel stops once the standard error of
+        # its per-frame luminance mean is under rtol*|mean| + atol.
+        # A quality-target mode the reference lacks (its iteration count
+        # is fixed up front, src/main.rs render loop).
+        self.adaptive = None
+        if adaptive is not None:
+            if not persist:
+                raise ValueError(
+                    "adaptive sampling runs on the persist kernel: pass "
+                    "persist=True"
+                )
+            self.adaptive = (
+                int(adaptive[0]), float(adaptive[1]), float(adaptive[2])
+            )
+        self.persist_info: dict | None = None
         if self.persist:
             if self.backend != "pallas" and not _interpret:
                 raise ValueError("persist requires the pallas backend")
@@ -946,7 +964,9 @@ class Renderer:
             frames_per_launch=self.persist_fpl,
             progress=on_launch,
             should_abort=abort,
+            adaptive=self.adaptive,
         )
+        self.persist_info = info
         alpha = jnp.ones(rgb.shape[:2] + (1,), jnp.float32)
         self.accum = jnp.concatenate([rgb, alpha], axis=-1)
         self.next_frame = total if not info["aborted"] else info["frames_done"]
