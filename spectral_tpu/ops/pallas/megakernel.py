@@ -170,7 +170,7 @@ def build_megakernel(
     cluster_runs: tuple | None = None,
     member_unroll: int = 8,
     persist: tuple[int, int] | None = None,
-    adaptive: tuple[int, float, float] | None = None,
+    lane_stop: bool = False,
 ):
     """Compile-time specialization on the scene structure.
 
@@ -233,30 +233,22 @@ def build_megakernel(
             host-primary paths; launch-split invariance (same total
             budget, different launch boundaries) IS bit-exact. The cam
             table must come from ``pack_camera_basis``.
-        adaptive: ``(min_frames, rtol, atol)`` enables *variance-adaptive
-            per-lane stopping* on the free-running persist kernel (a
-            capability the reference lacks — its iteration count is fixed
-            up front, reference src/main.rs render loop). Each lane keeps
-            Welford statistics (running mean and M2) of its pixel's
-            per-frame luminance (the unweighted spectral sum of the
-            frame's radiance additions — a monotone convergence proxy);
-            when a frame completes, the lane tests
-
-                stderr = sqrt(M2 / ((c - 1) * c)) < rtol * |mean| + atol
-
-            (compared squared, so zero tolerances NEVER converge even at
-            M2 == 0) with ``c >= min_frames`` completed frames, and a
-            converged lane stops restarting: its tile retires as soon as
-            all its lanes are stopped or done. The convergence test is
-            evaluated one frame LATE by construction — the restart gate
-            (early in the bounce body) reads the flag written by the
-            PREVIOUS completion's test, because this frame's luminance is
-            only known after shading — so a converged pixel renders at
-            most one extra frame, which is folded into its average (every
-            completed frame is an unbiased sample). Costs four extra
-            loop-carried planes (mean, M2, current-frame luminance, stop
-            flag); requires the free-running variant (``ring_slots=0``:
-            the ring's host refills assume uniform frame progress).
+        lane_stop: accept a per-lane *stop mask* input plane (free-running
+            persist only) and gate path restarts on it: a lane whose mask
+            is > 0 finishes its in-flight frame and then idles; a tile
+            whose lanes are all stopped or done retires via the
+            whole-launch skip. This is the kernel half of variance-
+            adaptive sampling (a capability the reference lacks — its
+            iteration count is fixed up front, reference src/main.rs
+            render loop): the HOST decides who stops, at launch
+            boundaries, from statistics of the radiance accumulator it
+            already owns (see ``render_persistent``). The first, rejected
+            design computed the statistics in-kernel with four extra
+            loop-carried planes — measured SLOWER than not stopping at
+            all (PARITY.md round-3 adaptive ledger); the mask is
+            read-only and read in-body, so it adds no live state to the
+            bounce loop, and a zero mask is semantically (and in
+            interpret mode, bit-) identical to the plain kernel.
     Returns:
         fn(ox, oy, oz, dx, dy, dz, px, py, frame_id, geom, cbounds,
            albedo, emission, mat_albedo, mat_emission, mat_scalars,
@@ -292,23 +284,11 @@ def build_megakernel(
             )
     else:
         ring_w, budget = 0, 0
-    adaptive_mode = adaptive is not None
-    if adaptive_mode:
-        if not (persist_mode and ring_w == 0):
-            raise ValueError(
-                "adaptive sampling needs the free-running persist kernel "
-                "(persist=(0, budget))"
-            )
-        ad_minf = int(adaptive[0])
-        if ad_minf < 2:
-            raise ValueError(
-                "adaptive min_frames must be >= 2 (the variance estimate "
-                "needs at least two samples)"
-            )
-        ad_rtol = np.float32(adaptive[1])
-        ad_atol = np.float32(adaptive[2])
-        if not (ad_rtol >= 0.0 and ad_atol >= 0.0):
-            raise ValueError("adaptive rtol/atol must be >= 0")
+    if lane_stop and not (persist_mode and ring_w == 0):
+        raise ValueError(
+            "lane_stop needs the free-running persist kernel "
+            "(persist=(0, budget))"
+        )
         ad_minf = np.float32(ad_minf)
     n_obj = len(obj_types)
     n_lights = config.n_lights
@@ -948,7 +928,7 @@ def build_megakernel(
         cam_ref=None, valid=None,
         dirx_ref=None, diry_ref=None, dirz_ref=None,
         cbounds_ref=None,
-        lead=None, end=None, persist_pre=None,
+        lead=None, end=None, persist_pre=None, stop_ref=None,
     ):
         """Bind the per-bounce body to this tile's refs."""
         frame_id = frame_ref[0, 0]
@@ -962,12 +942,7 @@ def build_megakernel(
             # max_bounces - bounce_index, so values — and the RNG streams —
             # are identical to the former loop-index derivation); with it,
             # each lane walks its own (frame, bounce) schedule.
-            if adaptive_mode:
-                (ox, oy, oz, dx, dy, dz, alive, gate, hero, bl, fid,
-                 a_mean, a_m2, a_cur, a_stop) = carry
-            else:
-                ox, oy, oz, dx, dy, dz, alive, gate, hero, bl, fid = carry
-            alive_entry = alive
+            ox, oy, oz, dx, dy, dz, alive, gate, hero, bl, fid = carry
             bounces_left = bl
 
             if use_fori:
@@ -1013,11 +988,12 @@ def build_megakernel(
                 new_path = valid & (cont <= 0.0) & (fid + jnp.uint32(1) < end)
                 if ring_w:
                     new_path &= fid + jnp.uint32(1) < lead
-                if adaptive_mode:
-                    # one-frame-late gate: reads the flag set by the LAST
-                    # completion's convergence test (this frame's
-                    # luminance isn't known until after shading below)
-                    new_path &= a_stop <= 0.0
+                if stop_ref is not None:
+                    # host-decided stop mask (variance-adaptive sampling):
+                    # read IN-BODY each iteration — a hoisted read would
+                    # be one more live plane across the whole bounce loop
+                    # (the measured raygen-hoist regression, PARITY.md)
+                    new_path &= stop_ref[:] <= 0.0
             elif regen:
                 new_path = (
                     valid & (cont <= 0.0)
@@ -1085,11 +1061,6 @@ def build_megakernel(
 
             live_f = jnp.where(live, 1.0, 0.0)
             contrib = jnp.where(live & (~spec) & (~trans), 1.0, 0.0)
-            if adaptive_mode:
-                # this iteration's luminance additions (unweighted sum
-                # over s of exactly the terms added to rad_ref) — feeds
-                # the per-frame Welford update at frame completion
-                lum_add = jnp.zeros((r8, LANE), jnp.float32)
             for s in range(s_dim):
                 thr_s = thr_ref[s]
                 if has_emission:
@@ -1106,8 +1077,6 @@ def build_megakernel(
                             )
                     emis_term = live_f * thr_s * emis_s
                     rad_ref[s] = rad_ref[s] + emis_term
-                    if adaptive_mode:
-                        lum_add = lum_add + emis_term
                 if has_transmission:
                     # collapse throughput onto the hero bin (S-fold weight)
                     pick = jnp.where(
@@ -1134,8 +1103,6 @@ def build_megakernel(
                     contrib > 0.0, thr_s * alb_s * direct_s, 0.0
                 )
                 rad_ref[s] = rad_ref[s] + direct_term
-                if adaptive_mode:
-                    lum_add = lum_add + direct_term
                 if regen:
                     # regenerating lanes start their next path at unit
                     # throughput. The reset takes precedence over the live
@@ -1332,33 +1299,6 @@ def build_megakernel(
                     cl, bl - jnp.uint32(1),
                     jnp.where(new_path, jnp.uint32(max_bounces), bl),
                 )
-                if adaptive_mode:
-                    # frame-completion event: the lane entered alive and
-                    # is not continuing — fold this frame's luminance
-                    # (a_cur + this iteration's additions) into the
-                    # Welford stats and run the convergence test. `fid`
-                    # still holds the JUST-COMPLETED frame id here, so
-                    # the sample count is fid + 1.
-                    cur_new = a_cur + lum_add
-                    done_now = (alive_entry > 0.0) & (cont <= 0.0) & valid
-                    cntf = (fid.astype(jnp.int32) + 1).astype(jnp.float32)
-                    delta = cur_new - a_mean
-                    mean_n = a_mean + delta / cntf
-                    m2_n = a_m2 + delta * (cur_new - mean_n)
-                    thresh = ad_rtol * jnp.abs(mean_n) + ad_atol
-                    # squared-stderr comparison, STRICT: zero tolerances
-                    # never converge (even a zero-variance pixel), so
-                    # adaptive=(k, 0, 0) is bit-identical to non-adaptive
-                    conv = (cntf >= ad_minf) & (
-                        m2_n < thresh * thresh * (cntf - 1.0) * cntf
-                    )
-                    a_stop = jnp.where(done_now & conv, 1.0, a_stop)
-                    a_mean = jnp.where(done_now, mean_n, a_mean)
-                    a_m2 = jnp.where(done_now, m2_n, a_m2)
-                    a_cur = jnp.where(new_path, 0.0, cur_new)
-                    fid = jnp.where(new_path, nf, fid)
-                    return (ox, oy, oz, dx, dy, dz, alive, gate, hero,
-                            bl, fid, a_mean, a_m2, a_cur, a_stop)
                 fid = jnp.where(new_path, nf, fid)
                 return (ox, oy, oz, dx, dy, dz, alive, gate, hero, bl, fid)
             ox = jnp.where(cl, newox, ox)
@@ -1380,8 +1320,8 @@ def build_megakernel(
                 restartable = valid & (fid_c + jnp.uint32(1) < end)
                 if ring_w:
                     restartable &= fid_c + jnp.uint32(1) < lead
-                if adaptive_mode:
-                    restartable &= carry[14] <= 0.0  # stop flag
+                if stop_ref is not None:
+                    restartable &= stop_ref[:] <= 0.0
                 any_alive = (jnp.max(carry[6]) > 0.0) | (
                     jnp.max(restartable.astype(jnp.float32)) > 0.0
                 )
@@ -1542,7 +1482,7 @@ def build_megakernel(
         rad_ref, thr_ref,
         oxo_ref, oyo_ref, ozo_ref, dxo_ref, dyo_ref, dzo_ref,
         alive_o, gate_o, hero_o, bl_o, fid_o,
-        adaptive_refs=None,
+        stop_ref=None,
     ):
         """Persistent-state kernel body: exactly ``budget`` bounce
         iterations over carried lane state; lanes advance through their
@@ -1588,6 +1528,7 @@ def build_megakernel(
             lead=None if lead_ref is None else lead_ref[0, 0],
             end=end_ref[0, 0],
             persist_pre=persist_pre,
+            stop_ref=stop_ref,
         )
         carry = (
             ox_ref[:], oy_ref[:], oz_ref[:],
@@ -1595,21 +1536,17 @@ def build_megakernel(
             alive_in[:], gate_in[:], hero_in[:],
             bl_in[:], fid_in[:],
         )
-        if adaptive_mode:
-            mean_in, m2_in, cur_in, stop_in, \
-                mean_o, m2_o, cur_o, stop_o = adaptive_refs
-            carry = carry + (mean_in[:], m2_in[:], cur_in[:], stop_in[:])
         # whole-launch tile skip: a tile with no live and no restartable
-        # lane cannot acquire one mid-launch (`lead`/`end` are fixed for
-        # the launch), so one reduce replaces `budget` per-iteration
+        # lane cannot acquire one mid-launch (`lead`/`end`/stop mask are
+        # launch constants), so one reduce replaces `budget` per-iteration
         # guard evaluations — measured 29-launch cornell512 runs spent
         # more time in finished tiles' guard loops than in real work
         fid0 = fid_in[:]
         startable = valid & (fid0 + jnp.uint32(1) < end_ref[0, 0])
         if lead_ref is not None:
             startable &= fid0 + jnp.uint32(1) < lead_ref[0, 0]
-        if adaptive_mode:
-            startable &= stop_in[:] <= 0.0
+        if stop_ref is not None:
+            startable &= stop_ref[:] <= 0.0
         has_work = (jnp.max(alive_in[:]) > 0.0) | (
             jnp.max(startable.astype(jnp.float32)) > 0.0
         )
@@ -1623,25 +1560,22 @@ def build_megakernel(
         dxo_ref[:], dyo_ref[:], dzo_ref[:] = out[3], out[4], out[5]
         alive_o[:], gate_o[:], hero_o[:] = out[6], out[7], out[8]
         bl_o[:], fid_o[:] = out[9], out[10]
-        if adaptive_mode:
-            mean_o[:], m2_o[:] = out[11], out[12]
-            cur_o[:], stop_o[:] = out[13], out[14]
 
     if ring_w:
         def kernel_persist(lead_ref, end_ref, *refs):
             _persist_core(lead_ref, end_ref, *refs)
-    elif adaptive_mode:
+    elif lane_stop:
         def kernel_persist(end_ref, *refs):
-            # free-running + adaptive: inputs are 13 state planes, 4
-            # adaptive stat planes, 10 tables, thr_in, rad_in; outputs
-            # are rad, thr, 11 state planes, 4 adaptive stat planes
-            state_in, ad_in = refs[:13], refs[13:17]
-            tables_mid = refs[17:29]  # 10 tables + thr_in + rad_in
-            outs, ad_out = refs[29:42], refs[42:46]
+            # free-running + stop mask: inputs are 13 state planes, the
+            # read-only stop plane, 10 tables, thr_in, rad_in; outputs
+            # are rad, thr, 11 state planes (the stop plane has no output)
+            state_in, stop_in = refs[:13], refs[13]
+            tables_mid = refs[14:26]  # 10 tables + thr_in + rad_in
+            outs = refs[26:39]
             _persist_core(
                 None, end_ref, *state_in, *tables_mid[:10],
                 None, None, None, *tables_mid[10:], *outs,
-                adaptive_refs=ad_in + ad_out,
+                stop_ref=stop_in,
             )
     else:
         def kernel_persist(end_ref, *refs):
@@ -1783,7 +1717,7 @@ def build_megakernel(
         lead, end,
         geom, cbounds, albedo, emission, m_albedo, m_emission, m_scalars,
         lpos, lspec, cam, ringx=None, ringy=None, ringz=None,
-        amean=None, am2=None, acur=None, astop=None,
+        stop=None,
     ):
         np_lanes = ox.shape[0] * ox.shape[1]
         n_tiles = np_lanes // tile
@@ -1799,9 +1733,9 @@ def build_megakernel(
         spec_shape = jax.ShapeDtypeStruct(
             (s_dim, np_lanes // LANE, LANE), jnp.float32
         )
-        # input order: [lead?] end state... [adaptive stats] tables cam
-        # [ring?] thr rad; state planes, adaptive stats, thr and rad all
-        # update in place via aliasing
+        # input order: [lead?] end state... [stop mask] tables cam
+        # [ring?] thr rad; state planes, thr and rad update in place via
+        # aliasing (the stop mask is read-only: no output, no alias)
         lead_in, lead_spec = ((lead.reshape(1, 1),), (smem,)) if ring_w \
             else ((), ())
         if ring_w:
@@ -1813,19 +1747,15 @@ def build_megakernel(
             ring_specs = (ring_spec,) * 3
         else:
             ring_in, ring_specs = (), ()
-        if adaptive_mode:
-            ad_in = (amean, am2, acur, astop)
-            ad_specs = (ray_spec,) * 4
+        if lane_stop:
+            stop_in, stop_specs = (stop,), (ray_spec,)
         else:
-            ad_in, ad_specs = (), ()
-        n_ad = len(ad_in)
+            stop_in, stop_specs = (), ()
         base = len(lead_in) + 1  # index of ox
-        cam_idx = base + 13 + n_ad + 9  # state, stats, 9 scalar tables
+        cam_idx = base + 13 + len(stop_in) + 9  # state, mask, 9 tables
         thr_idx = cam_idx + 1 + len(ring_in)
         aliases = {base + i: 2 + i for i in range(6)}  # ray planes
         aliases.update({base + 8 + i: 8 + i for i in range(5)})  # flags/ctrs
-        # adaptive stat planes alias to the trailing four outputs
-        aliases.update({base + 13 + i: 13 + i for i in range(n_ad)})
         aliases[thr_idx] = 1
         aliases[thr_idx + 1] = 0
         return pl.pallas_call(
@@ -1837,7 +1767,7 @@ def build_megakernel(
                 ray_spec, ray_spec,  # px, py
                 ray_spec, ray_spec, ray_spec,  # alive, gate, hero
                 ray_spec, ray_spec,  # bl, fid
-                *ad_specs,  # mean, m2, cur, stop
+                *stop_specs,  # host stop mask
                 smem, smem, smem, smem, smem, smem, smem, smem, smem,
                 smem,  # cam
                 *ring_specs,
@@ -1848,14 +1778,12 @@ def build_megakernel(
                 ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec,
                 ray_spec, ray_spec, ray_spec,
                 ray_spec, ray_spec,
-                *ad_specs,
             ),
             out_shape=(
                 spec_shape, spec_shape,
                 lane_f32, lane_f32, lane_f32, lane_f32, lane_f32, lane_f32,
                 lane_f32, lane_f32, lane_f32,
                 lane_u32, lane_u32,
-                *((lane_f32,) * n_ad),
             ),
             input_output_aliases=aliases,
             compiler_params=pltpu.CompilerParams(
@@ -1865,7 +1793,7 @@ def build_megakernel(
         )(
             *lead_in, end.reshape(1, 1),
             ox, oy, oz, dx, dy, dz, px, py,
-            alive, gate, hero, bl, fid, *ad_in,
+            alive, gate, hero, bl, fid, *stop_in,
             geom, cbounds, albedo, emission, m_albedo, m_emission,
             m_scalars, lpos, lspec, cam, *ring_in,
             thr, rad,

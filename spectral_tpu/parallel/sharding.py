@@ -89,6 +89,339 @@ def build_sharded_pallas_step(
     return jax.jit(mapped, donate_argnums=(1,))
 
 
+def build_sharded_persist_step(
+    mesh, local_config, obj_types: tuple, tile: int, budget: int,
+    interpret: bool = False,
+    has_transmission: bool = False, has_emission: bool = False,
+    cluster_runs: tuple | None = None, member_unroll: int = 8,
+    lane_stop: bool = False,
+):
+    """Row-sharded persistent launch: each device runs ``budget`` bounce
+    iterations of the free-running persist kernel over ITS row slab's
+    carried lane state. The only cross-device communication is a single
+    ``pmin`` of the per-shard completed-frame minimum per LAUNCH (~64
+    frames), so the zero-per-frame-collectives layout of the other
+    sharded steps is preserved. ``local_config`` is the per-device config
+    (height = global height / mesh size); state planes arrive sharded on
+    their row axis in the per-shard-padded layout built by
+    ``render_persistent_sharded``."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from spectral_tpu.parallel.mesh import ROW_AXIS
+    from spectral_tpu.render.pallas_integrator import _kernel_persist
+
+    run = _kernel_persist(
+        obj_types, local_config, tile, interpret, has_transmission,
+        has_emission, 0, budget, cluster_runs, member_unroll, lane_stop,
+    )
+    local_n = local_config.width * local_config.height
+
+    def shard_fn(
+        ox, oy, oz, dx, dy, dz, px, py, alive, gate, hero, bl, fid,
+        thr, rad, stop, end,
+        geom, cbounds, albedo, emission, m_alb, m_emis, m_scal,
+        lpos, lspec, cam,
+    ):
+        rad_o, thr_o, oxo, oyo, ozo, dxo, dyo, dzo, al_o, ga_o, he_o, \
+            bl_o, fid_o = run(
+                ox, oy, oz, dx, dy, dz, px, py, alive, gate, hero, bl, fid,
+                thr, rad, None, end,
+                geom, cbounds, albedo, emission, m_alb, m_emis, m_scal,
+                lpos, lspec, cam, stop=stop,
+            )
+        completed = fid_o + jnp.where(
+            al_o <= 0.0, jnp.uint32(1), jnp.uint32(0)
+        )
+        if lane_stop:
+            completed = jnp.where(
+                (stop > 0.0) & (al_o <= 0.0), end, completed
+            )
+        md = jax.lax.pmin(
+            jnp.min(completed.reshape(-1)[:local_n]), ROW_AXIS
+        )
+        return (oxo, oyo, ozo, dxo, dyo, dzo, al_o, ga_o, he_o, bl_o,
+                fid_o, thr_o, rad_o, md)
+
+    plane = P(ROW_AXIS)
+    spec = P(None, ROW_AXIS)
+    mapped = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            (plane,) * 13  # ray/pixel/flag planes
+            + (spec, spec)  # thr, rad
+            + (plane, P())  # stop mask (unused unless lane_stop), end
+            + (P(),) * 10  # replicated tables
+        ),
+        out_specs=(plane,) * 11 + (spec, spec) + (P(),),
+        check_vma=False,
+    )
+    return jax.jit(
+        mapped,
+        donate_argnums=(0, 1, 2, 3, 4, 5, 8, 9, 10, 11, 12, 13, 14),
+    )
+
+
+def render_persistent_sharded(
+    scene: SceneArrays,
+    config: RenderConfig,
+    obj_types: tuple,
+    mesh,
+    n_frames: int,
+    budget: int | None = None,
+    frames_per_launch: int | None = None,
+    tile: int | None = None,
+    interpret: bool = False,
+    has_transmission: bool = False,
+    has_emission: bool = False,
+    clusters: tuple | None = None,
+    member_unroll: int = 8,
+    adaptive: tuple | None = None,
+    progress=None,
+    should_abort=None,
+):
+    """Row-sharded ``render_persistent`` (free-running variant only).
+
+    Each device owns ``height / n_devices`` image rows; its lanes carry
+    state across launches exactly like the single-chip persist render
+    (raygen is elementwise in the per-lane GLOBAL pixel coordinates, so
+    restarts need no cross-device data). Between launches the host reads
+    one replicated ``pmin`` scalar; with ``adaptive`` the convergence
+    update runs as a plain jitted elementwise program over the sharded
+    stat planes (sharding propagates — no shard_map, no collectives).
+    Returns ``(rgb, info)`` with the same semantics as
+    ``render_persistent``; the per-shard lane padding means lane order is
+    slab-major, which this function unpacks back to image order.
+
+    The ring variant is intentionally not offered here: its host-refilled
+    ring planes assume a single global frame window, which reintroduces
+    whole-mesh coupling (the measured slowest-pixel pacing, PARITY.md).
+    """
+    import dataclasses
+    import functools
+
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from spectral_tpu.ops.pallas import megakernel as mk
+    from spectral_tpu.parallel.mesh import ROW_AXIS
+    from spectral_tpu.render.camera import generate_primary_rays
+    from spectral_tpu.render.pallas_integrator import (
+        _MIN_TILE,
+        _adapt_update_fn,
+        _pack_geom_clusters,
+        _persist_finish_fn,
+        _pick_tile,
+        probe_path_cost,
+    )
+
+    if n_frames < 1:
+        raise ValueError("n_frames must be >= 1")
+    n_dev = mesh.devices.size
+    if config.height % n_dev != 0:
+        raise ValueError(
+            f"image height {config.height} must be divisible by the mesh "
+            f"size {n_dev}"
+        )
+    if adaptive is not None:
+        adaptive = (int(adaptive[0]), float(adaptive[1]), float(adaptive[2]))
+        if adaptive[0] < 2:
+            raise ValueError("adaptive min_frames must be >= 2")
+        if not (adaptive[1] >= 0.0 and adaptive[2] >= 0.0):
+            raise ValueError("adaptive rtol/atol must be >= 0")
+    local_h = config.height // n_dev
+    local_n = config.width * local_h
+    local_config = dataclasses.replace(config, height=local_h)
+    s_dim = config.n_samples
+
+    fpl = frames_per_launch or 64
+    tile = tile or min(_pick_tile(local_n), 4096)
+    f32_per_lane = 80 + 8 * s_dim + (1 if adaptive is not None else 0)
+    while tile > _MIN_TILE and tile * f32_per_lane * 4 > 15_500_000:
+        tile //= 2
+    if budget is None:
+        cost = probe_path_cost(
+            scene, config, obj_types, n_probe_frames=1,
+            interpret=interpret, has_transmission=has_transmission,
+            has_emission=has_emission, clusters=clusters,
+        )
+        budget = max(8, int(round(fpl * float(jnp.mean(cost)))))
+
+    # --- per-shard-padded lane layout: each shard's block is its row
+    # slab's pixels (global row-major) followed by its own padding
+    local_n_pad = -(-local_n // tile) * tile
+    local_rows = local_n_pad // mk.LANE
+    rows_g = n_dev * local_rows
+    px_np = np.zeros((n_dev, local_n_pad), np.uint32)
+    py_np = np.zeros((n_dev, local_n_pad), np.uint32)
+    valid_np = np.zeros((n_dev, local_n_pad), np.float32)
+    px_slab = np.tile(np.arange(config.width, dtype=np.uint32), local_h)
+    for d in range(n_dev):
+        py_np[d, :local_n] = np.repeat(
+            np.arange(local_h, dtype=np.uint32) + d * local_h, config.width
+        )
+        px_np[d, :local_n] = px_slab
+        valid_np[d, :local_n] = 1.0
+    plane_sh = NamedSharding(mesh, P(ROW_AXIS))
+    spec_sh = NamedSharding(mesh, P(None, ROW_AXIS))
+    rep_sh = NamedSharding(mesh, P())
+    px_l = jax.device_put(px_np.reshape(rows_g, mk.LANE), plane_sh)
+    py_l = jax.device_put(py_np.reshape(rows_g, mk.LANE), plane_sh)
+    valid_l = jax.device_put(valid_np.reshape(rows_g, mk.LANE), plane_sh)
+
+    # --- tables, replicated (fori trimming mirrors render_persistent)
+    geom, cbounds = _pack_geom_clusters(scene, clusters)
+    cam = mk.pack_camera_basis(scene, config)
+    lpos = jnp.pad(scene.light_pos, ((0, 0), (0, 1)))
+    lspec = scene.light_spec
+    if config.n_lights == 0:
+        lpos = jnp.zeros((1, 4), jnp.float32)
+        lspec = jnp.zeros((1, config.n_samples), jnp.float32)
+    fori = clusters is not None or len(obj_types) > 64
+    tables = tuple(
+        jax.device_put(t, rep_sh)
+        for t in (
+            geom, cbounds,
+            scene.albedo[:1] if fori else scene.albedo,
+            scene.emission[:1] if fori else scene.emission,
+            scene.mat_albedo if fori else scene.mat_albedo[:1],
+            scene.mat_emission if fori else scene.mat_emission[:1],
+            scene.mat_scalars if fori else scene.mat_scalars[:1],
+            lpos, lspec, cam,
+        )
+    )
+
+    # --- frame-0 state, one jitted elementwise program over the sharded
+    # coordinate planes (raygen is elementwise in px/py — padding lanes
+    # get harmless rays and alive=0, the kernel's valid mask ignores them)
+    @functools.partial(
+        jax.jit,
+        out_shardings=(plane_sh,) * 11 + (spec_sh,) * 2,
+    )
+    def init(cam_pos, cam_dir, cam_up, fov, px_pl, py_pl, valid_pl):
+        o, dvec, _, _ = generate_primary_rays(
+            cam_pos, cam_dir, cam_up, fov,
+            config.width, config.height, jnp.uint32(0),
+            config.intended_frames,
+            pixel_xy=(px_pl.reshape(-1), py_pl.reshape(-1)),
+        )
+        shp = px_pl.shape
+
+        def pl(a):
+            return jnp.asarray(a, jnp.float32).reshape(shp)
+
+        return (
+            pl(o.x), pl(o.y), pl(o.z),
+            pl(dvec.x), pl(dvec.y), pl(dvec.z),
+            valid_pl,                                   # alive
+            jnp.zeros_like(valid_pl),                   # gate
+            jnp.full_like(valid_pl, -1.0),              # hero
+            jnp.full_like(px_pl, config.max_bounces),   # bl
+            jnp.zeros_like(px_pl),                      # fid
+            jnp.ones((s_dim, *shp), jnp.float32),       # thr
+            jnp.zeros((s_dim, *shp), jnp.float32),      # rad
+        )
+
+    state = tuple(init(
+        scene.cam_pos, scene.cam_dir, scene.cam_up, scene.fov_y_deg,
+        px_l, py_l, valid_l,
+    ))
+    if adaptive is not None:
+        stop = jax.device_put(
+            np.zeros((rows_g, mk.LANE), np.float32), plane_sh
+        )
+        ad_stats = tuple(
+            jax.device_put(np.zeros((rows_g, mk.LANE), np.float32), plane_sh)
+            for _ in range(5)
+        )
+        adapt_update = _adapt_update_fn(rows_g * mk.LANE, *adaptive)
+
+    step = build_sharded_persist_step(
+        mesh, local_config, obj_types, tile, budget, interpret,
+        has_transmission, has_emission,
+        clusters[1] if clusters else None, member_unroll,
+        lane_stop=adaptive is not None,
+    )
+
+    end_arr = jnp.uint32(n_frames)
+    zero_stop = jax.device_put(
+        np.zeros((rows_g, mk.LANE), np.float32), plane_sh
+    )
+    pending: list = []
+    launches = 0
+    min_done = 0
+    aborted = False
+    max_launches = 16 + 8 * (
+        (n_frames * config.max_bounces) // max(budget, 1) + 1
+    )
+    while True:
+        *new_state, md = step(
+            *state[:6], px_l, py_l, *state[6:13],
+            stop if adaptive is not None else zero_stop,
+            end_arr, *tables,
+        )
+        state = tuple(new_state)
+        if adaptive is not None:
+            stop, *ad_stats = adapt_update(
+                state[12], state[10], state[6], stop, *ad_stats,
+            )
+        pending.append(md)
+        launches += 1
+        if launches > max_launches:
+            raise RuntimeError(
+                f"sharded persistent render exceeded {max_launches} "
+                f"launches (budget={budget}, n_frames={n_frames})"
+            )
+        if len(pending) >= 2:
+            min_done = int(pending.pop(0))
+            if min_done >= n_frames:
+                break
+        if progress is not None:
+            progress(min_done, launches)
+        if should_abort is not None and should_abort():
+            aborted = True
+            break
+    for md in pending:
+        min_done = max(min_done, int(md))
+
+    local_finish = _persist_finish_fn(local_config, local_n_pad,
+                                      jit_host=False)
+
+    def fin(alive, fid, rad, xyzw, x2r):
+        return local_finish(alive, fid, rad, xyzw, x2r)
+
+    rgb = jax.jit(jax.shard_map(
+        fin, mesh=mesh,
+        in_specs=(P(ROW_AXIS), P(ROW_AXIS), P(None, ROW_AXIS), P(), P()),
+        out_specs=P(ROW_AXIS),
+        check_vma=False,
+    ))(state[6], state[10], state[12], scene.xyz_weights, scene.xyz_to_rgb)
+
+    info = {
+        "launches": launches, "frames_done": int(min_done),
+        "budget": budget, "ring_slots": 0, "tile": tile,
+        "aborted": aborted, "n_devices": n_dev,
+    }
+    if adaptive is not None:
+        fid_np = np.asarray(state[10]).reshape(n_dev, local_n_pad)
+        alive_np = np.asarray(state[6]).reshape(n_dev, local_n_pad)
+        counts = (
+            fid_np[:, :local_n].astype(np.int64)
+            + (alive_np[:, :local_n] <= 0.0)
+        ).reshape(-1)  # slab-major == global row-major pixel order
+        info.update(
+            min_counts=int(counts.min()),
+            max_counts=int(counts.max()),
+            mean_counts=float(counts.mean()),
+            counts=counts,
+            adaptive=adaptive,
+        )
+    return rgb, info
+
+
 def build_sharded_pallas_regen_step(
     mesh, config: RenderConfig, obj_types: tuple, k: int,
     interpret: bool = False,

@@ -111,7 +111,7 @@ def _kernel_persist(
     budget: int,
     cluster_runs: tuple | None = None,
     member_unroll: int = 8,
-    adaptive: tuple | None = None,
+    lane_stop: bool = False,
 ):
     return mk.build_megakernel(
         obj_types,
@@ -123,7 +123,7 @@ def _kernel_persist(
         cluster_runs=cluster_runs,
         member_unroll=member_unroll,
         persist=(ring_slots, budget),
-        adaptive=adaptive,
+        lane_stop=lane_stop,
     )
 
 
@@ -539,40 +539,41 @@ def _persist_step_fn(
     budget: int,
     cluster_runs: tuple | None,
     member_unroll: int,
-    adaptive: tuple | None = None,
+    lane_stop: bool = False,
 ):
     """One persistent launch: ``budget`` bounce iterations over donated
     carried state; returns the new state and the minimum per-lane count of
-    COMPLETED frames (the scheduler scalar; an adaptive-stopped lane
-    counts as fully done — its tile owes no more frames)."""
+    COMPLETED frames (the scheduler scalar). With ``lane_stop``, a lane
+    whose stop mask is set AND whose in-flight frame has finished counts
+    as fully done — its tile owes no more frames; a stopped lane still
+    mid-path keeps the loop alive until that frame completes, so its
+    partial radiance never leaks into the per-count average."""
     run = _kernel_persist(
         obj_types, config, tile, interpret, has_transmission, has_emission,
-        ring_slots, budget, cluster_runs, member_unroll, adaptive,
+        ring_slots, budget, cluster_runs, member_unroll, lane_stop,
     )
     n = config.width * config.height
 
     @functools.partial(
         jax.jit,
-        donate_argnums=(0, 1, 2, 3, 4, 5, 8, 9, 10, 11, 12, 13, 14)
-        + ((15, 16, 17, 18) if adaptive is not None else ()),
+        donate_argnums=(0, 1, 2, 3, 4, 5, 8, 9, 10, 11, 12, 13, 14),
     )
     def step(
         ox, oy, oz, dx, dy, dz, px, py, alive, gate, hero, bl, fid,
-        thr, rad, amean=None, am2=None, acur=None, astop=None,
+        thr, rad, stop=None,
         lead=None, end=None,
         geom=None, cbounds=None, albedo=None, emission=None, m_alb=None,
         m_emis=None, m_scal=None,
         lpos=None, lspec=None, cam=None, ringx=None, ringy=None, ringz=None,
     ):
-        out = run(
-            ox, oy, oz, dx, dy, dz, px, py, alive, gate, hero, bl, fid,
-            thr, rad, lead, end,
-            geom, cbounds, albedo, emission, m_alb, m_emis, m_scal,
-            lpos, lspec, cam, ringx=ringx, ringy=ringy, ringz=ringz,
-            amean=amean, am2=am2, acur=acur, astop=astop,
-        )
         rad_o, thr_o, oxo, oyo, ozo, dxo, dyo, dzo, al_o, ga_o, he_o, \
-            bl_o, fid_o = out[:13]
+            bl_o, fid_o = run(
+                ox, oy, oz, dx, dy, dz, px, py, alive, gate, hero, bl, fid,
+                thr, rad, lead, end,
+                geom, cbounds, albedo, emission, m_alb, m_emis, m_scal,
+                lpos, lspec, cam, ringx=ringx, ringy=ringy, ringz=ringz,
+                stop=stop,
+            )
         # a dead lane has COMPLETED its current frame (it shaded the
         # terminal hit before going dead); an alive lane is mid-path
         completed = fid_o + jnp.where(
@@ -580,12 +581,13 @@ def _persist_step_fn(
         )
         state = (oxo, oyo, ozo, dxo, dyo, dzo, al_o, ga_o, he_o, bl_o,
                  fid_o, thr_o, rad_o)
-        if adaptive is not None:
-            mean_o, m2_o, cur_o, stop_o = out[13:]
-            # a stopped lane owes no more frames: it is done for
-            # scheduling purposes whatever its frame counter says
-            completed = jnp.where(stop_o > 0.0, end, completed)
-            state = state + (mean_o, m2_o, cur_o, stop_o)
+        if lane_stop:
+            # a stopped AND dead lane owes no more frames; a stopped
+            # alive lane reports its true count so the render keeps
+            # running until its in-flight frame completes
+            completed = jnp.where(
+                (stop > 0.0) & (al_o <= 0.0), end, completed
+            )
         min_done = jnp.min(completed.reshape(-1)[:n])
         return state, min_done
 
@@ -702,6 +704,56 @@ def _persist_refill_fn(
     return refill
 
 
+@functools.lru_cache(maxsize=16)
+def _adapt_update_fn(n_pad: int, min_frames: int, rtol: float, atol: float):
+    """Between-launch convergence update for variance-adaptive sampling.
+
+    Treats each launch's per-frame luminance mean as ONE weighted sample
+    (weight = frames the lane completed that launch) and maintains the
+    weighted incremental mean/M2 of West 1979. Because a sample of
+    weight ``w`` is the average of ``w`` i.i.d. per-frame luminances,
+    every M2 increment ``w * (x - mean)^2`` has expectation ~ the
+    PER-FRAME variance — so ``M2 / (j - 1)`` estimates it from ``j``
+    launch aggregates, and the standard error of the lane's final mean
+    is ``sqrt(M2 / (j - 1) / c_total)``. A lane stops once that is
+    under ``rtol * |mean| + atol`` (compared squared and STRICT, so zero
+    tolerances never stop anyone) with ``c_total >= min_frames`` and
+    ``j >= 2``. Launch aggregates also dampen path tracing's heavy
+    per-frame tails — a spiky frame inflates its whole launch's sample.
+
+    State planes (all ``[n_pad/LANE, LANE]`` f32, device-resident):
+    stop mask (the only one the kernel reads), previous launch's
+    luminance and count snapshots, weighted mean, M2, sample count j.
+    """
+    minf = float(min_frames)
+    rtol = jnp.float32(rtol)
+    atol = jnp.float32(atol)
+
+    @functools.partial(jax.jit, donate_argnums=(4, 5, 6, 7, 8))
+    def update(rad, fid, alive, stop, prev_lum, prev_cnt, s_mean, s_m2, s_j):
+        lum = jnp.sum(rad, axis=0)  # per-lane spectral luminance total
+        cnt = (
+            fid + jnp.where(alive <= 0.0, jnp.uint32(1), jnp.uint32(0))
+        ).astype(jnp.float32)  # completed frames (dead = frame finished)
+        dc = cnt - prev_cnt
+        upd = (dc > 0.0) & (stop <= 0.0)
+        x = (lum - prev_lum) / jnp.maximum(dc, 1.0)
+        delta = x - s_mean
+        mean_new = jnp.where(upd, s_mean + (dc / jnp.maximum(cnt, 1.0)) * delta, s_mean)
+        m2_new = jnp.where(upd, s_m2 + dc * delta * (x - mean_new), s_m2)
+        j_new = jnp.where(upd, s_j + 1.0, s_j)
+        mean_frame = lum / jnp.maximum(cnt, 1.0)
+        thresh = rtol * jnp.abs(mean_frame) + atol
+        sigma2 = m2_new / jnp.maximum(j_new - 1.0, 1.0)
+        conv = (j_new >= 2.0) & (cnt >= minf) & (
+            sigma2 < thresh * thresh * cnt
+        )
+        stop_new = jnp.where(upd & conv, 1.0, stop)
+        return stop_new, lum, cnt, mean_new, m2_new, j_new
+
+    return update
+
+
 def render_persistent(
     scene: SceneArrays,
     config: RenderConfig,
@@ -727,16 +779,27 @@ def render_persistent(
     """Render ``n_frames`` progressive frames with *persistent
     lane-asynchronous regeneration* and return ``(rgb_mean, info)``.
 
-    ``adaptive=(min_frames, rtol, atol)`` enables per-lane variance-
-    adaptive stopping (free-running variant only): each lane tracks its
-    pixel's per-frame luminance statistics in-kernel and stops restarting
-    once the standard error of its mean falls under
-    ``rtol * |mean| + atol`` (with at least ``min_frames`` completed
-    frames; the test is evaluated one frame late, see
-    ``build_megakernel``). ``n_frames`` becomes the per-pixel CAP.
-    The returned image is each pixel's average over its own completed
-    frames, and ``info`` gains ``min_counts`` / ``max_counts`` /
-    ``mean_counts`` (per-pixel frame counts).
+    ``adaptive=(min_frames, rtol, atol)`` enables per-pixel variance-
+    adaptive stopping (free-running variant only). The statistics live on
+    the HOST side of the launch boundary: after every launch a small
+    jitted update reduces the radiance accumulator (already in HBM) to
+    per-lane luminance, treats each launch's per-frame luminance mean as
+    one weighted sample (weight = frames completed that launch — the
+    weighted Welford of West 1979, so ``M2 / (j - 1)`` estimates the
+    PER-FRAME variance from ``j`` launch aggregates), and sets a stop
+    mask for lanes whose standard error of the final mean falls under
+    ``rtol * |mean| + atol`` with at least ``min_frames`` completed
+    frames and at least two launch samples. The kernel's only change is
+    that the restart gate reads the mask — the first design carried the
+    statistics per-lane in the bounce loop and was measured SLOWER than
+    not stopping at all (PARITY.md round-3 adaptive ledger). Stop
+    granularity is therefore one launch (~``budget / mean_path_length``
+    frames); launch-aggregate samples are also more robust to the
+    heavy-tailed per-frame luminance of path tracing than per-frame
+    tests. ``n_frames`` becomes the per-pixel CAP; a stopped lane
+    finishes its in-flight frame (no partial-frame bias). The returned
+    image is each pixel's average over its own completed frames, and
+    ``info`` gains ``min_counts`` / ``max_counts`` / ``mean_counts``.
 
     ``cost_sort=N > 0`` probes per-pixel path cost over N frames and
     assigns pixels to lanes in descending-cost order (bit-exact
@@ -811,6 +874,13 @@ def render_persistent(
                 "frame progress across lanes"
             )
         adaptive = (int(adaptive[0]), float(adaptive[1]), float(adaptive[2]))
+        if adaptive[0] < 2:
+            raise ValueError(
+                "adaptive min_frames must be >= 2 (the variance estimate "
+                "needs at least two samples)"
+            )
+        if not (adaptive[1] >= 0.0 and adaptive[2] >= 0.0):
+            raise ValueError("adaptive rtol/atol must be >= 0")
     # frames-per-launch default: the ring variant must keep launches
     # shorter than the ring window (lead only advances between launches);
     # free-running has no such constraint, and per-launch costs (state
@@ -822,9 +892,9 @@ def render_persistent(
     tile = tile or min(_pick_tile(n), 4096)
     # VMEM model: state planes stream in AND out (double-buffered), the
     # ring and throughput/radiance ride along: ~(80 + 8S + 6W) f32/lane;
-    # adaptive stats add 4 planes each way
+    # the adaptive stop mask adds one read-only plane
     f32_per_lane = 80 + 8 * s_dim + 6 * ring_slots \
-        + (8 if adaptive is not None else 0)
+        + (1 if adaptive is not None else 0)
     while tile > _MIN_TILE and tile * f32_per_lane * 4 > 15_500_000:
         tile //= 2
     n_pad = -(-n // tile) * tile
@@ -891,11 +961,13 @@ def render_persistent(
     )
     state = tuple(state)
     if adaptive is not None:
-        # Welford mean, M2, current-frame luminance, stop flag — four
-        # distinct buffers (each is donated to its own output)
-        state = state + tuple(
-            jnp.zeros((rows, mk.LANE), jnp.float32) for _ in range(4)
+        # host-side convergence state: stop mask (the only plane the
+        # kernel sees) + five stat planes for the between-launch update
+        stop = jnp.zeros((rows, mk.LANE), jnp.float32)
+        ad_stats = tuple(
+            jnp.zeros((rows, mk.LANE), jnp.float32) for _ in range(5)
         )
+        adapt_update = _adapt_update_fn(n_pad, *adaptive)
 
     # --- primary ring (ring variant only): frames 1 .. lead-1 resident
     if ring_slots:
@@ -918,7 +990,7 @@ def render_persistent(
     step = _persist_step_fn(
         obj_types, config, tile, interpret, has_transmission, has_emission,
         ring_slots, budget, clusters[1] if clusters else None, member_unroll,
-        adaptive,
+        adaptive is not None,
     )
 
     end_arr = jnp.uint32(n_frames)
@@ -931,14 +1003,20 @@ def render_persistent(
         (n_frames * config.max_bounces) // max(budget, 1) + 1
     )
     while True:
-        # state[6:13] = alive..rad; state[13:] = adaptive stats (empty
-        # without adaptive — the step signature's stat slots take None)
-        ad_state = state[13:] if adaptive is not None else (None,) * 4
         st = step(
-            *state[:6], px_l, py_l, *state[6:13], *ad_state,
+            *state[:6], px_l, py_l, *state[6:13],
+            stop if adaptive is not None else None,
             jnp.uint32(lead), end_arr, *tables, *ring,
         )
         state, md = st
+        if adaptive is not None:
+            # between-launch convergence update: reduces the radiance
+            # accumulator to per-lane luminance and refreshes the stop
+            # mask the NEXT launch will see (stats stay on-device; the
+            # update enqueues behind the launch, preserving the pipeline)
+            stop, *ad_stats = adapt_update(
+                state[12], state[10], state[6], stop, *ad_stats,
+            )
         pending.append(md)
         launches += 1
         if launches > max_launches:
@@ -985,10 +1063,13 @@ def render_persistent(
         fid_f = _np.asarray(state[10]).reshape(-1)[:n].astype(_np.int64)
         dead = _np.asarray(state[6]).reshape(-1)[:n] <= 0.0
         counts = fid_f + dead  # a dead lane completed its current frame
+        if lane_inv is not None:
+            counts = counts[_np.asarray(lane_inv)]  # back to pixel order
         info.update(
             min_counts=int(counts.min()),
             max_counts=int(counts.max()),
             mean_counts=float(counts.mean()),
+            counts=counts,
             adaptive=adaptive,
         )
     return rgb, info

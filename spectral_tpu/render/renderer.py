@@ -609,7 +609,8 @@ class Renderer:
         # adaptive=(min_frames, rtol, atol): per-pixel variance-adaptive
         # stopping on the persist kernel — nbr_of_iterations becomes the
         # per-pixel CAP and each pixel stops once the standard error of
-        # its per-frame luminance mean is under rtol*|mean| + atol.
+        # its per-frame luminance mean is under rtol*|mean| + atol
+        # (host-evaluated at launch boundaries — see render_persistent).
         # A quality-target mode the reference lacks (its iteration count
         # is fixed up front, src/main.rs render loop).
         self.adaptive = None
