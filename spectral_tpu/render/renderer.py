@@ -630,13 +630,15 @@ class Renderer:
             if (
                 phase_split is not None or self.grid is not None
                 or frames_per_dispatch > 1 or self.regen_frames > 1
-                or sharding is not None or self.regen_sort
+                or self.regen_sort
             ):
                 raise ValueError(
                     "persist is a standalone dispatch mode: drop "
                     "phase_split/grid/frames_per_dispatch/regen_frames/"
-                    "sharding/regen_sort"
+                    "regen_sort"
                 )
+            # persist + sharding routes to render_persistent_sharded
+            # (row-DP persist launches, one pmin scalar per launch)
         self.accum = self._zero_accum()
         self.next_frame = 0
 
@@ -954,19 +956,38 @@ class Renderer:
                     )
                 )
 
-        rgb, info = render_persistent(
-            self.scene_arrays, self.config, self.obj_types,
-            n_frames=total,
-            interpret=self._interpret,
-            has_transmission=self.has_transmission,
-            has_emission=self.has_emission,
-            clusters=self.clusters,
-            budget=self.persist_budget,
-            frames_per_launch=self.persist_fpl,
-            progress=on_launch,
-            should_abort=abort,
-            adaptive=self.adaptive,
-        )
+        if self.sharding is not None:
+            from spectral_tpu.parallel.sharding import (
+                render_persistent_sharded,
+            )
+
+            rgb, info = render_persistent_sharded(
+                self.scene_arrays, self.config, self.obj_types,
+                self.sharding.mesh, n_frames=total,
+                interpret=self._interpret,
+                has_transmission=self.has_transmission,
+                has_emission=self.has_emission,
+                clusters=self.clusters,
+                budget=self.persist_budget,
+                frames_per_launch=self.persist_fpl,
+                progress=on_launch,
+                should_abort=abort,
+                adaptive=self.adaptive,
+            )
+        else:
+            rgb, info = render_persistent(
+                self.scene_arrays, self.config, self.obj_types,
+                n_frames=total,
+                interpret=self._interpret,
+                has_transmission=self.has_transmission,
+                has_emission=self.has_emission,
+                clusters=self.clusters,
+                budget=self.persist_budget,
+                frames_per_launch=self.persist_fpl,
+                progress=on_launch,
+                should_abort=abort,
+                adaptive=self.adaptive,
+            )
         self.persist_info = info
         alpha = jnp.ones(rgb.shape[:2] + (1,), jnp.float32)
         self.accum = jnp.concatenate([rgb, alpha], axis=-1)

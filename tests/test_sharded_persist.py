@@ -74,6 +74,30 @@ def test_sharded_persist_adaptive_stops():
     assert np.isfinite(np.asarray(rgb)).all()
 
 
+def test_renderer_sharded_persist():
+    """Renderer(persist=True, sharding=...) routes to the sharded persist
+    render and matches the unsharded persist Renderer (1e-4, 1 bounce)."""
+    if jax.device_count() < 2:
+        pytest.skip("needs multiple devices")
+    from spectral_tpu.parallel.mesh import row_sharding
+    from spectral_tpu.render.renderer import Renderer
+
+    scene = presets.PRESETS["cornell"](n_samples=8)
+    scene.width, scene.height = 16, 16
+    scene.nbr_of_ray_bounces = 1
+    scene.nbr_of_iterations = 4
+    want = Renderer(
+        scene, persist=True, persist_budget=12, _interpret=True,
+    ).render()
+    r = Renderer(
+        scene, persist=True, persist_budget=12, _interpret=True,
+        sharding=row_sharding(make_mesh(8)),
+    )
+    got = r.render()
+    assert r.persist_info["n_devices"] == 8
+    assert np.abs(np.asarray(got) - np.asarray(want)).max() < 1e-4
+
+
 def test_sharded_persist_validates_height():
     arrays, config, obj_types, ht, he = _setup(h=12)  # 12 % 8 != 0
     if jax.device_count() < 2:
