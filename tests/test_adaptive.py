@@ -124,6 +124,74 @@ def test_adaptive_full_count_pixels_bit_match_fixed():
     assert (full_a[fullc] == adap_a[fullc]).all()
 
 
+def test_adapt_update_weighted_welford_math():
+    """The between-launch update implements West's weighted incremental
+    mean/M2 over launch aggregates: feed a synthetic lane three launches
+    of known per-frame luminances and check mean, M2 and the stop
+    decision against a direct numpy evaluation."""
+    import jax.numpy as jnp
+
+    from spectral_tpu.render.pallas_integrator import _adapt_update_fn
+
+    rng = np.random.default_rng(7)
+    # one row of 128 lanes; lane i completes c[j, i] frames in launch j
+    # with per-frame luminance samples drawn i.i.d. per lane
+    n_l = 128
+    counts = np.array([[3] * n_l, [4] * n_l, [5] * n_l])
+    per_frame = rng.gamma(2.0, 1.0, size=(12, n_l)).astype(np.float32)
+
+    minf, rtol, atol = 2, 0.25, 1e-6
+    upd = _adapt_update_fn(n_l, minf, rtol, atol)
+
+    stop = jnp.zeros((1, n_l), jnp.float32)
+    stats = [jnp.zeros((1, n_l), jnp.float32) for _ in range(5)]
+    cum = np.zeros(n_l, np.float32)
+    done = np.zeros(n_l, np.int64)
+    # reference weighted Welford (West 1979), per lane — a stopped lane
+    # freezes its statistics (and its frame counter, since the real
+    # kernel stops restarting it), exactly like the jitted update
+    w_mean = np.zeros(n_l)
+    w_m2 = np.zeros(n_l)
+    w_tot = np.zeros(n_l)
+    w_j = np.zeros(n_l)
+    stopped = np.zeros(n_l, bool)
+    for j in range(3):
+        c = np.where(stopped, 0, counts[j])
+        lo = done.max()  # shared sample stream; per-lane slice by count
+        new_sum = per_frame[lo:lo + counts[j, 0]].sum(axis=0)
+        cum = cum + np.where(stopped, 0.0, new_sum)
+        done = done + c
+        live = ~stopped
+        x = np.where(live, new_sum / np.maximum(c, 1), 0.0)
+        w_new = w_tot + c
+        delta = x - w_mean
+        w_mean = np.where(live, w_mean + (c / np.maximum(w_new, 1)) * delta,
+                          w_mean)
+        w_m2 = np.where(live, w_m2 + c * delta * (x - w_mean), w_m2)
+        w_tot = np.where(live, w_new, w_tot)
+        w_j = np.where(live, w_j + 1, w_j)
+        sigma2 = w_m2 / np.maximum(w_j - 1, 1)
+        stderr2 = sigma2 / np.maximum(done, 1)
+        thresh = rtol * np.abs(cum / np.maximum(done, 1)) + atol
+        stopped |= live & (w_j >= 2) & (done >= minf) & (
+            stderr2 < thresh * thresh
+        )
+        # the jitted update sees the cumulative accumulator state; a
+        # stopped lane's accumulator and frame counter no longer move
+        rad = jnp.asarray(cum.reshape(1, 1, n_l))  # s_dim == 1
+        fid = jnp.asarray((done - 1).reshape(1, n_l).astype(np.uint32))
+        alive = jnp.zeros((1, n_l), jnp.float32)  # dead = frame complete
+        stop, *stats = upd(rad, fid, alive, stop, *stats)
+        np.testing.assert_allclose(
+            np.asarray(stats[2]).ravel(), w_mean, rtol=1e-4, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(stats[3]).ravel(), w_m2, rtol=1e-3, atol=1e-4
+        )
+        assert (np.asarray(stop).ravel() > 0.0).tolist() == stopped.tolist()
+    assert stopped.any() and not stopped.all()
+
+
 def test_adaptive_requires_free_running():
     arrays, config, obj_types, ht, he = _setup()
     with pytest.raises(ValueError):
