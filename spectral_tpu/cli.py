@@ -451,7 +451,9 @@ def build_parser() -> argparse.ArgumentParser:
                     "stopping: each pixel renders until the standard "
                     "error of its per-frame luminance mean is under "
                     "RTOL*|mean|+ATOL (at least MIN frames; iterations "
-                    "becomes the cap). E.g. --adaptive 16,0.02,1e-4")
+                    "becomes the cap; convergence is tested at launch "
+                    "boundaries, ~--persist-budget bounce iterations "
+                    "apart). E.g. --adaptive 16,0.02,1e-4")
     pr.add_argument("--profile",
                     help="capture a jax.profiler trace of the render into DIR")
     pr.set_defaults(func=cmd_render)

@@ -273,6 +273,28 @@ def test_phase_capacity_rejects_auto():
         _parse_phase("auto", allow_auto=False)
 
 
+def test_cli_adaptive_flag_validation(capsys):
+    """--adaptive requires --persist and a MIN,RTOL,ATOL triple; both
+    error paths must exit with a clear message rather than a traceback."""
+    from spectral_tpu.cli import main
+
+    rc = main([
+        "render", "--preset", "cornell", "--width", "16", "--height", "8",
+        "--iterations", "2", "--adaptive", "4,0.1,1e-4", "--quiet",
+        "--out", "/tmp/_noadaptive.png",
+    ])
+    assert rc == 2
+    assert "requires --persist" in capsys.readouterr().err
+
+    rc = main([
+        "render", "--preset", "cornell", "--width", "16", "--height", "8",
+        "--iterations", "2", "--persist", "--adaptive", "nonsense",
+        "--quiet", "--out", "/tmp/_noadaptive.png",
+    ])
+    assert rc == 2
+    assert "MIN,RTOL,ATOL" in capsys.readouterr().err
+
+
 def test_validate_rejects_nonpositive_iterations():
     from spectral_tpu.scene.schema import SceneError
 
