@@ -163,6 +163,40 @@ def build_sharded_persist_step(
     )
 
 
+def _sharded_finish(mesh, local_config, local_n_pad):
+    """Jitted shard_map per-pixel-average epilogue for sharded persist
+    (also serves as the per-launch live preview). Cached per (mesh,
+    config, padding) so repeated preview calls reuse one program."""
+    from jax.sharding import PartitionSpec as P
+
+    from spectral_tpu.parallel.mesh import ROW_AXIS
+    from spectral_tpu.render.pallas_integrator import _persist_finish_fn
+
+    key = (id(mesh), local_config, local_n_pad)
+    cached = _sharded_finish._cache.get(key)
+    if cached is not None:
+        return cached
+    local_finish = _persist_finish_fn(local_config, local_n_pad,
+                                      jit_host=False)
+
+    def fin(alive, fid, rad, xyzw, x2r):
+        return local_finish(alive, fid, rad, xyzw, x2r)
+
+    fn = jax.jit(jax.shard_map(
+        fin, mesh=mesh,
+        in_specs=(P(ROW_AXIS), P(ROW_AXIS), P(None, ROW_AXIS), P(), P()),
+        out_specs=P(ROW_AXIS),
+        check_vma=False,
+    ))
+    if len(_sharded_finish._cache) > 16:
+        _sharded_finish._cache.clear()
+    _sharded_finish._cache[key] = fn
+    return fn
+
+
+_sharded_finish._cache = {}
+
+
 def render_persistent_sharded(
     scene: SceneArrays,
     config: RenderConfig,
@@ -180,6 +214,7 @@ def render_persistent_sharded(
     adaptive: tuple | None = None,
     progress=None,
     should_abort=None,
+    preview=None,
 ):
     """Row-sharded ``render_persistent`` (free-running variant only).
 
@@ -213,7 +248,6 @@ def render_persistent_sharded(
         _MIN_TILE,
         _adapt_update_fn,
         _pack_geom_clusters,
-        _persist_finish_fn,
         _pick_tile,
         probe_path_cost,
     )
@@ -375,6 +409,11 @@ def render_persistent_sharded(
                 f"sharded persistent render exceeded {max_launches} "
                 f"launches (budget={budget}, n_frames={n_frames})"
             )
+        if preview is not None:
+            st_now = state
+            preview(lambda st=st_now: _sharded_finish(
+                mesh, local_config, local_n_pad
+            )(st[6], st[10], st[12], scene.xyz_weights, scene.xyz_to_rgb))
         if len(pending) >= 2:
             min_done = int(pending.pop(0))
             if min_done >= n_frames:
@@ -387,18 +426,9 @@ def render_persistent_sharded(
     for md in pending:
         min_done = max(min_done, int(md))
 
-    local_finish = _persist_finish_fn(local_config, local_n_pad,
-                                      jit_host=False)
-
-    def fin(alive, fid, rad, xyzw, x2r):
-        return local_finish(alive, fid, rad, xyzw, x2r)
-
-    rgb = jax.jit(jax.shard_map(
-        fin, mesh=mesh,
-        in_specs=(P(ROW_AXIS), P(ROW_AXIS), P(None, ROW_AXIS), P(), P()),
-        out_specs=P(ROW_AXIS),
-        check_vma=False,
-    ))(state[6], state[10], state[12], scene.xyz_weights, scene.xyz_to_rgb)
+    rgb = _sharded_finish(mesh, local_config, local_n_pad)(
+        state[6], state[10], state[12], scene.xyz_weights, scene.xyz_to_rgb,
+    )
 
     info = {
         "launches": launches, "frames_done": int(min_done),

@@ -775,9 +775,18 @@ def render_persistent(
     lane_perm: jax.Array | None = None,
     lane_inv: jax.Array | None = None,
     adaptive: tuple | None = None,
+    preview=None,
 ):
     """Render ``n_frames`` progressive frames with *persistent
     lane-asynchronous regeneration* and return ``(rgb_mean, info)``.
+
+    ``preview(make_rgb)`` is called once per launch with a zero-argument
+    closure that materializes the CURRENT per-pixel average (one small
+    jitted epilogue program over the carried state — the same estimator
+    the final image uses, just earlier); live viewers call it at their
+    own rate and skip it otherwise, so an unviewed render pays nothing.
+    The closure is valid ONLY inside the callback: the state it reads is
+    donated to the next launch as soon as the callback returns.
 
     ``adaptive=(min_frames, rtol, atol)`` enables per-pixel variance-
     adaptive stopping (free-running variant only). The statistics live on
@@ -1024,6 +1033,12 @@ def render_persistent(
                 f"persistent render exceeded {max_launches} launches "
                 f"(budget={budget}, n_frames={n_frames}) — scheduler bug"
             )
+        if preview is not None:
+            st_now = state  # bind THIS launch's state, not the loop var
+            preview(lambda st=st_now: _persist_finish_fn(
+                config, n_pad, jit_refill
+            )(st[6], st[10], st[12], scene.xyz_weights, scene.xyz_to_rgb,
+              lane_inv))
         if len(pending) >= 2:
             # one-launch-stale readback: blocks only on an already-retired
             # launch, so the device queue never drains

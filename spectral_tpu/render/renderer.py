@@ -956,6 +956,20 @@ class Renderer:
                     )
                 )
 
+        # live preview: refresh self.accum (what framebuffer() serves)
+        # from the carried state at most once a second — viewers polling
+        # framebuffer() during a persist render then see real progress
+        last_preview = [0.0]
+
+        def on_preview(make_rgb):
+            now = time.monotonic()
+            if now - last_preview[0] < 1.0:
+                return
+            last_preview[0] = now
+            rgb = make_rgb()
+            alpha = jnp.ones(rgb.shape[:2] + (1,), jnp.float32)
+            self.accum = jnp.concatenate([rgb, alpha], axis=-1)
+
         if self.sharding is not None:
             from spectral_tpu.parallel.sharding import (
                 render_persistent_sharded,
@@ -973,6 +987,7 @@ class Renderer:
                 progress=on_launch,
                 should_abort=abort,
                 adaptive=self.adaptive,
+                preview=on_preview if progress is not None else None,
             )
         else:
             rgb, info = render_persistent(
@@ -987,6 +1002,7 @@ class Renderer:
                 progress=on_launch,
                 should_abort=abort,
                 adaptive=self.adaptive,
+                preview=on_preview if progress is not None else None,
             )
         self.persist_info = info
         alpha = jnp.ones(rgb.shape[:2] + (1,), jnp.float32)

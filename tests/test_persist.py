@@ -186,3 +186,25 @@ def test_persist_progress_monotonic():
     assert dones == sorted(dones)
     launches = [l for _, l in seen]
     assert launches == list(range(1, len(launches) + 1))
+
+
+def test_persist_preview_closure_matches_final():
+    """The per-launch preview closure materializes the same estimator the
+    final image uses; at the LAST launch (all frames done) it must equal
+    the returned image bit-for-bit, and every preview is finite."""
+    arrays, config, obj_types, ht, he = _setup(w=16, h=8, bounces=3)
+    previews = []
+
+    def preview(make_rgb):
+        previews.append(np.asarray(make_rgb()))
+
+    rgb, info = render_persistent(
+        arrays, config, obj_types, n_frames=5, tile=128,
+        interpret=True, has_transmission=ht, has_emission=he,
+        ring_slots=0, budget=6, preview=preview,
+    )
+    assert len(previews) == info["launches"]
+    for p in previews:
+        assert p.shape == np.asarray(rgb).shape
+        assert np.isfinite(p).all()
+    assert (previews[-1] == np.asarray(rgb)).all()
