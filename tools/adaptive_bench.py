@@ -28,7 +28,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def bench_config(name: str, n_frames: int, minf: int, rtol: float,
-                 atol: float, budget: int | None) -> None:
+                 atol: float, budget: int | None,
+                 truth_frames: int = 0) -> None:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -87,6 +88,23 @@ def bench_config(name: str, n_frames: int, minf: int, rtol: float,
           f"RMSE vs fixed {rmse:.2e} ({100 * rmse / rms_img:.2f}% of "
           f"image RMS {rms_img:.3f}, max px {fix64.max():.1f})", flush=True)
 
+    if truth_frames:
+        # equal-quality framing: both estimators against a much longer
+        # fixed render — adaptive wins if it reaches the FIXED render's
+        # error in less time (the per-pixel tolerance spends samples only
+        # where the image still needs them)
+        rgb_truth, _ = render_persistent(
+            arrays, config, obj_types, n_frames=truth_frames, **kw)
+        truth = np.asarray(rgb_truth, np.float64)
+
+        def rmse_vs_truth(img):
+            return float(np.sqrt(((np.asarray(img, np.float64) - truth) ** 2).mean()))
+
+        print(f"[{name}] vs TRUTH({truth_frames}f): fixed({n_frames}f) "
+              f"rmse {rmse_vs_truth(rgb_fix):.3e} in {t_fix * 1e3:.0f} ms; "
+              f"adaptive rmse {rmse_vs_truth(rgb_ad):.3e} in "
+              f"{t_ad * 1e3:.0f} ms", flush=True)
+
 
 def main(argv=None) -> int:
     args = argv if argv is not None else sys.argv[1:]
@@ -105,8 +123,9 @@ def main(argv=None) -> int:
     rtol = flag("rtol", 0.02, float)
     atol = flag("atol", 1e-4, float)
     budget = flag("budget", None, int)
+    truth = flag("truth", 0, int)
     for n in names:
-        bench_config(n, frames, minf, rtol, atol, budget)
+        bench_config(n, frames, minf, rtol, atol, budget, truth_frames=truth)
     return 0
 
 
