@@ -399,9 +399,13 @@ def render_persistent_sharded(
         )
         state = tuple(new_state)
         if adaptive is not None:
-            stop, *ad_stats = adapt_update(
-                state[12], state[10], state[6], stop, *ad_stats,
+            # (lane compaction is single-chip only for now: a sharded
+            # repack would need a cross-shard permutation; the trailing
+            # n_work scalar is unused here)
+            stop, *rest = adapt_update(
+                state[12], state[10], state[6], stop, *ad_stats, end_arr,
             )
+            ad_stats = tuple(rest[:5])
         pending.append(md)
         launches += 1
         if launches > max_launches:

@@ -704,6 +704,30 @@ def _persist_refill_fn(
     return refill
 
 
+@functools.lru_cache(maxsize=8)
+def _compact_perm_fn(n_pad: int, s_dim: int):
+    """One jitted gather that relabels the ENTIRE carried persist state
+    (ray/flag planes, pixel coordinates, stop mask, adaptive stats,
+    throughput, radiance) by a lane permutation. Raygen — host and
+    in-kernel — is elementwise in (px, py), so relabeling is bit-exact:
+    it only changes WHICH tile computes a pixel (the cost_sort
+    precedent). Used to pack still-working lanes into the leading tiles
+    so fully-retired trailing tiles skip whole launches."""
+
+    @functools.partial(jax.jit, donate_argnums=tuple(range(1, 22)))
+    def perm(order, *planes):
+        def g(a):
+            flat = a.reshape(n_pad) if a.ndim == 2 else a.reshape(
+                s_dim, n_pad
+            )
+            out = flat[order] if a.ndim == 2 else flat[:, order]
+            return out.reshape(a.shape)
+
+        return tuple(g(a) for a in planes)
+
+    return perm
+
+
 @functools.lru_cache(maxsize=16)
 def _adapt_update_fn(n_pad: int, min_frames: int, rtol: float, atol: float):
     """Between-launch convergence update for variance-adaptive sampling.
@@ -730,7 +754,8 @@ def _adapt_update_fn(n_pad: int, min_frames: int, rtol: float, atol: float):
     atol = jnp.float32(atol)
 
     @functools.partial(jax.jit, donate_argnums=(4, 5, 6, 7, 8))
-    def update(rad, fid, alive, stop, prev_lum, prev_cnt, s_mean, s_m2, s_j):
+    def update(rad, fid, alive, stop, prev_lum, prev_cnt, s_mean, s_m2,
+               s_j, end):
         lum = jnp.sum(rad, axis=0)  # per-lane spectral luminance total
         cnt = (
             fid + jnp.where(alive <= 0.0, jnp.uint32(1), jnp.uint32(0))
@@ -749,7 +774,12 @@ def _adapt_update_fn(n_pad: int, min_frames: int, rtol: float, atol: float):
             sigma2 < thresh * thresh * cnt
         )
         stop_new = jnp.where(upd & conv, 1.0, stop)
-        return stop_new, lum, cnt, mean_new, m2_new, j_new
+        # working-lane count feeds the compaction trigger one-launch-stale
+        workable = (alive > 0.0) | (
+            (stop_new <= 0.0) & (cnt < end.astype(jnp.float32))
+        )
+        n_work = jnp.sum(workable.astype(jnp.int32))
+        return stop_new, lum, cnt, mean_new, m2_new, j_new, n_work
 
     return update
 
@@ -775,6 +805,7 @@ def render_persistent(
     lane_perm: jax.Array | None = None,
     lane_inv: jax.Array | None = None,
     adaptive: tuple | None = None,
+    compact: bool = True,
     preview=None,
 ):
     """Render ``n_frames`` progressive frames with *persistent
@@ -809,6 +840,18 @@ def render_persistent(
     finishes its in-flight frame (no partial-frame bias). The returned
     image is each pixel's average over its own completed frames, and
     ``info`` gains ``min_counts`` / ``max_counts`` / ``mean_counts``.
+
+    ``compact`` (default on, adaptive only) adds *launch-boundary lane
+    compaction*: a lane-level stop only saves work when its WHOLE tile
+    retires, and scattered convergence rarely empties a tile — so when
+    the working-lane count falls under 3/4 of the last packing, the
+    carried state is relabeled (stable sort: working lanes first,
+    preserving their spatial order) by one jitted gather, and the
+    fully-retired trailing tiles then skip every remaining launch via
+    the whole-launch guard. Relabeling is bit-exact (raygen is
+    elementwise in the carried px/py planes — the ``cost_sort``
+    precedent), so ``compact`` changes which tile computes a pixel and
+    NOTHING else; ``info["compactions"]`` counts the repacks.
 
     ``cost_sort=N > 0`` probes per-pixel path cost over N frames and
     assigns pixels to lanes in descending-cost order (bit-exact
@@ -970,13 +1013,31 @@ def render_persistent(
     )
     state = tuple(state)
     if adaptive is not None:
+        import numpy as _np
+
         # host-side convergence state: stop mask (the only plane the
-        # kernel sees) + five stat planes for the between-launch update
-        stop = jnp.zeros((rows, mk.LANE), jnp.float32)
+        # kernel sees) + five stat planes for the between-launch update.
+        # Padding lanes start stopped: the kernel's valid gate already
+        # blocks them, and under compaction they can drift into the
+        # leading [:n] scheduler window, where an unstopped dead lane
+        # would pin min_done at 1 forever.
+        stop_np = _np.zeros(n_pad, _np.float32)
+        stop_np[n:] = 1.0
+        stop = jnp.asarray(stop_np.reshape(rows, mk.LANE))
         ad_stats = tuple(
             jnp.zeros((rows, mk.LANE), jnp.float32) for _ in range(5)
         )
         adapt_update = _adapt_update_fn(n_pad, *adaptive)
+        # compaction bookkeeping: which pixel lives in each lane slot
+        # (-1 = padding), and the working-lane count at the last packing
+        pixel_of_slot = _np.full(n_pad, -1, _np.int64)
+        pixel_of_slot[:n] = (
+            _np.asarray(lane_perm) if lane_perm is not None
+            else _np.arange(n)
+        )
+        packed_workable = n
+        compactions = 0
+        compact_fn = _compact_perm_fn(n_pad, s_dim) if compact else None
 
     # --- primary ring (ring variant only): frames 1 .. lead-1 resident
     if ring_slots:
@@ -1011,6 +1072,8 @@ def render_persistent(
     max_launches = 16 + 8 * (
         (n_frames * config.max_bounces) // max(budget, 1) + 1
     )
+    pending_work: list = []
+    cur_lane_inv = lane_inv  # re-derived after every compaction
     while True:
         st = step(
             *state[:6], px_l, py_l, *state[6:13],
@@ -1023,9 +1086,45 @@ def render_persistent(
             # accumulator to per-lane luminance and refreshes the stop
             # mask the NEXT launch will see (stats stay on-device; the
             # update enqueues behind the launch, preserving the pipeline)
-            stop, *ad_stats = adapt_update(
-                state[12], state[10], state[6], stop, *ad_stats,
+            stop, *rest = adapt_update(
+                state[12], state[10], state[6], stop, *ad_stats, end_arr,
             )
+            ad_stats, n_work_dev = tuple(rest[:5]), rest[5]
+            pending_work.append(n_work_dev)
+            if compact_fn is not None and len(pending_work) >= 2:
+                # one-launch-stale working count; repack when the packing
+                # is 25% hollow AND at least one whole tile would empty
+                n_work = int(pending_work.pop(0))
+                if 0 < n_work < packed_workable - max(
+                    packed_workable // 4, tile
+                ):
+                    import numpy as _np
+
+                    alive_f = _np.asarray(state[6]).reshape(-1)
+                    fid_f = _np.asarray(state[10]).reshape(-1)
+                    stop_f = _np.asarray(stop).reshape(-1)
+                    done_f = fid_f + (alive_f <= 0.0)
+                    workable = (alive_f > 0.0) | (
+                        (stop_f <= 0.0) & (done_f < n_frames)
+                    )
+                    order_np = _np.argsort(
+                        ~workable, kind="stable"
+                    ).astype(_np.int32)
+                    out = compact_fn(
+                        jnp.asarray(order_np), *state[:11], px_l, py_l,
+                        stop, *ad_stats, state[11], state[12],
+                    )
+                    state = out[:11] + (out[19], out[20])
+                    px_l, py_l = out[11], out[12]
+                    stop = out[13]
+                    ad_stats = tuple(out[14:19])
+                    pixel_of_slot = pixel_of_slot[order_np]
+                    packed_workable = int(workable.sum())
+                    compactions += 1
+                    inv_np = _np.zeros(n, _np.int32)
+                    slots = _np.nonzero(pixel_of_slot >= 0)[0]
+                    inv_np[pixel_of_slot[slots]] = slots.astype(_np.int32)
+                    cur_lane_inv = jnp.asarray(inv_np)
         pending.append(md)
         launches += 1
         if launches > max_launches:
@@ -1035,10 +1134,10 @@ def render_persistent(
             )
         if preview is not None:
             st_now = state  # bind THIS launch's state, not the loop var
-            preview(lambda st=st_now: _persist_finish_fn(
+            preview(lambda st=st_now, inv=cur_lane_inv: _persist_finish_fn(
                 config, n_pad, jit_refill
             )(st[6], st[10], st[12], scene.xyz_weights, scene.xyz_to_rgb,
-              lane_inv))
+              inv))
         if len(pending) >= 2:
             # one-launch-stale readback: blocks only on an already-retired
             # launch, so the device queue never drains
@@ -1065,7 +1164,7 @@ def render_persistent(
 
     rgb = _persist_finish_fn(config, n_pad, jit_refill)(
         state[6], state[10], state[12], scene.xyz_weights, scene.xyz_to_rgb,
-        lane_inv,
+        cur_lane_inv,
     )
     info = {
         "launches": launches, "frames_done": int(min_done),
@@ -1075,12 +1174,14 @@ def render_persistent(
     if adaptive is not None:
         import numpy as _np
 
-        fid_f = _np.asarray(state[10]).reshape(-1)[:n].astype(_np.int64)
-        dead = _np.asarray(state[6]).reshape(-1)[:n] <= 0.0
-        counts = fid_f + dead  # a dead lane completed its current frame
-        if lane_inv is not None:
-            counts = counts[_np.asarray(lane_inv)]  # back to pixel order
+        fid_s = _np.asarray(state[10]).reshape(-1).astype(_np.int64)
+        dead_s = _np.asarray(state[6]).reshape(-1) <= 0.0
+        counts_slot = fid_s + dead_s  # a dead lane completed its frame
+        slots = _np.nonzero(pixel_of_slot >= 0)[0]
+        counts = _np.empty(n, _np.int64)
+        counts[pixel_of_slot[slots]] = counts_slot[slots]
         info.update(
+            compactions=compactions,
             min_counts=int(counts.min()),
             max_counts=int(counts.max()),
             mean_counts=float(counts.mean()),

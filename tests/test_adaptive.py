@@ -181,7 +181,9 @@ def test_adapt_update_weighted_welford_math():
         rad = jnp.asarray(cum.reshape(1, 1, n_l))  # s_dim == 1
         fid = jnp.asarray((done - 1).reshape(1, n_l).astype(np.uint32))
         alive = jnp.zeros((1, n_l), jnp.float32)  # dead = frame complete
-        stop, *stats = upd(rad, fid, alive, stop, *stats)
+        stop, *stats, n_work = upd(
+            rad, fid, alive, stop, *stats, jnp.uint32(1000)
+        )
         np.testing.assert_allclose(
             np.asarray(stats[2]).ravel(), w_mean, rtol=1e-4, atol=1e-6
         )
@@ -190,6 +192,31 @@ def test_adapt_update_weighted_welford_math():
         )
         assert (np.asarray(stop).ravel() > 0.0).tolist() == stopped.tolist()
     assert stopped.any() and not stopped.all()
+
+
+def test_adaptive_compaction_is_bit_exact():
+    """Launch-boundary lane compaction relabels which TILE computes a
+    pixel and nothing else: with and without it, images and per-pixel
+    counts are bit-identical. The tiny budget (< one frame of bounce
+    iterations) staggers each lane's frame completions, so stops arrive
+    in waves and the repack actually fires mid-render."""
+    arrays, config, obj_types, ht, he = _setup(iters=16)
+    kw = dict(
+        interpret=True, has_transmission=ht, has_emission=he,
+        ring_slots=0, budget=3, adaptive=(2, 1e9, 1e9),
+    )
+    plain, info_p = render_persistent(
+        arrays, config, obj_types, n_frames=16, tile=128, compact=False,
+        **kw,
+    )
+    packed, info_c = render_persistent(
+        arrays, config, obj_types, n_frames=16, tile=128, compact=True,
+        **kw,
+    )
+    assert info_p["compactions"] == 0
+    assert info_c["compactions"] >= 1
+    assert (np.asarray(plain) == np.asarray(packed)).all()
+    assert (info_p["counts"] == info_c["counts"]).all()
 
 
 def test_adaptive_requires_free_running():
