@@ -391,6 +391,85 @@ def main_rmse(iterations: int = 1000) -> None:
     )
 
 
+def main_adaptive(config_name: str = "prism", n_frames: int = 1000,
+                  minf: int = 32, rtol: float = 0.03,
+                  atol: float = 1e-4) -> None:
+    """Variance-adaptive quality-target mode (a capability the reference
+    lacks): per-pixel stopping on the persist kernel at an rtol standard
+    -error tolerance, against the fixed-count persist render at the same
+    frame cap. Reports the wall-clock speedup, the per-pixel frame-count
+    distribution, and the relative RMSE the early stops introduce."""
+    import numpy as np
+
+    _enable_compile_cache()
+    _arm_watchdog()
+    from spectral_tpu.render.pallas_integrator import render_persistent
+    from spectral_tpu.scene.flatten import flatten_scene
+
+    scene, desc = _make_scene(config_name)
+    arrays, config = flatten_scene(scene)
+    obj_types = tuple(np.asarray(arrays.obj_type).tolist())
+    kw = dict(
+        has_transmission=bool(np.asarray(arrays.transmission).any()),
+        has_emission=bool(np.asarray(arrays.emission).any()),
+        ring_slots=0,
+    )
+    if config.n_objects > 64:
+        from spectral_tpu.ops.pallas.megakernel import plan_clusters
+
+        kw["clusters"] = plan_clusters(
+            np.asarray(arrays.aabb_min), np.asarray(arrays.aabb_max),
+            obj_types, cluster_size=64,
+            camera_pos=np.asarray(arrays.cam_pos)[:3],
+        )
+
+    rgb_fix, _ = render_persistent(
+        arrays, config, obj_types, n_frames=n_frames, **kw)  # compile
+    jax.block_until_ready(rgb_fix)
+    t0 = time.perf_counter()
+    rgb_fix, _ = render_persistent(
+        arrays, config, obj_types, n_frames=n_frames, **kw)
+    jax.block_until_ready(rgb_fix)
+    t_fix = time.perf_counter() - t0
+
+    ad = (minf, rtol, atol)
+    rgb_ad, info = render_persistent(
+        arrays, config, obj_types, n_frames=n_frames, adaptive=ad, **kw)
+    jax.block_until_ready(rgb_ad)
+    t0 = time.perf_counter()
+    rgb_ad, info = render_persistent(
+        arrays, config, obj_types, n_frames=n_frames, adaptive=ad, **kw)
+    jax.block_until_ready(rgb_ad)
+    t_ad = time.perf_counter() - t0
+
+    fix64 = np.asarray(rgb_fix, np.float64)
+    rmse = float(np.sqrt(((np.asarray(rgb_ad, np.float64) - fix64) ** 2).mean()))
+    rms_img = float(np.sqrt((fix64 ** 2).mean()))
+    print(
+        json.dumps(
+            {
+                "metric": f"{config_name}_adaptive_speedup",
+                "value": round(t_fix / t_ad, 3),
+                "unit": "x_vs_fixed_persist",
+                "vs_baseline": round(t_fix / t_ad, 3),
+                "detail": {
+                    "config": f"{desc}; adaptive {ad} vs fixed persist, "
+                    f"{n_frames}-frame cap",
+                    "fixed_seconds": round(t_fix, 3),
+                    "adaptive_seconds": round(t_ad, 3),
+                    "mean_counts": round(info["mean_counts"], 1),
+                    "min_counts": info["min_counts"],
+                    "max_counts": info["max_counts"],
+                    "compactions": info["compactions"],
+                    "launches": info["launches"],
+                    "rel_rmse_vs_fixed": round(rmse / max(rms_img, 1e-9), 5),
+                },
+            }
+        ),
+        flush=True,
+    )
+
+
 def _run_config(cfg: str, tile) -> bool:
     """Run one config; returns True on success. A timeout or crash in one
     config prints an error JSON line instead of aborting the process, so
@@ -398,6 +477,9 @@ def _run_config(cfg: str, tile) -> bool:
     try:
         if cfg == "default_rmse":
             main_rmse()
+        elif cfg.startswith("adaptive"):
+            name = cfg.split(":", 1)[1] if ":" in cfg else "prism"
+            main_adaptive(name)
         else:
             main(cfg, tile)
         return True

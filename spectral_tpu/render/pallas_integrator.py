@@ -839,7 +839,9 @@ def render_persistent(
     tests. ``n_frames`` becomes the per-pixel CAP; a stopped lane
     finishes its in-flight frame (no partial-frame bias). The returned
     image is each pixel's average over its own completed frames, and
-    ``info`` gains ``min_counts`` / ``max_counts`` / ``mean_counts``.
+    ``info`` gains ``min_counts`` / ``max_counts`` / ``mean_counts``,
+    the full per-pixel ``counts`` array (image row-major), and
+    ``compactions``.
 
     ``compact`` (default on, adaptive only) adds *launch-boundary lane
     compaction*: a lane-level stop only saves work when its WHOLE tile
