@@ -289,7 +289,6 @@ def build_megakernel(
             "lane_stop needs the free-running persist kernel "
             "(persist=(0, budget))"
         )
-        ad_minf = np.float32(ad_minf)
     n_obj = len(obj_types)
     n_lights = config.n_lights
     s_dim = config.n_samples

@@ -260,6 +260,24 @@ def render_persistent_sharded(
             f"image height {config.height} must be divisible by the mesh "
             f"size {n_dev}"
         )
+    if config.n_objects == 0:
+        # mirror render_persistent's black-image early return (a 0-object
+        # megakernel is not buildable)
+        n_px = config.width * config.height
+        info = {"launches": 0, "frames_done": n_frames, "budget": 0,
+                "ring_slots": 0, "tile": 0, "aborted": False,
+                "n_devices": n_dev}
+        if adaptive is not None:
+            info.update(
+                min_counts=n_frames, max_counts=n_frames,
+                mean_counts=float(n_frames), compactions=0,
+                counts=np.full(n_px, n_frames, np.int64),
+                adaptive=tuple(adaptive),
+            )
+        return (
+            jnp.zeros((config.height, config.width, 3), jnp.float32),
+            info,
+        )
     if adaptive is not None:
         adaptive = (int(adaptive[0]), float(adaptive[1]), float(adaptive[2]))
         if adaptive[0] < 2:
@@ -440,8 +458,12 @@ def render_persistent_sharded(
         "aborted": aborted, "n_devices": n_dev,
     }
     if adaptive is not None:
-        fid_np = np.asarray(state[10]).reshape(n_dev, local_n_pad)
-        alive_np = np.asarray(state[6]).reshape(n_dev, local_n_pad)
+        from spectral_tpu.parallel.distributed import fetch_global
+
+        # fetch_global handles non-fully-addressable planes on
+        # multi-process meshes (np.asarray would raise there)
+        fid_np = fetch_global(state[10]).reshape(n_dev, local_n_pad)
+        alive_np = fetch_global(state[6]).reshape(n_dev, local_n_pad)
         counts = (
             fid_np[:, :local_n].astype(np.int64)
             + (alive_np[:, :local_n] <= 0.0)

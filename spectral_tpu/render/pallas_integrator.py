@@ -774,12 +774,20 @@ def _adapt_update_fn(n_pad: int, min_frames: int, rtol: float, atol: float):
             sigma2 < thresh * thresh * cnt
         )
         stop_new = jnp.where(upd & conv, 1.0, stop)
+        # snapshots advance ONLY where a sample was taken: a launch in
+        # which a lane completes zero frames leaves its partial-frame
+        # radiance in the accumulator delta, so the frame's FULL
+        # luminance lands in the next dc > 0 sample instead of being
+        # silently absorbed (small budgets would otherwise sample only
+        # frame tails and underestimate the per-frame variance)
+        lum_out = jnp.where(upd, lum, prev_lum)
+        cnt_out = jnp.where(upd, cnt, prev_cnt)
         # working-lane count feeds the compaction trigger one-launch-stale
         workable = (alive > 0.0) | (
             (stop_new <= 0.0) & (cnt < end.astype(jnp.float32))
         )
         n_work = jnp.sum(workable.astype(jnp.int32))
-        return stop_new, lum, cnt, mean_new, m2_new, j_new, n_work
+        return stop_new, lum_out, cnt_out, mean_new, m2_new, j_new, n_work
 
     return update
 
@@ -907,10 +915,20 @@ def render_persistent(
         raise ValueError("n_frames must be >= 1")
     n = config.width * config.height
     if config.n_objects == 0:
+        info = {"launches": 0, "frames_done": n_frames, "budget": 0,
+                "ring_slots": 0, "tile": 0, "aborted": False}
+        if adaptive is not None:
+            import numpy as _np
+
+            info.update(
+                min_counts=n_frames, max_counts=n_frames,
+                mean_counts=float(n_frames), compactions=0,
+                counts=_np.full(n, n_frames, _np.int64),
+                adaptive=tuple(adaptive),
+            )
         return (
             jnp.zeros((config.height, config.width, 3), dtype=jnp.float32),
-            {"launches": 0, "frames_done": n_frames, "budget": 0,
-             "ring_slots": 0, "tile": 0},
+            info,
         )
     s_dim = config.n_samples
     if ring_slots is None:
@@ -1092,7 +1110,8 @@ def render_persistent(
                 state[12], state[10], state[6], stop, *ad_stats, end_arr,
             )
             ad_stats, n_work_dev = tuple(rest[:5]), rest[5]
-            pending_work.append(n_work_dev)
+            if compact_fn is not None:
+                pending_work.append(n_work_dev)
             if compact_fn is not None and len(pending_work) >= 2:
                 # one-launch-stale working count; repack when the packing
                 # is 25% hollow AND at least one whole tile would empty

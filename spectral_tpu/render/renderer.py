@@ -970,6 +970,19 @@ class Renderer:
             alpha = jnp.ones(rgb.shape[:2] + (1,), jnp.float32)
             self.accum = jnp.concatenate([rgb, alpha], axis=-1)
 
+        kwargs = dict(
+            n_frames=total,
+            interpret=self._interpret,
+            has_transmission=self.has_transmission,
+            has_emission=self.has_emission,
+            clusters=self.clusters,
+            budget=self.persist_budget,
+            frames_per_launch=self.persist_fpl,
+            progress=on_launch,
+            should_abort=abort,
+            adaptive=self.adaptive,
+            preview=on_preview if progress is not None else None,
+        )
         if self.sharding is not None:
             from spectral_tpu.parallel.sharding import (
                 render_persistent_sharded,
@@ -977,32 +990,11 @@ class Renderer:
 
             rgb, info = render_persistent_sharded(
                 self.scene_arrays, self.config, self.obj_types,
-                self.sharding.mesh, n_frames=total,
-                interpret=self._interpret,
-                has_transmission=self.has_transmission,
-                has_emission=self.has_emission,
-                clusters=self.clusters,
-                budget=self.persist_budget,
-                frames_per_launch=self.persist_fpl,
-                progress=on_launch,
-                should_abort=abort,
-                adaptive=self.adaptive,
-                preview=on_preview if progress is not None else None,
+                self.sharding.mesh, **kwargs,
             )
         else:
             rgb, info = render_persistent(
-                self.scene_arrays, self.config, self.obj_types,
-                n_frames=total,
-                interpret=self._interpret,
-                has_transmission=self.has_transmission,
-                has_emission=self.has_emission,
-                clusters=self.clusters,
-                budget=self.persist_budget,
-                frames_per_launch=self.persist_fpl,
-                progress=on_launch,
-                should_abort=abort,
-                adaptive=self.adaptive,
-                preview=on_preview if progress is not None else None,
+                self.scene_arrays, self.config, self.obj_types, **kwargs,
             )
         self.persist_info = info
         alpha = jnp.ones(rgb.shape[:2] + (1,), jnp.float32)

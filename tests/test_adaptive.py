@@ -219,6 +219,42 @@ def test_adaptive_compaction_is_bit_exact():
     assert (info_p["counts"] == info_c["counts"]).all()
 
 
+def test_adapt_update_skips_partial_frame_launches():
+    """A launch in which a lane completes ZERO frames must not move any
+    of its statistics OR its snapshots: the in-flight frame's radiance
+    stays in the accumulator delta so the frame's FULL luminance lands
+    in the next real sample (small budgets would otherwise sample only
+    frame tails and underestimate the per-frame variance)."""
+    import jax.numpy as jnp
+
+    from spectral_tpu.render.pallas_integrator import _adapt_update_fn
+
+    upd = _adapt_update_fn(128, 2, 0.1, 1e-3)
+
+    def call(lum_total, fid, alive, stop, stats):
+        rad = jnp.full((1, 1, 128), lum_total, jnp.float32)
+        fid_a = jnp.full((1, 128), fid, jnp.uint32)
+        alive_a = jnp.full((1, 128), alive, jnp.float32)
+        return upd(rad, fid_a, alive_a, stop, *stats, jnp.uint32(100))
+
+    stop = jnp.zeros((1, 128), jnp.float32)
+    stats = [jnp.zeros((1, 128), jnp.float32) for _ in range(5)]
+    # launch 1: frames 0-1 complete (dead), total luminance 4.0
+    stop, *out = call(4.0, fid=1, alive=0.0, stop=stop, stats=stats)
+    stats1 = [np.asarray(a) for a in out[:5]]
+    # launch 2: mid-frame 2 (alive, fid=2, cnt still 2) — radiance grew
+    stop, *out = call(6.0, fid=2, alive=1.0, stop=stop, stats=out[:5])
+    stats2 = [np.asarray(a) for a in out[:5]]
+    for a, b in zip(stats1, stats2):
+        assert (a == b).all()  # nothing moved, snapshots included
+    # launch 3: frame 2 completes with total 7.0 — the sample must be
+    # the FULL frame (7.0 - 4.0), not just the post-launch-2 tail (1.0)
+    stop, *out = call(7.0, fid=2, alive=0.0, stop=stop, stats=out[:5])
+    mean = np.asarray(out[2]).ravel()
+    # weighted mean of samples (2.0 w=2, 3.0 w=1) = (4 + 3) / 3
+    np.testing.assert_allclose(mean, 7.0 / 3.0, rtol=1e-6)
+
+
 def test_adaptive_requires_free_running():
     arrays, config, obj_types, ht, he = _setup()
     with pytest.raises(ValueError):
