@@ -143,6 +143,7 @@ def cmd_render(args) -> int:
             persist=args.persist,
             persist_budget=args.persist_budget,
             adaptive=adaptive,
+            _interpret=args.interpret,
         )
 
     renderer = build_renderer(scene)
@@ -454,6 +455,9 @@ def build_parser() -> argparse.ArgumentParser:
                     "becomes the cap; convergence is tested at launch "
                     "boundaries, ~--persist-budget bounce iterations "
                     "apart). E.g. --adaptive 16,0.02,1e-4")
+    pr.add_argument("--interpret", action="store_true",
+                    help="debug: run Pallas kernels in interpret mode "
+                    "(slow; lets --persist/--adaptive run on CPU hosts)")
     pr.add_argument("--profile",
                     help="capture a jax.profiler trace of the render into DIR")
     pr.set_defaults(func=cmd_render)

@@ -163,6 +163,15 @@ def build_sharded_persist_step(
     )
 
 
+def _scalar(x) -> int:
+    """Read a replicated scalar from a (possibly multi-process) global
+    array: ``int()`` requires full addressability, but a replicated
+    out_spec means any local shard holds the value."""
+    if getattr(x, "is_fully_addressable", True):
+        return int(x)
+    return int(x.addressable_data(0))
+
+
 def _sharded_finish(mesh, local_config, local_n_pad):
     """Jitted shard_map per-pixel-average epilogue for sharded persist
     (also serves as the per-launch live preview). Cached per (mesh,
@@ -437,7 +446,7 @@ def render_persistent_sharded(
                 mesh, local_config, local_n_pad
             )(st[6], st[10], st[12], scene.xyz_weights, scene.xyz_to_rgb))
         if len(pending) >= 2:
-            min_done = int(pending.pop(0))
+            min_done = _scalar(pending.pop(0))
             if min_done >= n_frames:
                 break
         if progress is not None:
@@ -446,7 +455,7 @@ def render_persistent_sharded(
             aborted = True
             break
     for md in pending:
-        min_done = max(min_done, int(md))
+        min_done = max(min_done, _scalar(md))
 
     rgb = _sharded_finish(mesh, local_config, local_n_pad)(
         state[6], state[10], state[12], scene.xyz_weights, scene.xyz_to_rgb,

@@ -68,3 +68,40 @@ def test_two_process_render_matches_single_process(tmp_path):
     # rows are pixel-disjoint; SPMD partitioning may reassociate f32 ops
     assert got.shape == want.shape
     assert np.allclose(got, want, atol=1e-5)
+
+
+def test_two_process_persist_adaptive(tmp_path):
+    """Sharded persist + adaptive stopping across TWO processes: the
+    launch loop reads replicated pmin scalars and the adaptive epilogue
+    all-gathers non-addressable count planes — both multi-process-only
+    code paths."""
+    port = _free_port()
+    out = tmp_path / "dist_persist.png"
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+    def proc(pid: int) -> subprocess.Popen:
+        return subprocess.Popen(
+            [
+                sys.executable, "-m", "spectral_tpu", "--platform", "cpu",
+                "render", "--preset", "default", "--width", "16",
+                "--height", "24", "--iterations", "4", "--bounces", "2",
+                "--samples", "8", "--mesh", "8", "--quiet",
+                "--persist", "--persist-budget", "16", "--interpret",
+                "--adaptive", "2,1e9,1e9",
+                "--coordinator", f"localhost:{port}",
+                "--num-processes", "2", "--process-id", str(pid),
+                "--out", str(out),
+            ],
+            env=env,
+            stderr=subprocess.PIPE,
+        )
+
+    p0, p1 = proc(0), proc(1)
+    _, err0 = p0.communicate(timeout=540)
+    _, err1 = p1.communicate(timeout=60)
+    assert p0.returncode == 0, err0.decode(errors="replace")
+    assert p1.returncode == 0, err1.decode(errors="replace")
+    assert out.exists()
+    text = err0.decode(errors="replace")
+    assert "adaptive:" in text  # per-pixel count report reached stderr
