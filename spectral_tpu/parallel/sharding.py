@@ -172,28 +172,40 @@ def _scalar(x) -> int:
     return int(x.addressable_data(0))
 
 
-def _sharded_finish(mesh, local_config, local_n_pad):
+def _sharded_finish(mesh, local_config, local_n_pad, with_inv: bool = False):
     """Jitted shard_map per-pixel-average epilogue for sharded persist
     (also serves as the per-launch live preview). Cached per (mesh,
-    config, padding) so repeated preview calls reuse one program."""
+    config, padding) so repeated preview calls reuse one program.
+    ``with_inv`` adds a per-shard LOCAL pixel->slot table (compaction is
+    shard-local, so pixels never leave their shard)."""
     from jax.sharding import PartitionSpec as P
 
     from spectral_tpu.parallel.mesh import ROW_AXIS
     from spectral_tpu.render.pallas_integrator import _persist_finish_fn
 
-    key = (id(mesh), local_config, local_n_pad)
+    key = (id(mesh), local_config, local_n_pad, with_inv)
     cached = _sharded_finish._cache.get(key)
     if cached is not None:
         return cached
     local_finish = _persist_finish_fn(local_config, local_n_pad,
                                       jit_host=False)
 
-    def fin(alive, fid, rad, xyzw, x2r):
-        return local_finish(alive, fid, rad, xyzw, x2r)
+    if with_inv:
+        def fin(alive, fid, rad, xyzw, x2r, inv):
+            return local_finish(alive, fid, rad, xyzw, x2r,
+                                inv.reshape(-1))
+
+        in_specs = (P(ROW_AXIS), P(ROW_AXIS), P(None, ROW_AXIS), P(), P(),
+                    P(ROW_AXIS))
+    else:
+        def fin(alive, fid, rad, xyzw, x2r):
+            return local_finish(alive, fid, rad, xyzw, x2r)
+
+        in_specs = (P(ROW_AXIS), P(ROW_AXIS), P(None, ROW_AXIS), P(), P())
 
     fn = jax.jit(jax.shard_map(
         fin, mesh=mesh,
-        in_specs=(P(ROW_AXIS), P(ROW_AXIS), P(None, ROW_AXIS), P(), P()),
+        in_specs=in_specs,
         out_specs=P(ROW_AXIS),
         check_vma=False,
     ))
@@ -204,6 +216,36 @@ def _sharded_finish(mesh, local_config, local_n_pad):
 
 
 _sharded_finish._cache = {}
+
+
+def _sharded_compact_fn(mesh, local_n_pad: int, s_dim: int):
+    """Jitted shard_map gather that relabels each shard's carried persist
+    state by a shard-LOCAL lane permutation (compaction never crosses
+    shards — a pixel's rows stay on its device, so the repack is a
+    block-diagonal permutation with zero collectives)."""
+    from jax.sharding import PartitionSpec as P
+
+    from spectral_tpu.parallel.mesh import ROW_AXIS
+
+    def fn(order, *planes):
+        idx = order.reshape(-1)
+
+        def g(a):
+            if a.ndim == 2:
+                return a.reshape(local_n_pad)[idx].reshape(a.shape)
+            return a.reshape(s_dim, local_n_pad)[:, idx].reshape(a.shape)
+
+        return tuple(g(a) for a in planes)
+
+    plane = P(ROW_AXIS)
+    spec = P(None, ROW_AXIS)
+    # order + 19 lane planes (11 state, px, py, stop, 5 stats) + thr + rad
+    return jax.jit(jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(plane,) * 20 + (spec, spec),
+        out_specs=(plane,) * 19 + (spec, spec),
+        check_vma=False,
+    ), donate_argnums=tuple(range(1, 22)))
 
 
 def render_persistent_sharded(
@@ -221,6 +263,7 @@ def render_persistent_sharded(
     clusters: tuple | None = None,
     member_unroll: int = 8,
     adaptive: tuple | None = None,
+    compact: bool = True,
     progress=None,
     should_abort=None,
     preview=None,
@@ -391,14 +434,34 @@ def render_persistent_sharded(
         px_l, py_l, valid_l,
     ))
     if adaptive is not None:
+        # padding lanes start stopped (the kernel's valid gate blocks
+        # them anyway, but under compaction they can drift into the
+        # leading scheduler window where an unstopped dead lane would
+        # pin the pmin forever)
         stop = jax.device_put(
-            np.zeros((rows_g, mk.LANE), np.float32), plane_sh
+            (1.0 - valid_np.reshape(rows_g, mk.LANE)).astype(np.float32),
+            plane_sh,
         )
         ad_stats = tuple(
             jax.device_put(np.zeros((rows_g, mk.LANE), np.float32), plane_sh)
             for _ in range(5)
         )
         adapt_update = _adapt_update_fn(rows_g * mk.LANE, *adaptive)
+        # compaction bookkeeping: GLOBAL pixel id living in each slot
+        # (-1 = padding); shard d's pixels are the contiguous global
+        # range [d*local_n, (d+1)*local_n) and never leave their shard
+        pixel_of_slot = np.full(n_dev * local_n_pad, -1, np.int64)
+        for d in range(n_dev):
+            pixel_of_slot[d * local_n_pad:d * local_n_pad + local_n] = (
+                np.arange(local_n) + d * local_n
+            )
+        packed_workable = n_dev * local_n
+        compactions = 0
+        compact_fn = (
+            _sharded_compact_fn(mesh, local_n_pad, s_dim) if compact
+            else None
+        )
+        inv_plane = None  # per-shard LOCAL pixel->slot, set on repack
 
     step = build_sharded_persist_step(
         mesh, local_config, obj_types, tile, budget, interpret,
@@ -412,9 +475,22 @@ def render_persistent_sharded(
         np.zeros((rows_g, mk.LANE), np.float32), plane_sh
     )
     pending: list = []
+    pending_work: list = []
     launches = 0
     min_done = 0
     aborted = False
+    if adaptive is None:
+        inv_plane = None
+
+    def _do_finish(st, iv):
+        if iv is None:
+            return _sharded_finish(mesh, local_config, local_n_pad)(
+                st[6], st[10], st[12],
+                scene.xyz_weights, scene.xyz_to_rgb,
+            )
+        return _sharded_finish(
+            mesh, local_config, local_n_pad, with_inv=True
+        )(st[6], st[10], st[12], scene.xyz_weights, scene.xyz_to_rgb, iv)
     max_launches = 16 + 8 * (
         (n_frames * config.max_bounces) // max(budget, 1) + 1
     )
@@ -426,13 +502,61 @@ def render_persistent_sharded(
         )
         state = tuple(new_state)
         if adaptive is not None:
-            # (lane compaction is single-chip only for now: a sharded
-            # repack would need a cross-shard permutation; the trailing
-            # n_work scalar is unused here)
             stop, *rest = adapt_update(
                 state[12], state[10], state[6], stop, *ad_stats, end_arr,
             )
-            ad_stats = tuple(rest[:5])
+            ad_stats, n_work_dev = tuple(rest[:5]), rest[5]
+            if compact_fn is not None:
+                pending_work.append(n_work_dev)
+            if compact_fn is not None and len(pending_work) >= 2:
+                n_work = _scalar(pending_work.pop(0))
+                if 0 < n_work < packed_workable - max(
+                    packed_workable // 4, tile
+                ):
+                    # shard-LOCAL repack (block-diagonal permutation, no
+                    # collectives): working lanes first within each shard
+                    from spectral_tpu.parallel.distributed import (
+                        fetch_global,
+                    )
+
+                    alive_f = fetch_global(state[6]).reshape(
+                        n_dev, local_n_pad)
+                    fid_f = fetch_global(state[10]).reshape(
+                        n_dev, local_n_pad)
+                    stop_f = fetch_global(stop).reshape(n_dev, local_n_pad)
+                    done_f = fid_f + (alive_f <= 0.0)
+                    workable = (alive_f > 0.0) | (
+                        (stop_f <= 0.0) & (done_f < n_frames)
+                    )
+                    order_np = np.argsort(
+                        ~workable, axis=1, kind="stable"
+                    ).astype(np.int32)
+                    order_pl = jax.device_put(
+                        order_np.reshape(rows_g, mk.LANE), plane_sh
+                    )
+                    out = compact_fn(
+                        order_pl, *state[:11], px_l, py_l, stop,
+                        *ad_stats, state[11], state[12],
+                    )
+                    state = out[:11] + (out[19], out[20])
+                    px_l, py_l = out[11], out[12]
+                    stop = out[13]
+                    ad_stats = tuple(out[14:19])
+                    g_order = (
+                        np.arange(n_dev)[:, None] * local_n_pad + order_np
+                    ).reshape(-1)
+                    pixel_of_slot = pixel_of_slot[g_order]
+                    packed_workable = int(workable.sum())
+                    compactions += 1
+                    # per-shard LOCAL pixel->slot for the finish/preview
+                    inv_np = np.zeros((n_dev, local_n), np.int32)
+                    pos2 = pixel_of_slot.reshape(n_dev, local_n_pad)
+                    for d in range(n_dev):
+                        slots = np.nonzero(pos2[d] >= 0)[0]
+                        inv_np[d, pos2[d, slots] - d * local_n] = (
+                            slots.astype(np.int32)
+                        )
+                    inv_plane = jax.device_put(inv_np, plane_sh)
         pending.append(md)
         launches += 1
         if launches > max_launches:
@@ -441,10 +565,8 @@ def render_persistent_sharded(
                 f"launches (budget={budget}, n_frames={n_frames})"
             )
         if preview is not None:
-            st_now = state
-            preview(lambda st=st_now: _sharded_finish(
-                mesh, local_config, local_n_pad
-            )(st[6], st[10], st[12], scene.xyz_weights, scene.xyz_to_rgb))
+            st_now, inv_now = state, inv_plane
+            preview(lambda st=st_now, iv=inv_now: _do_finish(st, iv))
         if len(pending) >= 2:
             min_done = _scalar(pending.pop(0))
             if min_done >= n_frames:
@@ -457,9 +579,7 @@ def render_persistent_sharded(
     for md in pending:
         min_done = max(min_done, _scalar(md))
 
-    rgb = _sharded_finish(mesh, local_config, local_n_pad)(
-        state[6], state[10], state[12], scene.xyz_weights, scene.xyz_to_rgb,
-    )
+    rgb = _do_finish(state, inv_plane)
 
     info = {
         "launches": launches, "frames_done": int(min_done),
@@ -471,13 +591,14 @@ def render_persistent_sharded(
 
         # fetch_global handles non-fully-addressable planes on
         # multi-process meshes (np.asarray would raise there)
-        fid_np = fetch_global(state[10]).reshape(n_dev, local_n_pad)
-        alive_np = fetch_global(state[6]).reshape(n_dev, local_n_pad)
-        counts = (
-            fid_np[:, :local_n].astype(np.int64)
-            + (alive_np[:, :local_n] <= 0.0)
-        ).reshape(-1)  # slab-major == global row-major pixel order
+        fid_np = fetch_global(state[10]).reshape(-1)
+        alive_np = fetch_global(state[6]).reshape(-1)
+        counts_slot = fid_np.astype(np.int64) + (alive_np <= 0.0)
+        slots = np.nonzero(pixel_of_slot >= 0)[0]
+        counts = np.empty(n_dev * local_n, np.int64)
+        counts[pixel_of_slot[slots]] = counts_slot[slots]
         info.update(
+            compactions=compactions,
             min_counts=int(counts.min()),
             max_counts=int(counts.max()),
             mean_counts=float(counts.mean()),

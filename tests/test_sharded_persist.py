@@ -74,6 +74,33 @@ def test_sharded_persist_adaptive_stops():
     assert np.isfinite(np.asarray(rgb)).all()
 
 
+def test_sharded_compaction_is_bit_exact():
+    """Shard-local lane compaction (block-diagonal repack, zero
+    collectives) relabels which tile computes a pixel and nothing else:
+    with and without it, sharded adaptive images and counts are
+    bit-identical, and the tiny budget staggers stops so the repack
+    actually fires."""
+    if jax.device_count() < 2:
+        pytest.skip("needs multiple devices")
+    arrays, config, obj_types, ht, he = _setup(w=16, h=16, bounces=4,
+                                               iters=16)
+    mesh = make_mesh(8)
+    kw = dict(
+        interpret=True, has_transmission=ht, has_emission=he,
+        budget=3, adaptive=(2, 1e9, 1e9), tile=128,
+    )
+    plain, info_p = render_persistent_sharded(
+        arrays, config, obj_types, mesh, n_frames=16, compact=False, **kw,
+    )
+    packed, info_c = render_persistent_sharded(
+        arrays, config, obj_types, mesh, n_frames=16, compact=True, **kw,
+    )
+    assert info_p["compactions"] == 0
+    assert info_c["compactions"] >= 1
+    assert (np.asarray(plain) == np.asarray(packed)).all()
+    assert (info_p["counts"] == info_c["counts"]).all()
+
+
 def test_renderer_sharded_persist():
     """Renderer(persist=True, sharding=...) routes to the sharded persist
     render and matches the unsharded persist Renderer (1e-4, 1 bounce)."""
