@@ -273,7 +273,7 @@ def cmd_render(args) -> int:
             print(
                 f"adaptive: {info['mean_counts']:.1f} frames/pixel mean "
                 f"(min {info['min_counts']}, max {info['max_counts']}, "
-                f"cap {cap}) — "
+                f"cap {cap}, compactions {info['compactions']}) — "
                 f"{100.0 * (1.0 - info['mean_counts'] / cap):.0f}% of "
                 f"frame work saved vs the fixed-count render",
                 file=sys.stderr,

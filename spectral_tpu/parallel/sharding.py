@@ -509,24 +509,33 @@ def render_persistent_sharded(
             if compact_fn is not None:
                 pending_work.append(n_work_dev)
             if compact_fn is not None and len(pending_work) >= 2:
+                # floor note: a strictly per-shard-faithful floor would
+                # be n_dev * tile (a one-tile global drop spread across
+                # shards empties nothing), but that forbids repacks on
+                # small renders outright; at real resolutions the
+                # packed//4 fraction dominates either floor, and a rare
+                # zero-benefit repack costs one gather
                 n_work = _scalar(pending_work.pop(0))
                 if 0 < n_work < packed_workable - max(
                     packed_workable // 4, tile
                 ):
                     # shard-LOCAL repack (block-diagonal permutation, no
-                    # collectives): working lanes first within each shard
+                    # collectives): working lanes first within each
+                    # shard. One stacked fetch (not three) — on a
+                    # multi-process mesh each fetch_global is a blocking
+                    # DCN allgather on the launch critical path.
                     from spectral_tpu.parallel.distributed import (
                         fetch_global,
                     )
+                    from spectral_tpu.render.pallas_integrator import (
+                        _workable_mask,
+                    )
 
-                    alive_f = fetch_global(state[6]).reshape(
-                        n_dev, local_n_pad)
-                    fid_f = fetch_global(state[10]).reshape(
-                        n_dev, local_n_pad)
-                    stop_f = fetch_global(stop).reshape(n_dev, local_n_pad)
-                    done_f = fid_f + (alive_f <= 0.0)
-                    workable = (alive_f > 0.0) | (
-                        (stop_f <= 0.0) & (done_f < n_frames)
+                    planes3 = fetch_global(jnp.stack([
+                        state[6], state[10].astype(jnp.float32), stop,
+                    ])).reshape(3, n_dev, local_n_pad)
+                    workable = _workable_mask(
+                        planes3[0], planes3[1], planes3[2], n_frames
                     )
                     order_np = np.argsort(
                         ~workable, axis=1, kind="stable"

@@ -704,6 +704,16 @@ def _persist_refill_fn(
     return refill
 
 
+def _workable_mask(alive, fid, stop, n_frames):
+    """Host-side twin of the convergence update's ``workable`` predicate
+    (a lane still owing frames: alive, or unstopped with frames left).
+    One definition serves the single-chip and sharded repack triggers so
+    the two can never count different populations than the device-side
+    ``n_work`` scalar."""
+    done = fid + (alive <= 0.0)
+    return (alive > 0.0) | ((stop <= 0.0) & (done < n_frames))
+
+
 @functools.lru_cache(maxsize=8)
 def _compact_perm_fn(n_pad: int, s_dim: int):
     """One jitted gather that relabels the ENTIRE carried persist state
@@ -1124,9 +1134,8 @@ def render_persistent(
                     alive_f = _np.asarray(state[6]).reshape(-1)
                     fid_f = _np.asarray(state[10]).reshape(-1)
                     stop_f = _np.asarray(stop).reshape(-1)
-                    done_f = fid_f + (alive_f <= 0.0)
-                    workable = (alive_f > 0.0) | (
-                        (stop_f <= 0.0) & (done_f < n_frames)
+                    workable = _workable_mask(
+                        alive_f, fid_f, stop_f, n_frames
                     )
                     order_np = _np.argsort(
                         ~workable, kind="stable"

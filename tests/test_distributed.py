@@ -85,9 +85,9 @@ def test_two_process_persist_adaptive(tmp_path):
             [
                 sys.executable, "-m", "spectral_tpu", "--platform", "cpu",
                 "render", "--preset", "default", "--width", "16",
-                "--height", "24", "--iterations", "4", "--bounces", "2",
+                "--height", "24", "--iterations", "8", "--bounces", "2",
                 "--samples", "8", "--mesh", "8", "--quiet",
-                "--persist", "--persist-budget", "16", "--interpret",
+                "--persist", "--persist-budget", "4", "--interpret",
                 "--adaptive", "2,1e9,1e9",
                 "--coordinator", f"localhost:{port}",
                 "--num-processes", "2", "--process-id", str(pid),
@@ -105,3 +105,4 @@ def test_two_process_persist_adaptive(tmp_path):
     assert out.exists()
     text = err0.decode(errors="replace")
     assert "adaptive:" in text  # per-pixel count report reached stderr
+    assert "compactions" in text  # repack counter plumbed end-to-end
