@@ -111,10 +111,9 @@ def cmd_render(args) -> int:
         # update cadence. Explicit --regen-frames overrides this.
         regen = ("auto", 16)
 
-    if args.persist and (args.resume or args.checkpoint):
-        print("--persist does not support --resume/--checkpoint (the "
-              "carried lane state is not a frame-boundary accumulator)",
-              file=sys.stderr)
+    if args.persist and args.mesh and (args.resume or args.checkpoint):
+        print("--persist checkpoints are single-chip: drop --mesh or "
+              "--resume/--checkpoint", file=sys.stderr)
         return 2
     adaptive = None
     if args.adaptive is not None:
@@ -440,9 +439,11 @@ def build_parser() -> argparse.ArgumentParser:
                     "render: every lane advances through its own frame "
                     "stream with state carried between launches, so no "
                     "tile waits for its slowest lane each K-frame window. "
-                    "Whole-render batch mode: no --checkpoint/--resume; "
-                    "abort at launch (~64-frame) granularity returns the "
-                    "per-pixel average of completed frames")
+                    "Whole-render batch mode; abort at launch (~64-frame) "
+                    "granularity returns the per-pixel average of "
+                    "completed frames. --checkpoint/--resume save/restore "
+                    "the full carried lane state (pass --persist when "
+                    "resuming a persist checkpoint)")
     pr.add_argument("--persist-budget", type=int, default=None,
                     metavar="B",
                     help="bounce iterations per persist launch (default: "

@@ -825,9 +825,22 @@ def render_persistent(
     adaptive: tuple | None = None,
     compact: bool = True,
     preview=None,
+    resume_state: dict | None = None,
+    return_state: bool = False,
 ):
     """Render ``n_frames`` progressive frames with *persistent
     lane-asynchronous regeneration* and return ``(rgb_mean, info)``.
+
+    ``return_state=True`` puts the complete carried state (ray planes,
+    pixel coordinates, throughput/radiance, adaptive stats and slot map)
+    into ``info["resume_state"]``; feeding that dict back as
+    ``resume_state`` continues the render exactly where it stopped —
+    the free-running scheduler needs no other bookkeeping, because a
+    restored lane simply keeps walking its own frame stream (aborted
+    adaptive renders resume with their convergence statistics intact).
+    ``budget``/``tile`` are taken from the saved state so the SAME
+    kernel program continues. Free-running only, and incompatible with
+    ``lane_perm`` (the saved pixel planes already carry any relabeling).
 
     ``preview(make_rgb)`` is called once per launch with a zero-argument
     closure that materializes the CURRENT per-pixel average (one small
@@ -963,6 +976,34 @@ def render_persistent(
             )
         if not (adaptive[1] >= 0.0 and adaptive[2] >= 0.0):
             raise ValueError("adaptive rtol/atol must be >= 0")
+    if (resume_state is not None or return_state) and ring_slots:
+        raise ValueError(
+            "persist checkpointing is free-running only (the ring's host "
+            "refill window is not part of the carried state)"
+        )
+    if resume_state is not None:
+        if lane_perm is not None:
+            raise ValueError(
+                "resume_state already carries its pixel planes; do not "
+                "pass lane_perm"
+            )
+        meta = resume_state["meta"]
+        if int(meta["n_frames"]) != n_frames:
+            raise ValueError(
+                f"resume state was saved for a {meta['n_frames']}-frame "
+                f"render, not {n_frames}"
+            )
+        saved_ad = meta.get("adaptive")
+        if (saved_ad is None) != (adaptive is None) or (
+            saved_ad is not None and tuple(saved_ad) != tuple(adaptive)
+        ):
+            raise ValueError(
+                f"resume state was saved with adaptive={saved_ad}, "
+                f"not {adaptive}"
+            )
+        # the SAME kernel program must continue: budget/tile are state
+        budget = int(meta["budget"])
+        tile = int(meta["tile"])
     # frames-per-launch default: the ring variant must keep launches
     # shorter than the ring window (lead only advances between launches);
     # free-running has no such constraint, and per-launch costs (state
@@ -977,7 +1018,8 @@ def render_persistent(
     # the adaptive stop mask adds one read-only plane
     f32_per_lane = 80 + 8 * s_dim + 6 * ring_slots \
         + (1 if adaptive is not None else 0)
-    while tile > _MIN_TILE and tile * f32_per_lane * 4 > 15_500_000:
+    while resume_state is None and tile > _MIN_TILE \
+            and tile * f32_per_lane * 4 > 15_500_000:
         tile //= 2
     n_pad = -(-n // tile) * tile
 
@@ -1029,19 +1071,29 @@ def render_persistent(
     # --- initial state: every lane starts frame 0 (one jitted program;
     # jit_refill=False keeps the eager bit-comparable path for tests)
     rows = n_pad // mk.LANE
-    py0 = jax.lax.broadcasted_iota(
-        jnp.uint32, (config.height, config.width), 0
-    ).reshape(n)
-    px0 = jax.lax.broadcasted_iota(
-        jnp.uint32, (config.height, config.width), 1
-    ).reshape(n)
-    if lane_perm is not None:
-        px0, py0 = px0[lane_perm], py0[lane_perm]
-    *state, px_l, py_l = _persist_init_fn(config, n_pad, jit_refill)(
-        scene.cam_pos, scene.cam_dir, scene.cam_up, scene.fov_y_deg,
-        px0, py0,
-    )
-    state = tuple(state)
+    if resume_state is not None:
+        state = tuple(jnp.asarray(a) for a in resume_state["state"])
+        px_l = jnp.asarray(resume_state["px"])
+        py_l = jnp.asarray(resume_state["py"])
+        if state[0].shape != (rows, mk.LANE):
+            raise ValueError(
+                f"resume state shape {state[0].shape} does not match this "
+                f"render's lane layout {(rows, mk.LANE)}"
+            )
+    else:
+        py0 = jax.lax.broadcasted_iota(
+            jnp.uint32, (config.height, config.width), 0
+        ).reshape(n)
+        px0 = jax.lax.broadcasted_iota(
+            jnp.uint32, (config.height, config.width), 1
+        ).reshape(n)
+        if lane_perm is not None:
+            px0, py0 = px0[lane_perm], py0[lane_perm]
+        *state, px_l, py_l = _persist_init_fn(config, n_pad, jit_refill)(
+            scene.cam_pos, scene.cam_dir, scene.cam_up, scene.fov_y_deg,
+            px0, py0,
+        )
+        state = tuple(state)
     if adaptive is not None:
         import numpy as _np
 
@@ -1051,22 +1103,33 @@ def render_persistent(
         # blocks them, and under compaction they can drift into the
         # leading [:n] scheduler window, where an unstopped dead lane
         # would pin min_done at 1 forever.
-        stop_np = _np.zeros(n_pad, _np.float32)
-        stop_np[n:] = 1.0
-        stop = jnp.asarray(stop_np.reshape(rows, mk.LANE))
-        ad_stats = tuple(
-            jnp.zeros((rows, mk.LANE), jnp.float32) for _ in range(5)
-        )
+        if resume_state is not None:
+            stop = jnp.asarray(resume_state["stop"])
+            ad_stats = tuple(
+                jnp.asarray(a) for a in resume_state["stats"]
+            )
+            pixel_of_slot = _np.asarray(
+                resume_state["pixel_of_slot"], _np.int64
+            )
+            packed_workable = int(resume_state["packed_workable"])
+            compactions = int(resume_state["compactions"])
+        else:
+            stop_np = _np.zeros(n_pad, _np.float32)
+            stop_np[n:] = 1.0
+            stop = jnp.asarray(stop_np.reshape(rows, mk.LANE))
+            ad_stats = tuple(
+                jnp.zeros((rows, mk.LANE), jnp.float32) for _ in range(5)
+            )
+            # compaction bookkeeping: which pixel lives in each lane slot
+            # (-1 = padding), and the working count at the last packing
+            pixel_of_slot = _np.full(n_pad, -1, _np.int64)
+            pixel_of_slot[:n] = (
+                _np.asarray(lane_perm) if lane_perm is not None
+                else _np.arange(n)
+            )
+            packed_workable = n
+            compactions = 0
         adapt_update = _adapt_update_fn(n_pad, *adaptive)
-        # compaction bookkeeping: which pixel lives in each lane slot
-        # (-1 = padding), and the working-lane count at the last packing
-        pixel_of_slot = _np.full(n_pad, -1, _np.int64)
-        pixel_of_slot[:n] = (
-            _np.asarray(lane_perm) if lane_perm is not None
-            else _np.arange(n)
-        )
-        packed_workable = n
-        compactions = 0
         compact_fn = _compact_perm_fn(n_pad, s_dim) if compact else None
 
     # --- primary ring (ring variant only): frames 1 .. lead-1 resident
@@ -1104,6 +1167,13 @@ def render_persistent(
     )
     pending_work: list = []
     cur_lane_inv = lane_inv  # re-derived after every compaction
+    if adaptive is not None and compactions:
+        import numpy as _np
+
+        inv_np = _np.zeros(n, _np.int32)
+        slots = _np.nonzero(pixel_of_slot >= 0)[0]
+        inv_np[pixel_of_slot[slots]] = slots.astype(_np.int32)
+        cur_lane_inv = jnp.asarray(inv_np)
     while True:
         st = step(
             *state[:6], px_l, py_l, *state[6:13],
@@ -1201,6 +1271,18 @@ def render_persistent(
         "budget": budget, "ring_slots": ring_slots, "tile": tile,
         "aborted": aborted,
     }
+    if return_state:
+        rs = {
+            "state": state, "px": px_l, "py": py_l,
+            "meta": {"n_frames": n_frames, "budget": budget, "tile": tile,
+                     "adaptive": adaptive},
+        }
+        if adaptive is not None:
+            rs.update(
+                stop=stop, stats=ad_stats, pixel_of_slot=pixel_of_slot,
+                packed_workable=packed_workable, compactions=compactions,
+            )
+        info["resume_state"] = rs
     if adaptive is not None:
         import numpy as _np
 

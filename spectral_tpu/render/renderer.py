@@ -624,6 +624,7 @@ class Renderer:
                 int(adaptive[0]), float(adaptive[1]), float(adaptive[2])
             )
         self.persist_info: dict | None = None
+        self._persist_resume: dict | None = None
         if self.persist:
             if self.backend != "pallas" and not _interpret:
                 raise ValueError("persist requires the pallas backend")
@@ -935,11 +936,13 @@ class Renderer:
         state is not a frame-boundary accumulator, so partial/resumed
         renders are not expressible; ask for the full render."""
         total = self.config.intended_frames
-        if self.next_frame != 0 or n_frames < total:
+        resume = self._persist_resume
+        self._persist_resume = None
+        if (self.next_frame != 0 and resume is None) or n_frames < total:
             raise ValueError(
                 "persist renders the whole image in one batch: call "
-                "render()/render_frames(intended_frames) from frame 0 "
-                "(partial or resumed persist renders are not supported)"
+                "render()/render_frames(intended_frames) from frame 0, "
+                "or load a persist checkpoint to continue an aborted one"
             )
         from spectral_tpu.render.pallas_integrator import render_persistent
 
@@ -983,6 +986,15 @@ class Renderer:
             adaptive=self.adaptive,
             preview=on_preview if progress is not None else None,
         )
+        if self.sharding is None:
+            # single-chip persist is checkpointable: carry the state out
+            # so save_checkpoint can persist it (zero copies — just refs)
+            kwargs.update(return_state=True, resume_state=resume)
+        elif resume is not None:
+            raise ValueError(
+                "persist checkpoints are single-chip for now (the sharded "
+                "carried state is mesh-layout-dependent)"
+            )
         if self.sharding is not None:
             from spectral_tpu.parallel.sharding import (
                 render_persistent_sharded,
@@ -1046,8 +1058,56 @@ class Renderer:
 
     def save_checkpoint(self, path) -> None:
         """Persist accumulator + frame counter so long renders are
-        resumable (a capability the reference lacks, SURVEY.md §5)."""
+        resumable (a capability the reference lacks, SURVEY.md §5).
+
+        Persist-mode renders checkpoint their full carried lane state
+        instead (the accumulator alone cannot continue a lane-
+        asynchronous render); the file records which kind it is and
+        ``load_checkpoint`` routes accordingly."""
         from spectral_tpu.parallel.distributed import is_primary
+
+        if self.persist:
+            info = self.persist_info
+            if not info or "resume_state" not in info:
+                raise ValueError(
+                    "no persist state to checkpoint: render (or abort) "
+                    "first"
+                )
+            if not is_primary():
+                return
+            rs = info["resume_state"]
+            meta = rs["meta"]
+            payload = {
+                f"state_{i}": np.asarray(a)
+                for i, a in enumerate(rs["state"])
+            }
+            payload.update(
+                px=np.asarray(rs["px"]), py=np.asarray(rs["py"]),
+                kind="persist",
+                frames_done=info["frames_done"],
+                meta_n_frames=meta["n_frames"],
+                meta_budget=meta["budget"],
+                meta_tile=meta["tile"],
+                intended_frames=self.config.intended_frames,
+                width=self.config.width,
+                height=self.config.height,
+                scene_digest=self.scene_digest,
+            )
+            if meta["adaptive"] is not None:
+                payload["meta_adaptive"] = np.asarray(
+                    meta["adaptive"], np.float64
+                )
+                payload.update(
+                    stop=np.asarray(rs["stop"]),
+                    pixel_of_slot=rs["pixel_of_slot"],
+                    packed_workable=rs["packed_workable"],
+                    compactions=rs["compactions"],
+                    **{f"stat_{i}": np.asarray(a)
+                       for i, a in enumerate(rs["stats"])},
+                )
+            with open(path, "wb") as f:
+                np.savez(f, **payload)
+            return
 
         fb = self.framebuffer()  # collective under a multi-process mesh
         if not is_primary():
@@ -1075,6 +1135,17 @@ class Renderer:
             raise ValueError(
                 "checkpoint was produced by an incompatible render config"
             )
+        is_persist_ckpt = (
+            "kind" in data.files and str(data["kind"]) == "persist"
+        )
+        if is_persist_ckpt != self.persist:
+            raise ValueError(
+                "checkpoint kind mismatch: "
+                + ("a persist checkpoint needs persist=True"
+                   if is_persist_ckpt else
+                   "an accumulator checkpoint cannot continue a persist "
+                   "render")
+            )
         if "scene_digest" in data.files:
             ckpt_digest = str(data["scene_digest"])
             if ckpt_digest != self.scene_digest:
@@ -1083,6 +1154,8 @@ class Renderer:
                     "dimensions, different content) — resuming would blend "
                     "two unrelated renders"
                 )
+        elif is_persist_ckpt:
+            pass  # persist checkpoints always carry a digest
         else:
             import warnings
 
@@ -1091,9 +1164,47 @@ class Renderer:
                 "matches this scene",
                 stacklevel=2,
             )
+        if is_persist_ckpt:
+            self._load_persist_checkpoint(data)
+            return
         accum = jnp.asarray(data["accum"], dtype=jnp.float32)
         if self._accum_sharding is not None:
             accum = jax.device_put(accum, self._accum_sharding)
         self._pending = None
         self.accum = accum
         self.next_frame = int(data["next_frame"])
+
+    def _load_persist_checkpoint(self, data) -> None:
+        meta_ad = (
+            tuple(np.asarray(data["meta_adaptive"]).tolist())
+            if "meta_adaptive" in data.files else None
+        )
+        if meta_ad is not None:
+            meta_ad = (int(meta_ad[0]), float(meta_ad[1]), float(meta_ad[2]))
+        if (meta_ad is None) != (self.adaptive is None) or (
+            meta_ad is not None and tuple(self.adaptive) != meta_ad
+        ):
+            raise ValueError(
+                f"persist checkpoint was saved with adaptive={meta_ad}; "
+                f"this renderer has adaptive={self.adaptive}"
+            )
+        rs = {
+            "state": tuple(data[f"state_{i}"] for i in range(13)),
+            "px": data["px"], "py": data["py"],
+            "meta": {
+                "n_frames": int(data["meta_n_frames"]),
+                "budget": int(data["meta_budget"]),
+                "tile": int(data["meta_tile"]),
+                "adaptive": meta_ad,
+            },
+        }
+        if meta_ad is not None:
+            rs.update(
+                stop=data["stop"],
+                stats=tuple(data[f"stat_{i}"] for i in range(5)),
+                pixel_of_slot=data["pixel_of_slot"],
+                packed_workable=int(data["packed_workable"]),
+                compactions=int(data["compactions"]),
+            )
+        self._persist_resume = rs
+        self.next_frame = int(data["frames_done"])  # display/ETA only

@@ -208,3 +208,113 @@ def test_persist_preview_closure_matches_final():
         assert p.shape == np.asarray(rgb).shape
         assert np.isfinite(p).all()
     assert (previews[-1] == np.asarray(rgb)).all()
+
+
+def test_persist_abort_resume_bit_identical():
+    """Abort after two launches, capture the carried state, resume: the
+    final image is BIT-identical to an uninterrupted render — the saved
+    state sits at a launch boundary and the same budget partitions the
+    same iteration sequence (launch-split invariance, tested above)."""
+    arrays, config, obj_types, ht, he = _setup(w=16, h=8, bounces=3)
+    kw = dict(
+        interpret=True, has_transmission=ht, has_emission=he,
+        ring_slots=0, budget=4, tile=128,
+    )
+    full, _ = render_persistent(
+        arrays, config, obj_types, n_frames=8, **kw)
+
+    def abort():
+        return True  # first poll: abort after one launch
+
+    part, info = render_persistent(
+        arrays, config, obj_types, n_frames=8, should_abort=abort,
+        return_state=True, **kw)
+    assert info["aborted"] and info["frames_done"] < 8
+    resumed, info2 = render_persistent(
+        arrays, config, obj_types, n_frames=8,
+        resume_state=info["resume_state"], **kw)
+    assert not info2["aborted"]
+    assert (np.asarray(resumed) == np.asarray(full)).all()
+
+
+def test_persist_adaptive_abort_resume_bit_identical():
+    """Resuming an aborted ADAPTIVE render restores the convergence
+    statistics, stop mask and compaction slot map, so the continued
+    render makes the same stop decisions as the uninterrupted one."""
+    arrays, config, obj_types, ht, he = _setup(w=16, h=8, bounces=3)
+    kw = dict(
+        interpret=True, has_transmission=ht, has_emission=he,
+        ring_slots=0, budget=3, tile=128, adaptive=(2, 1e9, 1e9),
+    )
+    full, info_f = render_persistent(
+        arrays, config, obj_types, n_frames=16, **kw)
+
+    def abort():
+        return True  # first poll: abort after one launch
+
+    part, info = render_persistent(
+        arrays, config, obj_types, n_frames=16, should_abort=abort,
+        return_state=True, **kw)
+    assert info["aborted"]
+    resumed, info2 = render_persistent(
+        arrays, config, obj_types, n_frames=16,
+        resume_state=info["resume_state"], **kw)
+    assert (np.asarray(resumed) == np.asarray(full)).all()
+    assert (info2["counts"] == info_f["counts"]).all()
+
+
+def test_persist_resume_rejects_mismatched_run():
+    arrays, config, obj_types, ht, he = _setup(w=16, h=8, bounces=3)
+    kw = dict(
+        interpret=True, has_transmission=ht, has_emission=he,
+        ring_slots=0, budget=7, tile=128,
+    )
+    _, info = render_persistent(
+        arrays, config, obj_types, n_frames=6, return_state=True, **kw)
+    with pytest.raises(ValueError, match="6-frame"):
+        render_persistent(
+            arrays, config, obj_types, n_frames=12,
+            resume_state=info["resume_state"], **kw)
+    with pytest.raises(ValueError, match="adaptive"):
+        render_persistent(
+            arrays, config, obj_types, n_frames=6, adaptive=(2, 0.1, 0.0),
+            resume_state=info["resume_state"], **kw)
+
+
+def test_renderer_persist_checkpoint_roundtrip(tmp_path):
+    """Renderer-level persist checkpointing: abort mid-render, save, load
+    into a FRESH renderer, resume — bit-identical to uninterrupted, and
+    the checkpoint refuses wrong-kind and wrong-settings consumers."""
+    from spectral_tpu.render.renderer import Renderer
+    from spectral_tpu.scene import presets as _presets
+
+    def make_scene():
+        scene = _presets.PRESETS["cornell"](n_samples=8)
+        scene.width, scene.height = 16, 8
+        scene.nbr_of_ray_bounces = 3
+        scene.nbr_of_iterations = 8
+        return scene
+
+    kw = dict(persist=True, persist_budget=4, _interpret=True)
+    want = Renderer(make_scene(), **kw).render()
+
+    r1 = Renderer(make_scene(), **kw)
+    r1.render(abort=lambda: True)  # aborts after the first launch
+    assert r1.persist_info["aborted"]
+    path = tmp_path / "persist.ckpt.npz"
+    r1.save_checkpoint(path)
+
+    r2 = Renderer(make_scene(), **kw)
+    r2.load_checkpoint(path)
+    got = r2.render()
+    assert not r2.persist_info["aborted"]
+    assert (np.asarray(got) == np.asarray(want)).all()
+
+    # wrong kind: a non-persist renderer must refuse the persist file
+    with pytest.raises(ValueError, match="persist=True"):
+        Renderer(make_scene()).load_checkpoint(path)
+    # wrong settings: adaptive mismatch is refused
+    with pytest.raises(ValueError, match="adaptive"):
+        Renderer(
+            make_scene(), adaptive=(2, 0.1, 0.0), **kw
+        ).load_checkpoint(path)
