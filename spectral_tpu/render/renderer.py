@@ -1188,8 +1188,12 @@ class Renderer:
                 f"persist checkpoint was saved with adaptive={meta_ad}; "
                 f"this renderer has adaptive={self.adaptive}"
             )
+        # plane counts are inferred from the file, not hardcoded, so a
+        # checkpoint survives the carried-state tuple growing a plane
+        n_state = sum(1 for k in data.files if k.startswith("state_"))
+        n_stats = sum(1 for k in data.files if k.startswith("stat_"))
         rs = {
-            "state": tuple(data[f"state_{i}"] for i in range(13)),
+            "state": tuple(data[f"state_{i}"] for i in range(n_state)),
             "px": data["px"], "py": data["py"],
             "meta": {
                 "n_frames": int(data["meta_n_frames"]),
@@ -1201,7 +1205,7 @@ class Renderer:
         if meta_ad is not None:
             rs.update(
                 stop=data["stop"],
-                stats=tuple(data[f"stat_{i}"] for i in range(5)),
+                stats=tuple(data[f"stat_{i}"] for i in range(n_stats)),
                 pixel_of_slot=data["pixel_of_slot"],
                 packed_workable=int(data["packed_workable"]),
                 compactions=int(data["compactions"]),
