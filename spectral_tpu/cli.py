@@ -253,7 +253,15 @@ def cmd_render(args) -> int:
         viewer.close()
     checkpoint = args.checkpoint
     if checkpoint is None and aborted:
-        checkpoint = f"{args.out}.ckpt.npz"  # auto-save: the abort is resumable
+        if args.persist and args.mesh:
+            # sharded persist carries no host-side resume state (the
+            # carried lanes are mesh-layout-dependent) — skip the
+            # auto-checkpoint instead of crashing after the abort
+            if primary:
+                print("sharded persist aborts are not resumable; "
+                      "partial image saved", file=sys.stderr)
+        else:
+            checkpoint = f"{args.out}.ckpt.npz"  # auto-save: resumable abort
     renderer.save_image(args.out)  # collective; primary writes
     if checkpoint:
         renderer.save_checkpoint(checkpoint)

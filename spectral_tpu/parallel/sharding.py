@@ -299,6 +299,7 @@ def render_persistent_sharded(
     from spectral_tpu.render.pallas_integrator import (
         _MIN_TILE,
         _adapt_update_fn,
+        _mat_light_tables,
         _pack_geom_clusters,
         _pick_tile,
         probe_path_cost,
@@ -379,21 +380,12 @@ def render_persistent_sharded(
     # --- tables, replicated (fori trimming mirrors render_persistent)
     geom, cbounds = _pack_geom_clusters(scene, clusters)
     cam = mk.pack_camera_basis(scene, config)
-    lpos = jnp.pad(scene.light_pos, ((0, 0), (0, 1)))
-    lspec = scene.light_spec
-    if config.n_lights == 0:
-        lpos = jnp.zeros((1, 4), jnp.float32)
-        lspec = jnp.zeros((1, config.n_samples), jnp.float32)
-    fori = clusters is not None or len(obj_types) > 64
+    (albedo_in, emission_in, m_alb, m_emis, m_scal,
+     lpos, lspec) = _mat_light_tables(scene, config, obj_types, clusters)
     tables = tuple(
         jax.device_put(t, rep_sh)
         for t in (
-            geom, cbounds,
-            scene.albedo[:1] if fori else scene.albedo,
-            scene.emission[:1] if fori else scene.emission,
-            scene.mat_albedo if fori else scene.mat_albedo[:1],
-            scene.mat_emission if fori else scene.mat_emission[:1],
-            scene.mat_scalars if fori else scene.mat_scalars[:1],
+            geom, cbounds, albedo_in, emission_in, m_alb, m_emis, m_scal,
             lpos, lspec, cam,
         )
     )
@@ -528,6 +520,7 @@ def render_persistent_sharded(
                         fetch_global,
                     )
                     from spectral_tpu.render.pallas_integrator import (
+                        _slot_inverse,
                         _workable_mask,
                     )
 
@@ -558,13 +551,13 @@ def render_persistent_sharded(
                     packed_workable = int(workable.sum())
                     compactions += 1
                     # per-shard LOCAL pixel->slot for the finish/preview
-                    inv_np = np.zeros((n_dev, local_n), np.int32)
+                    # (compaction is shard-local: shift each shard's
+                    # global pixel ids to local; padding stays negative)
                     pos2 = pixel_of_slot.reshape(n_dev, local_n_pad)
-                    for d in range(n_dev):
-                        slots = np.nonzero(pos2[d] >= 0)[0]
-                        inv_np[d, pos2[d, slots] - d * local_n] = (
-                            slots.astype(np.int32)
-                        )
+                    inv_np = np.stack([
+                        _slot_inverse(pos2[d] - d * local_n, local_n)
+                        for d in range(n_dev)
+                    ])
                     inv_plane = jax.device_put(inv_np, plane_sh)
         pending.append(md)
         launches += 1
@@ -587,6 +580,26 @@ def render_persistent_sharded(
             break
     for md in pending:
         min_done = max(min_done, _scalar(md))
+
+    if aborted:
+        # complete every in-flight path before finishing (mirrors
+        # render_persistent's abort drain): end=0 blocks all restarts,
+        # so the radiance accumulator holds only COMPLETED frames when
+        # the completed-count divisor is applied — no partial-path
+        # upward bias on the aborted image. Same compiled step; drain
+        # mds are discarded (with lane_stop, stopped dead lanes report
+        # end = 0 as their count).
+        zero_end = jnp.uint32(0)
+        max_drains = 2 + config.max_bounces // max(budget, 1)
+        for _ in range(max_drains):
+            if _scalar(jnp.max(state[6])) <= 0.0:
+                break
+            *new_state, _drain_md = step(
+                *state[:6], px_l, py_l, *state[6:13],
+                stop if adaptive is not None else zero_stop,
+                zero_end, *tables,
+            )
+            state = tuple(new_state)
 
     rgb = _do_finish(state, inv_plane)
 

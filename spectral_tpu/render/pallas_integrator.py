@@ -164,6 +164,76 @@ def _pack_geom_clusters(scene: SceneArrays, clusters: tuple | None):
     )
 
 
+def _slot_inverse(pixel_of_slot, n: int):
+    """Pixel->slot inverse of a (compacted) slot map, int32 ``[n]``, for
+    the finish/preview unpermute gather; negative slot entries (padding)
+    are skipped (their pixels do not exist). The sharded repack reuses
+    this per shard with shard-local pixel ids."""
+    import numpy as _np
+
+    inv_np = _np.zeros(n, _np.int32)
+    slots = _np.nonzero(pixel_of_slot >= 0)[0]
+    inv_np[pixel_of_slot[slots]] = slots.astype(_np.int32)
+    return inv_np
+
+
+def _cost_sort_perm(cost):
+    """Descending-cost stable pixel order and its inverse (int32 device
+    arrays) from a per-pixel path-cost probe. The STABLE sort is part of
+    the bit-identical-relabeling contract — equal-cost pixels keep image
+    order — and both consumers (the Renderer's regen lane permutation
+    and ``render_persistent(cost_sort=N)``) must derive the permutation
+    identically, so they share this one definition."""
+    import numpy as _np
+
+    order = _np.argsort(-_np.asarray(cost), kind="stable").astype(_np.int32)
+    return (
+        jnp.asarray(order),
+        jnp.asarray(_np.argsort(order).astype(_np.int32)),
+    )
+
+
+def _mat_light_tables(scene: SceneArrays, config, obj_types: tuple,
+                      clusters: tuple | None, object_loop: str = "auto"):
+    """Material + light SMEM operands, trimmed to the rows the chosen
+    object loop reads.
+
+    ``build_megakernel`` compiles one of two object-loop families: the
+    fori (many-object / clustered) loop reads the MATERIAL-indexed rows
+    (``mat_albedo``/``mat_emission``/``mat_scalars``), the unrolled loop
+    the PER-OBJECT rows (``albedo``/``emission``); the other family is
+    shipped as a never-read one-row dummy so SMEM stays lean. The fori
+    predicate here must mirror build_megakernel's choice EXACTLY —
+    shipping the wrong variant makes the kernel read out-of-bounds
+    SMEM — which is why every launcher calls this helper instead of
+    hand-trimming. Lights: position padded to 4 columns; a light-less
+    scene ships one zero row (pallas rejects zero-row tables; the
+    kernel's static light loop has zero iterations, so it is never
+    read).
+
+    Returns ``(albedo, emission, mat_albedo, mat_emission, mat_scalars,
+    lpos, lspec)``.
+    """
+    fori = (
+        clusters is not None
+        or object_loop == "fori"
+        or (object_loop == "auto" and len(obj_types) > 64)
+    )
+    lpos = jnp.pad(scene.light_pos, ((0, 0), (0, 1)))  # [L, 4]
+    lspec = scene.light_spec
+    if config.n_lights == 0:
+        lpos = jnp.zeros((1, 4), jnp.float32)
+        lspec = jnp.zeros((1, config.n_samples), jnp.float32)
+    return (
+        scene.albedo[:1] if fori else scene.albedo,
+        scene.emission[:1] if fori else scene.emission,
+        scene.mat_albedo if fori else scene.mat_albedo[:1],
+        scene.mat_emission if fori else scene.mat_emission[:1],
+        scene.mat_scalars if fori else scene.mat_scalars[:1],
+        lpos, lspec,
+    )
+
+
 # Mosaic requires block shapes with the last two dims divisible by (8, 128):
 # a tile is r8 x 128 lanes, so the smallest legal tile is 8 * 128.
 _MIN_TILE = 8 * mk.LANE
@@ -226,31 +296,9 @@ def integrate_frame_pallas(
         return jnp.pad(a, (0, n_pad - n)).reshape(n_pad // mk.LANE, mk.LANE)
 
     geom, cbounds = _pack_geom_clusters(scene, clusters)
-    lpos = jnp.pad(scene.light_pos, ((0, 0), (0, 1)))  # [L, 4]
-    lspec = scene.light_spec
-    if config.n_lights == 0:
-        # pallas rejects zero-row tables; ship one zero row (the kernel's
-        # static light loop has zero iterations, so it is never read)
-        lpos = jnp.zeros((1, 4), jnp.float32)
-        lspec = jnp.zeros((1, config.n_samples), jnp.float32)
-
-    # the fori object loop reads materials via the indirection tables; the
-    # per-object [O, S] tables would waste scarce SMEM there, so ship
-    # single-row dummies (never read) in that mode
-    # each object-loop strategy reads exactly one family of material
-    # tables; ship one-row dummies for the other so SMEM stays lean
-    # clusters force the fori loop inside build_megakernel, so the table
-    # trim decision must mirror that or the kernel reads OOB SMEM
-    fori = (
-        clusters is not None
-        or object_loop == "fori"
-        or (object_loop == "auto" and len(obj_types) > 64)
-    )
-    albedo_in = scene.albedo[:1] if fori else scene.albedo
-    emission_in = scene.emission[:1] if fori else scene.emission
-    m_alb = scene.mat_albedo if fori else scene.mat_albedo[:1]
-    m_emis = scene.mat_emission if fori else scene.mat_emission[:1]
-    m_scal = scene.mat_scalars if fori else scene.mat_scalars[:1]
+    (albedo_in, emission_in, m_alb, m_emis, m_scal,
+     lpos, lspec) = _mat_light_tables(
+        scene, config, obj_types, clusters, object_loop)
 
     run = _kernel(
         obj_types, config, tile, interpret, has_transmission, has_emission,
@@ -302,22 +350,9 @@ def probe_path_cost(
         return jnp.pad(a, (0, n_pad - n)).reshape(n_pad // mk.LANE, mk.LANE)
 
     geom, cbounds = _pack_geom_clusters(scene, clusters)
-    lpos = jnp.pad(scene.light_pos, ((0, 0), (0, 1)))
-    lspec = scene.light_spec
-    if config.n_lights == 0:
-        lpos = jnp.zeros((1, 4), jnp.float32)
-        lspec = jnp.zeros((1, config.n_samples), jnp.float32)
-
-    fori = (  # clusters force fori in build_megakernel; mirror it
-        clusters is not None
-        or object_loop == "fori"
-        or (object_loop == "auto" and len(obj_types) > 64)
-    )
-    albedo_in = scene.albedo[:1] if fori else scene.albedo
-    emission_in = scene.emission[:1] if fori else scene.emission
-    m_alb = scene.mat_albedo if fori else scene.mat_albedo[:1]
-    m_emis = scene.mat_emission if fori else scene.mat_emission[:1]
-    m_scal = scene.mat_scalars if fori else scene.mat_scalars[:1]
+    (albedo_in, emission_in, m_alb, m_emis, m_scal,
+     lpos, lspec) = _mat_light_tables(
+        scene, config, obj_types, clusters, object_loop)
 
     run = _kernel_cost(
         obj_types, config, tile, interpret, has_transmission, has_emission,
@@ -460,22 +495,9 @@ def integrate_frames_pallas_regen(
 
     geom, cbounds = _pack_geom_clusters(scene, clusters)
     cam = mk.pack_camera(scene)
-    lpos = jnp.pad(scene.light_pos, ((0, 0), (0, 1)))
-    lspec = scene.light_spec
-    if config.n_lights == 0:
-        lpos = jnp.zeros((1, 4), jnp.float32)
-        lspec = jnp.zeros((1, config.n_samples), jnp.float32)
-
-    fori = (  # clusters force fori in build_megakernel; mirror it
-        clusters is not None
-        or object_loop == "fori"
-        or (object_loop == "auto" and len(obj_types) > 64)
-    )
-    albedo_in = scene.albedo[:1] if fori else scene.albedo
-    emission_in = scene.emission[:1] if fori else scene.emission
-    m_alb = scene.mat_albedo if fori else scene.mat_albedo[:1]
-    m_emis = scene.mat_emission if fori else scene.mat_emission[:1]
-    m_scal = scene.mat_scalars if fori else scene.mat_scalars[:1]
+    (albedo_in, emission_in, m_alb, m_emis, m_scal,
+     lpos, lspec) = _mat_light_tables(
+        scene, config, obj_types, clusters, object_loop)
 
     run = _kernel_regen(
         obj_types, config, tile, interpret, has_transmission, has_emission,
@@ -928,10 +950,16 @@ def render_persistent(
       of slowest-pixel pacing; use for parity testing, not speed.
 
     ``progress(min_frames_done, launches)`` is called once per launch;
-    ``should_abort()`` checked once per launch — on abort the returned
-    image is the per-pixel average of each pixel's COMPLETED frames (a
-    valid estimator; counts may differ by a few frames across pixels,
-    unlike the reference's frame-granular abort — documented divergence).
+    ``should_abort()`` checked once per launch — on abort, drain
+    launches with ``end=0`` (restarts blocked, same compiled step) first
+    walk every in-flight path to completion, so the returned image is
+    the per-pixel average of each pixel's COMPLETED frames with no
+    partial-path contribution in the numerator (a valid estimator;
+    counts may differ by a few frames across pixels, unlike the
+    reference's frame-granular abort — documented divergence). Live
+    ``preview`` images are NOT drained: an alive lane's in-flight
+    partial radiance is included over a completed-frame divisor, a
+    ~1/count brightening that fades as frames accumulate (display only).
     ``info`` is a dict with launches, min frames done, budget, ring size.
     """
     if n_frames < 1:
@@ -980,6 +1008,20 @@ def render_persistent(
         raise ValueError(
             "persist checkpointing is free-running only (the ring's host "
             "refill window is not part of the carried state)"
+        )
+    if (resume_state is not None or return_state) and (
+        cost_sort or lane_perm is not None
+    ):
+        # the finish/preview unpermute (lane_inv) is not part of the
+        # carried state, so a relabeled render would resume to a
+        # pixel-scrambled image — and cost_sort would re-probe a FRESH
+        # permutation that mismatches the saved planes. Cost-sorted lane
+        # assignment was measured-and-rejected for persist anyway
+        # (PARITY.md): checkpointing supports the identity layout only.
+        raise ValueError(
+            "persist checkpointing does not compose with cost_sort/"
+            "lane_perm (the saved planes' pixel relabeling cannot be "
+            "undone on resume)"
         )
     if resume_state is not None:
         if lane_perm is not None:
@@ -1042,29 +1084,13 @@ def render_persistent(
             mean_cost = float(jnp.mean(cost)) / n_probe
             budget = max(8, int(round(fpl * mean_cost)))
         if want_sort:
-            import numpy as _np
+            lane_perm, lane_inv = _cost_sort_perm(cost)
 
-            order = _np.argsort(
-                -_np.asarray(cost), kind="stable"
-            ).astype(_np.int32)
-            lane_perm = jnp.asarray(order)
-            lane_inv = jnp.asarray(_np.argsort(order).astype(_np.int32))
-
-    # --- tables (mirror integrate_frames_pallas_regen's fori trimming)
     geom, cbounds = _pack_geom_clusters(scene, clusters)
     cam = (mk.pack_camera(scene) if ring_slots
            else mk.pack_camera_basis(scene, config))
-    lpos = jnp.pad(scene.light_pos, ((0, 0), (0, 1)))
-    lspec = scene.light_spec
-    if config.n_lights == 0:
-        lpos = jnp.zeros((1, 4), jnp.float32)
-        lspec = jnp.zeros((1, config.n_samples), jnp.float32)
-    fori = clusters is not None or len(obj_types) > 64
-    albedo_in = scene.albedo[:1] if fori else scene.albedo
-    emission_in = scene.emission[:1] if fori else scene.emission
-    m_alb = scene.mat_albedo if fori else scene.mat_albedo[:1]
-    m_emis = scene.mat_emission if fori else scene.mat_emission[:1]
-    m_scal = scene.mat_scalars if fori else scene.mat_scalars[:1]
+    (albedo_in, emission_in, m_alb, m_emis, m_scal,
+     lpos, lspec) = _mat_light_tables(scene, config, obj_types, clusters)
     tables = (geom, cbounds, albedo_in, emission_in, m_alb, m_emis, m_scal,
               lpos, lspec, cam)
 
@@ -1168,12 +1194,8 @@ def render_persistent(
     pending_work: list = []
     cur_lane_inv = lane_inv  # re-derived after every compaction
     if adaptive is not None and compactions:
-        import numpy as _np
-
-        inv_np = _np.zeros(n, _np.int32)
-        slots = _np.nonzero(pixel_of_slot >= 0)[0]
-        inv_np[pixel_of_slot[slots]] = slots.astype(_np.int32)
-        cur_lane_inv = jnp.asarray(inv_np)
+        # resumed mid-compaction: rebuild the inverse from the slot map
+        cur_lane_inv = jnp.asarray(_slot_inverse(pixel_of_slot, n))
     while True:
         st = step(
             *state[:6], px_l, py_l, *state[6:13],
@@ -1221,10 +1243,8 @@ def render_persistent(
                     pixel_of_slot = pixel_of_slot[order_np]
                     packed_workable = int(workable.sum())
                     compactions += 1
-                    inv_np = _np.zeros(n, _np.int32)
-                    slots = _np.nonzero(pixel_of_slot >= 0)[0]
-                    inv_np[pixel_of_slot[slots]] = slots.astype(_np.int32)
-                    cur_lane_inv = jnp.asarray(inv_np)
+                    cur_lane_inv = jnp.asarray(
+                        _slot_inverse(pixel_of_slot, n))
         pending.append(md)
         launches += 1
         if launches > max_launches:
@@ -1262,6 +1282,38 @@ def render_persistent(
     for md in pending:
         min_done = max(min_done, int(md))
 
+    state_pre_drain = None
+    if aborted:
+        # Complete every in-flight path before finishing: the radiance
+        # accumulator already holds the partial bounce contributions of
+        # in-flight frames, which the completed-frame divisor would not
+        # count — an upward bias of ~1/count on an aborted image.
+        # ``end=0`` blocks every restart (``fid + 1 < 0`` never holds),
+        # so each drain launch only walks alive lanes to their terminal
+        # hit and tiles with no alive lanes skip the whole launch; the
+        # SAME compiled step runs, no recompile. Path values are
+        # unchanged (launch-split invariance) — but the drain DOES shift
+        # lanes' phase relative to the adaptive launch-boundary stat
+        # samples, so the checkpointed state is snapshotted BEFORE the
+        # drain: a resume then replays the exact launch stream of an
+        # uninterrupted render (bit-identical stop decisions), while the
+        # returned aborted image is the unbiased drained average. Drain
+        # mds are discarded: with lane_stop, stopped dead lanes report
+        # ``end`` (= 0 here) as their count.
+        if return_state:
+            state_pre_drain = tuple(jnp.array(p) for p in state)
+        zero_end = jnp.uint32(0)
+        max_drains = 2 + config.max_bounces // max(budget, 1)
+        for _ in range(max_drains):
+            if float(jnp.max(state[6])) <= 0.0:
+                break
+            st = step(
+                *state[:6], px_l, py_l, *state[6:13],
+                stop if adaptive is not None else None,
+                jnp.uint32(lead), zero_end, *tables, *ring,
+            )
+            state, _drain_md = st
+
     rgb = _persist_finish_fn(config, n_pad, jit_refill)(
         state[6], state[10], state[12], scene.xyz_weights, scene.xyz_to_rgb,
         cur_lane_inv,
@@ -1273,7 +1325,9 @@ def render_persistent(
     }
     if return_state:
         rs = {
-            "state": state, "px": px_l, "py": py_l,
+            "state": state_pre_drain if state_pre_drain is not None
+            else state,
+            "px": px_l, "py": py_l,
             "meta": {"n_frames": n_frames, "budget": budget, "tile": tile,
                      "adaptive": adaptive},
         }
@@ -1523,18 +1577,8 @@ def integrate_frame_pallas_cascade(
         return jnp.pad(a, (0, n_pad - n)).reshape(rows, mk.LANE)
 
     geom, cbounds = _pack_geom_clusters(scene, clusters)
-    lpos = jnp.pad(scene.light_pos, ((0, 0), (0, 1)))
-    lspec = scene.light_spec
-    if config.n_lights == 0:
-        lpos = jnp.zeros((1, 4), jnp.float32)
-        lspec = jnp.zeros((1, s_dim), jnp.float32)
-
-    fori = clusters is not None or len(obj_types) > 64
-    albedo_in = scene.albedo[:1] if fori else scene.albedo
-    emission_in = scene.emission[:1] if fori else scene.emission
-    m_alb = scene.mat_albedo if fori else scene.mat_albedo[:1]
-    m_emis = scene.mat_emission if fori else scene.mat_emission[:1]
-    m_scal = scene.mat_scalars if fori else scene.mat_scalars[:1]
+    (albedo_in, emission_in, m_alb, m_emis, m_scal,
+     lpos, lspec) = _mat_light_tables(scene, config, obj_types, clusters)
     tables = (
         geom, cbounds, albedo_in, emission_in, m_alb, m_emis, m_scal,
         lpos, lspec,

@@ -648,20 +648,19 @@ class Renderer:
         lane permutation. Runs once, lazily, at the first regen chunk."""
         if self._lane_perm is not None:
             return
-        from spectral_tpu.render.pallas_integrator import probe_path_cost
-
-        cost = np.asarray(
-            probe_path_cost(
-                self.scene_arrays, self.config, self.obj_types,
-                n_probe_frames=2, interpret=self._interpret,
-                has_transmission=self.has_transmission,
-                has_emission=self.has_emission,
-                clusters=self.clusters,
-            )
+        from spectral_tpu.render.pallas_integrator import (
+            _cost_sort_perm,
+            probe_path_cost,
         )
-        order = np.argsort(-cost, kind="stable").astype(np.int32)
-        self._lane_perm = jnp.asarray(order)
-        self._lane_inv = jnp.asarray(np.argsort(order).astype(np.int32))
+
+        cost = probe_path_cost(
+            self.scene_arrays, self.config, self.obj_types,
+            n_probe_frames=2, interpret=self._interpret,
+            has_transmission=self.has_transmission,
+            has_emission=self.has_emission,
+            clusters=self.clusters,
+        )
+        self._lane_perm, self._lane_inv = _cost_sort_perm(cost)
 
     def _resolve_phase_stages(self, phase_split, phase_capacity):
         """Normalize the phased-rendering request into a static stages
@@ -1070,6 +1069,10 @@ class Renderer:
             info = self.persist_info
             if not info or "resume_state" not in info:
                 raise ValueError(
+                    "no persist state to checkpoint: sharded persist "
+                    "renders carry no host-side resume state; otherwise, "
+                    "render (or abort) first"
+                    if self.sharding is not None else
                     "no persist state to checkpoint: render (or abort) "
                     "first"
                 )

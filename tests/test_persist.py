@@ -318,3 +318,35 @@ def test_renderer_persist_checkpoint_roundtrip(tmp_path):
         Renderer(
             make_scene(), adaptive=(2, 0.1, 0.0), **kw
         ).load_checkpoint(path)
+
+
+def test_persist_abort_drain_completes_in_flight_paths():
+    """An aborted image must contain NO partial-path radiance: the abort
+    drain (end=0 launches) walks every in-flight path to its terminal
+    hit first, so each pixel is EXACTLY the mean of its first
+    ``counts[p]`` frames. Verified bit-for-bit: every pixel of an
+    immediately-aborted 2-frame render equals the same pixel of a full
+    1-frame or full 2-frame render according to its completed count
+    (pre-drain, mid-path lanes left partial bounce contributions in the
+    numerator over a completed-frame divisor — an upward bias)."""
+    arrays, config, obj_types, ht, he = _setup(w=16, h=8, bounces=3)
+    # zero tolerances never stop a lane, so 'adaptive' only exposes the
+    # per-pixel completed counts; budget=1 maximizes mid-path aborts
+    kw = dict(
+        interpret=True, has_transmission=ht, has_emission=he,
+        ring_slots=0, budget=1, tile=128, adaptive=(2, 0.0, 0.0),
+    )
+    full1, _ = render_persistent(
+        arrays, config, obj_types, n_frames=1, **kw)
+    full2, _ = render_persistent(
+        arrays, config, obj_types, n_frames=2, **kw)
+
+    got, info = render_persistent(
+        arrays, config, obj_types, n_frames=2,
+        should_abort=lambda: True, **kw)
+    assert info["aborted"]
+    counts = info["counts"].reshape(config.height, config.width)
+    assert set(np.unique(counts)) <= {1, 2}
+    g, f1, f2 = (np.asarray(a) for a in (got, full1, full2))
+    assert (g[counts == 1] == f1[counts == 1]).all()
+    assert (g[counts == 2] == f2[counts == 2]).all()

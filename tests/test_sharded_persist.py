@@ -136,3 +136,30 @@ def test_sharded_persist_validates_height():
             interpret=True, has_transmission=ht, has_emission=he,
             budget=8,
         )
+
+
+def test_sharded_persist_abort_drains_and_refuses_checkpoint():
+    """An aborted sharded persist render drains its in-flight paths (the
+    returned image is finite and positive, not a partial-path-biased
+    buffer) and save_checkpoint refuses with a message naming the
+    sharded-persist limitation (the CLI skips its auto-checkpoint on
+    this path instead of crashing)."""
+    if jax.device_count() < 2:
+        pytest.skip("needs multiple devices")
+    from spectral_tpu.parallel.mesh import row_sharding
+    from spectral_tpu.render.renderer import Renderer
+
+    scene = presets.PRESETS["cornell"](n_samples=8)
+    scene.width, scene.height = 16, 16
+    scene.nbr_of_ray_bounces = 2
+    scene.nbr_of_iterations = 6
+    r = Renderer(
+        scene, persist=True, persist_budget=2, _interpret=True,
+        sharding=row_sharding(make_mesh(8)),
+    )
+    got = r.render(abort=lambda: True)
+    assert r.persist_info["aborted"]
+    g = np.asarray(got)
+    assert np.isfinite(g).all() and g.max() > 0.0
+    with pytest.raises(ValueError, match="sharded persist"):
+        r.save_checkpoint("/tmp/never_written.npz")
