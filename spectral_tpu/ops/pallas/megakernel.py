@@ -102,7 +102,7 @@ def _radical_inverse_m(bits):
     bits = ((bits & u(0x33333333)) << 2) | ((bits & u(0xCCCCCCCC)) >> 2)
     bits = ((bits & u(0x0F0F0F0F)) << 4) | ((bits & u(0xF0F0F0F0)) >> 4)
     bits = ((bits & u(0x00FF00FF)) << 8) | ((bits & u(0xFF00FF00)) >> 8)
-    return _u32_to_f32(bits) * np.float32(2.3283064365386963e-10)
+    return _u32_to_f32(bits) * _INV_2_32
 
 
 def _pcg3d(x, y, z):
@@ -152,6 +152,21 @@ def _slab_t(ox, oy, oz, dx, dy, dz, mnx, mny, mnz, mxx, mxy, mxz):
         t_max = jnp.fmin(t_max, t_far)
     hit = (t_max > t_min) & (t_max >= 0.0)
     return t_min, t_max, hit
+
+
+def _grid_tiles(np_lanes: int, tile: int) -> int:
+    """Grid size for ``tile``-lane tiles over ``np_lanes`` padded lanes.
+
+    The tiling must cover the planes EXACTLY (and stay 128-lane aligned):
+    a ragged tail would silently never be traced — no grid step writes
+    its output rows — so validate loudly instead of flooring."""
+    if tile % LANE or np_lanes % tile:
+        raise ValueError(
+            f"{np_lanes} lanes do not tile into {tile}-lane blocks: pad "
+            f"the wavefront to a multiple of the tile (and the tile to a "
+            f"multiple of {LANE})"
+        )
+    return np_lanes // tile
 
 
 def build_megakernel(
@@ -331,6 +346,55 @@ def build_megakernel(
         / np.float32(s_dim - 1)
     )
 
+    def _candidate_t(geom, o, ox, oy, oz, dx, dy, dz):
+        """Per-object candidate hit ``(t, valid)`` for the UNROLLED
+        loops, in the reference-exact division form (sphere quadratic
+        src/shader.rs:508-529, slab/rotated-box src/shader.rs:530-560).
+        ``trace_tile`` pass 1 and ``shadow_blocked`` must stay
+        op-for-op identical — a numerics or tie-rule fix applied to one
+        but not the other silently breaks the bit-parity contract — so
+        both call this single definition. (The fori loops use the
+        reciprocal-multiply ``_sphere_t`` variant instead, a documented
+        <=1-ulp divergence.)"""
+        ot = obj_types[o]
+        if ot == OBJ_SPHERE:
+            spx, spy, spz = geom[o, _SHIFT], geom[o, _SHIFT + 1], geom[o, _SHIFT + 2]
+            rad = geom[o, _RADIUS]
+            ocx, ocy, ocz = ox - spx, oy - spy, oz - spz
+            a = _dot(dx, dy, dz, dx, dy, dz)
+            b = 2.0 * _dot(ocx, ocy, ocz, dx, dy, dz)
+            c = _dot(ocx, ocy, ocz, ocx, ocy, ocz) - rad * rad
+            disc = b * b - 4.0 * a * c
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            t1 = (-b - sq) / (2.0 * a)
+            t2 = (-b + sq) / (2.0 * a)
+            t = jnp.where(t1 >= 0.0, t1, t2)
+            valid = (disc >= 0.0) & (t >= 0.0)
+        else:
+            if ot == OBJ_ROTATED_BOX:
+                shx, shy, shz = (
+                    geom[o, _SHIFT], geom[o, _SHIFT + 1], geom[o, _SHIFT + 2]
+                )
+                rx, ry, rz = ox - shx, oy - shy, oz - shz
+                ir = [geom[o, _INV_ROT + k] for k in range(9)]
+                lox = ir[0] * rx + ir[1] * ry + ir[2] * rz
+                loy = ir[3] * rx + ir[4] * ry + ir[5] * rz
+                loz = ir[6] * rx + ir[7] * ry + ir[8] * rz
+                ldx = ir[0] * dx + ir[1] * dy + ir[2] * dz
+                ldy = ir[3] * dx + ir[4] * dy + ir[5] * dz
+                ldz = ir[6] * dx + ir[7] * dy + ir[8] * dz
+            else:
+                lox, loy, loz = ox, oy, oz
+                ldx, ldy, ldz = dx, dy, dz
+            t_min, t_max, hit = _slab_t(
+                lox, loy, loz, ldx, ldy, ldz,
+                geom[o, _SLAB_MIN], geom[o, _SLAB_MIN + 1], geom[o, _SLAB_MIN + 2],
+                geom[o, _SLAB_MAX], geom[o, _SLAB_MAX + 1], geom[o, _SLAB_MAX + 2],
+            )
+            t = jnp.where(t_min >= 0.0, t_min, t_max)
+            valid = hit
+        return t, valid & (t > 0.0)
+
     def trace_tile(geom, ox, oy, oz, dx, dy, dz):
         """Nearest-hit over all objects. Returns per-lane winner
         (t, hit, normal, metal, rough, one-hot winner masks)."""
@@ -339,44 +403,7 @@ def build_megakernel(
         # pass 1: nearest t
         cand_ts = []
         for o in range(n_obj):
-            ot = obj_types[o]
-            if ot == OBJ_SPHERE:
-                spx, spy, spz = geom[o, _SHIFT], geom[o, _SHIFT + 1], geom[o, _SHIFT + 2]
-                rad = geom[o, _RADIUS]
-                ocx, ocy, ocz = ox - spx, oy - spy, oz - spz
-                a = _dot(dx, dy, dz, dx, dy, dz)
-                b = 2.0 * _dot(ocx, ocy, ocz, dx, dy, dz)
-                c = _dot(ocx, ocy, ocz, ocx, ocy, ocz) - rad * rad
-                disc = b * b - 4.0 * a * c
-                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-                t1 = (-b - sq) / (2.0 * a)
-                t2 = (-b + sq) / (2.0 * a)
-                t = jnp.where(t1 >= 0.0, t1, t2)
-                valid = (disc >= 0.0) & (t >= 0.0)
-            else:
-                if ot == OBJ_ROTATED_BOX:
-                    shx, shy, shz = (
-                        geom[o, _SHIFT], geom[o, _SHIFT + 1], geom[o, _SHIFT + 2]
-                    )
-                    rx, ry, rz = ox - shx, oy - shy, oz - shz
-                    ir = [geom[o, _INV_ROT + k] for k in range(9)]
-                    lox = ir[0] * rx + ir[1] * ry + ir[2] * rz
-                    loy = ir[3] * rx + ir[4] * ry + ir[5] * rz
-                    loz = ir[6] * rx + ir[7] * ry + ir[8] * rz
-                    ldx = ir[0] * dx + ir[1] * dy + ir[2] * dz
-                    ldy = ir[3] * dx + ir[4] * dy + ir[5] * dz
-                    ldz = ir[6] * dx + ir[7] * dy + ir[8] * dz
-                else:
-                    lox, loy, loz = ox, oy, oz
-                    ldx, ldy, ldz = dx, dy, dz
-                t_min, t_max, hit = _slab_t(
-                    lox, loy, loz, ldx, ldy, ldz,
-                    geom[o, _SLAB_MIN], geom[o, _SLAB_MIN + 1], geom[o, _SLAB_MIN + 2],
-                    geom[o, _SLAB_MAX], geom[o, _SLAB_MAX + 1], geom[o, _SLAB_MAX + 2],
-                )
-                t = jnp.where(t_min >= 0.0, t_min, t_max)
-                valid = hit
-            valid = valid & (t > 0.0)
+            t, valid = _candidate_t(geom, o, ox, oy, oz, dx, dy, dz)
             t = jnp.where(valid, t, _INF)
             cand_ts.append(t)
             t_best = jnp.fmin(t_best, t)
@@ -471,44 +498,7 @@ def build_megakernel(
         """Nearest positive hit <= max_dist (reference src/shader.rs:484-489)."""
         t_best = jnp.full_like(ox, _INF)
         for o in range(n_obj):
-            ot = obj_types[o]
-            if ot == OBJ_SPHERE:
-                spx, spy, spz = geom[o, _SHIFT], geom[o, _SHIFT + 1], geom[o, _SHIFT + 2]
-                rad = geom[o, _RADIUS]
-                ocx, ocy, ocz = ox - spx, oy - spy, oz - spz
-                a = _dot(dx, dy, dz, dx, dy, dz)
-                b = 2.0 * _dot(ocx, ocy, ocz, dx, dy, dz)
-                c = _dot(ocx, ocy, ocz, ocx, ocy, ocz) - rad * rad
-                disc = b * b - 4.0 * a * c
-                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-                t1 = (-b - sq) / (2.0 * a)
-                t2 = (-b + sq) / (2.0 * a)
-                t = jnp.where(t1 >= 0.0, t1, t2)
-                valid = (disc >= 0.0) & (t >= 0.0)
-            else:
-                if ot == OBJ_ROTATED_BOX:
-                    shx, shy, shz = (
-                        geom[o, _SHIFT], geom[o, _SHIFT + 1], geom[o, _SHIFT + 2]
-                    )
-                    rx, ry, rz = ox - shx, oy - shy, oz - shz
-                    ir = [geom[o, _INV_ROT + k] for k in range(9)]
-                    lox = ir[0] * rx + ir[1] * ry + ir[2] * rz
-                    loy = ir[3] * rx + ir[4] * ry + ir[5] * rz
-                    loz = ir[6] * rx + ir[7] * ry + ir[8] * rz
-                    ldx = ir[0] * dx + ir[1] * dy + ir[2] * dz
-                    ldy = ir[3] * dx + ir[4] * dy + ir[5] * dz
-                    ldz = ir[6] * dx + ir[7] * dy + ir[8] * dz
-                else:
-                    lox, loy, loz = ox, oy, oz
-                    ldx, ldy, ldz = dx, dy, dz
-                t_min, t_max, hit = _slab_t(
-                    lox, loy, loz, ldx, ldy, ldz,
-                    geom[o, _SLAB_MIN], geom[o, _SLAB_MIN + 1], geom[o, _SLAB_MIN + 2],
-                    geom[o, _SLAB_MAX], geom[o, _SLAB_MAX + 1], geom[o, _SLAB_MAX + 2],
-                )
-                t = jnp.where(t_min >= 0.0, t_min, t_max)
-                valid = hit
-            valid = valid & (t > 0.0)
+            t, valid = _candidate_t(geom, o, ox, oy, oz, dx, dy, dz)
             t_best = jnp.fmin(t_best, jnp.where(valid, t, _INF))
         return (t_best < _INF) & (t_best <= max_dist)
 
@@ -1104,17 +1094,20 @@ def build_megakernel(
                 rad_ref[s] = rad_ref[s] + direct_term
                 if regen:
                     # regenerating lanes start their next path at unit
-                    # throughput. The reset takes precedence over the live
-                    # update: a lane ending via the bounce budget is BOTH
-                    # live (it shades this iteration) and regenerating.
-                    # (Dead non-regenerating lanes keep a stale thr that
-                    # is never read again.)
+                    # throughput; continuing lanes multiply in the hit's
+                    # albedo. Gated on CONT (not live) to match the
+                    # integrator's carried-state contract
+                    # (integrator.py: where(cont, thr*albedo, thr)): a
+                    # lane ending via the bounce budget shades this
+                    # iteration from the LOCAL thr_s * alb_s (direct_term
+                    # above), but its carried thr is never read again, so
+                    # both kernels and the jnp path agree plane-for-plane.
                     thr_ref[s] = jnp.where(
                         new_path, 1.0,
-                        jnp.where(live, thr_s * alb_s, thr_s),
+                        jnp.where(cont > 0.0, thr_s * alb_s, thr_s),
                     )
                 else:
-                    thr_ref[s] = jnp.where(live, thr_s * alb_s, thr_s)
+                    thr_ref[s] = jnp.where(cont > 0.0, thr_s * alb_s, thr_s)
 
             # --- continuation rays
             # specular: mirror + optional cone perturbation
@@ -1242,7 +1235,11 @@ def build_megakernel(
                     # rsqrt-normalizes per iteration. This program lands
                     # FMA-ulps from host raygen anyway (documented), so
                     # reciprocal-multiply and rsqrt are fair game.
-                    (fx, fy, fz, rx, ry, rz, ux, uy, uz,
+                    # crx/cry/crz are the CAMERA RIGHT basis — named so
+                    # they can never shadow the per-bounce PCG draws
+                    # rx/ry/rz (reading those after this block would
+                    # silently yield camera components, not randoms)
+                    (fx, fy, fz, crx, cry, crz, ux, uy, uz,
                      sx, sy, aspect, inv_n) = persist_pre
                     nff = nf.astype(jnp.int32).astype(jnp.float32)
                     pxf = px.astype(jnp.int32).astype(jnp.float32)
@@ -1253,9 +1250,9 @@ def build_megakernel(
                     # y_ndc = -((y+oy)/h*2-1)      = 1 - (y+oy)*sy
                     x_ndc = (pxf + off_x) * sx - aspect
                     y_ndc = 1.0 - (pyf + off_y) * sy
-                    gdx = fx - rx * x_ndc + ux * y_ndc
-                    gdy = fy - ry * x_ndc + uy * y_ndc
-                    gdz = fz - rz * x_ndc + uz * y_ndc
+                    gdx = fx - crx * x_ndc + ux * y_ndc
+                    gdy = fy - cry * x_ndc + uy * y_ndc
+                    gdz = fz - crz * x_ndc + uz * y_ndc
                     # reference normalizes in raygen AND in Ray::new
                     for _ in range(2):
                         inv = jax.lax.rsqrt(
@@ -1560,27 +1557,43 @@ def build_megakernel(
         alive_o[:], gate_o[:], hero_o[:] = out[6], out[7], out[8]
         bl_o[:], fid_o[:] = out[9], out[10]
 
+    # persist positional-ref layout — the ONE definition both the
+    # kernel_persist splices and run_persist's alias/index arithmetic
+    # derive from: [lead?] end | _PS_STATE state planes (ox..dz, px, py,
+    # alive, gate, hero, bl, fid) | [stop?] | _PS_TABLES tables
+    # (geom, cbounds, albedo, emission, m_alb, m_emis, m_scal, lpos,
+    # lspec, cam) | [3 ring planes?] | thr_in, rad_in || outputs:
+    # rad, thr, 11 state planes
+    _PS_STATE = 13
+    _PS_TABLES = 10
+
     if ring_w:
         def kernel_persist(lead_ref, end_ref, *refs):
             _persist_core(lead_ref, end_ref, *refs)
     elif lane_stop:
         def kernel_persist(end_ref, *refs):
-            # free-running + stop mask: inputs are 13 state planes, the
-            # read-only stop plane, 10 tables, thr_in, rad_in; outputs
-            # are rad, thr, 11 state planes (the stop plane has no output)
-            state_in, stop_in = refs[:13], refs[13]
-            tables_mid = refs[14:26]  # 10 tables + thr_in + rad_in
-            outs = refs[26:39]
+            # free-running + stop mask: inputs are the state planes, the
+            # read-only stop plane, the tables, thr_in, rad_in; outputs
+            # are rad, thr, 11 state planes (the stop plane has no
+            # output). The splice indices derive from _PS_STATE /
+            # _PS_TABLES, shared with run_persist's alias arithmetic —
+            # one layout definition, so they cannot drift apart.
+            state_in, stop_in = refs[:_PS_STATE], refs[_PS_STATE]
+            mid = _PS_STATE + 1
+            tabs = refs[mid:mid + _PS_TABLES]
+            spec_in = refs[mid + _PS_TABLES:mid + _PS_TABLES + 2]
+            outs = refs[mid + _PS_TABLES + 2:]
             _persist_core(
-                None, end_ref, *state_in, *tables_mid[:10],
-                None, None, None, *tables_mid[10:], *outs,
+                None, end_ref, *state_in, *tabs,
+                None, None, None, *spec_in, *outs,
                 stop_ref=stop_in,
             )
     else:
         def kernel_persist(end_ref, *refs):
             # free-running: no lead scalar, no ring planes — splice Nones
-            # into the core's (cam_ref | ring refs) slots
-            pre, post = refs[:23], refs[23:]
+            # into the core's ring-ref slots
+            pre = refs[:_PS_STATE + _PS_TABLES]
+            post = refs[_PS_STATE + _PS_TABLES:]
             _persist_core(None, end_ref, *pre, None, None, None, *post)
 
     def kernel_seg(
@@ -1631,7 +1644,7 @@ def build_megakernel(
         lpos, lspec,
     ):
         np_lanes = ox.shape[0] * ox.shape[1]
-        n_tiles = np_lanes // tile
+        n_tiles = _grid_tiles(np_lanes, tile)
         ray_spec = pl.BlockSpec(
             (r8, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
         )
@@ -1671,7 +1684,7 @@ def build_megakernel(
         lpos, lspec, cam, dirx, diry, dirz,
     ):
         np_lanes = ox.shape[0] * ox.shape[1]
-        n_tiles = np_lanes // tile
+        n_tiles = _grid_tiles(np_lanes, tile)
         ray_spec = pl.BlockSpec(
             (r8, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
         )
@@ -1719,7 +1732,7 @@ def build_megakernel(
         stop=None,
     ):
         np_lanes = ox.shape[0] * ox.shape[1]
-        n_tiles = np_lanes // tile
+        n_tiles = _grid_tiles(np_lanes, tile)
         ray_spec = pl.BlockSpec(
             (r8, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
         )
@@ -1751,7 +1764,8 @@ def build_megakernel(
         else:
             stop_in, stop_specs = (), ()
         base = len(lead_in) + 1  # index of ox
-        cam_idx = base + 13 + len(stop_in) + 9  # state, mask, 9 tables
+        # last table (cam) sits after state + [stop] + the other tables
+        cam_idx = base + _PS_STATE + len(stop_in) + (_PS_TABLES - 1)
         thr_idx = cam_idx + 1 + len(ring_in)
         aliases = {base + i: 2 + i for i in range(6)}  # ray planes
         aliases.update({base + 8 + i: 8 + i for i in range(5)})  # flags/ctrs
@@ -1805,7 +1819,7 @@ def build_megakernel(
         lpos, lspec,
     ):
         np_lanes = ox.shape[0] * ox.shape[1]
-        n_tiles = np_lanes // tile
+        n_tiles = _grid_tiles(np_lanes, tile)
         ray_spec = pl.BlockSpec(
             (r8, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
         )
@@ -1859,7 +1873,7 @@ def build_megakernel(
         lpos, lspec, thr, rad, alive, gate, hero,
     ):
         np_lanes = ox.shape[0] * ox.shape[1]
-        n_tiles = np_lanes // tile
+        n_tiles = _grid_tiles(np_lanes, tile)
         ray_spec = pl.BlockSpec(
             (r8, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
         )
