@@ -62,8 +62,13 @@ _PAGE = """<!doctype html>
  async function tick() {
    try {
      const s = await (await fetch('/status')).json();
+     const spf = s.frame > 0 ? s.elapsed_s / s.frame : 0;
+     const eta = s.frame > 0 ? spf * (s.total - s.frame) : 0;
      document.getElementById('status').textContent =
        `frame ${s.frame}/${s.total}  elapsed ${s.elapsed_s.toFixed(1)}s` +
+       (s.frame > 0
+         ? `  (${(spf * 1000).toFixed(1)} ms/frame, ETA ${eta.toFixed(0)}s)`
+         : '') +
        (s.aborting ? '  [abort requested]' : '');
      document.getElementById('fill').style.width =
        (100 * s.frame / Math.max(1, s.total)) + '%';
