@@ -338,6 +338,18 @@ def build_megakernel(
     # (32 masks = 128 KiB VMEM at a 4096-lane tile); recomputed inline per
     # (material, sample) for big tables so VMEM stays flat in n_materials
     precompute_mat_masks = n_materials <= 32
+    # material-indexed shading for the UNROLLED loop: when the scene has
+    # fewer materials than objects (cornell: 3 vs 7), select the per-λ
+    # albedo/emission rows by the winner's MATERIAL id (n_materials
+    # select chains per sample) instead of per-object rows (n_obj
+    # chains) — the per-sample select chain dominates the shading loop's
+    # arithmetic, and the winner material id costs n_obj selects ONCE
+    # per bounce. Bit-identical: mat_albedo rows are bitwise copies of
+    # the object rows (flatten.py builds them from the same values), one
+    # winner mask is set at most once, and zero-plus-winner f32 sums are
+    # order-exact. `_mat_light_tables` mirrors this predicate to ship
+    # the material tables instead of the per-object rows.
+    mat_shade = object_loop == "unrolled" and 0 < n_materials < n_obj
     # hero-wavelength grid parameters (exact f32 grid reconstruction:
     # lambda_i = lo + f32(step * i), matching flatten._lambda_grid)
     lam_lo = np.float32(config.lambda_lo)
@@ -959,6 +971,23 @@ def build_megakernel(
                     metal, rough, transw, ior, cauchy, masks,
                 ) = trace_tile(geom, ox, oy, oz, dx, dy, dz)
                 mat_mask = None
+                if mat_shade:
+                    # winner material id from the object winner masks
+                    # (exclusive; miss lanes land on material 0, whose
+                    # albedo/emission never reaches any output: direct is
+                    # gated on contrib, throughput on cont, emission on
+                    # live — all false without a hit)
+                    win_mat = jnp.zeros((r8, LANE), jnp.float32)
+                    for o in range(n_obj):
+                        win_mat = jnp.where(
+                            masks[o], geom[o, _MATID], win_mat
+                        )
+                    _masks = [
+                        win_mat == jnp.float32(m) for m in range(n_materials)
+                    ]
+
+                    def mat_mask(m, _masks=_masks):
+                        return _masks[m]
             gate_ok = (gate == 0.0) | (t > _SPEC_MIN)
             alive = alive * hit.astype(jnp.float32) * gate_ok.astype(jnp.float32)
             live = alive > 0.0
@@ -1054,7 +1083,7 @@ def build_megakernel(
                 thr_s = thr_ref[s]
                 if has_emission:
                     emis_s = jnp.zeros((r8, LANE), jnp.float32)
-                    if use_fori:
+                    if mat_mask is not None:
                         for m in range(n_materials):
                             emis_s = emis_s + jnp.where(
                                 mat_mask(m), m_emis_ref[m, s], 0.0
@@ -1076,7 +1105,7 @@ def build_megakernel(
                 for l in range(n_lights):
                     direct_s = direct_s + scales[l] * lspec_ref[l, s]
                 alb_s = jnp.zeros((r8, LANE), jnp.float32)
-                if use_fori:
+                if mat_mask is not None:
                     for m in range(n_materials):
                         alb_s = alb_s + jnp.where(
                             mat_mask(m), m_alb_ref[m, s], 0.0

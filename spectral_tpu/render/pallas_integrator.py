@@ -201,14 +201,17 @@ def _mat_light_tables(scene: SceneArrays, config, obj_types: tuple,
     ``build_megakernel`` compiles one of two object-loop families: the
     fori (many-object / clustered) loop reads the MATERIAL-indexed rows
     (``mat_albedo``/``mat_emission``/``mat_scalars``), the unrolled loop
-    the PER-OBJECT rows (``albedo``/``emission``); the other family is
-    shipped as a never-read one-row dummy so SMEM stays lean. The fori
-    predicate here must mirror build_megakernel's choice EXACTLY —
-    shipping the wrong variant makes the kernel read out-of-bounds
-    SMEM — which is why every launcher calls this helper instead of
-    hand-trimming. Lights: position padded to 4 columns; a light-less
-    scene ships one zero row (pallas rejects zero-row tables; the
-    kernel's static light loop has zero iterations, so it is never
+    the PER-OBJECT rows (``albedo``/``emission``) — EXCEPT when the
+    scene has fewer materials than objects, where the unrolled kernel's
+    shading loop also selects by material (``mat_shade`` in
+    build_megakernel: shorter per-λ select chains). The family that is
+    not read is shipped as a never-read one-row dummy so SMEM stays
+    lean. The predicates here must mirror build_megakernel's choices
+    EXACTLY — shipping the wrong variant makes the kernel read
+    out-of-bounds SMEM — which is why every launcher calls this helper
+    instead of hand-trimming. Lights: position padded to 4 columns; a
+    light-less scene ships one zero row (pallas rejects zero-row tables;
+    the kernel's static light loop has zero iterations, so it is never
     read).
 
     Returns ``(albedo, emission, mat_albedo, mat_emission, mat_scalars,
@@ -219,16 +222,19 @@ def _mat_light_tables(scene: SceneArrays, config, obj_types: tuple,
         or object_loop == "fori"
         or (object_loop == "auto" and len(obj_types) > 64)
     )
+    # unrolled kernel with material-indexed shading (build_megakernel's
+    # mat_shade): reads the material albedo/emission rows, not per-object
+    mat_rows = fori or 0 < config.n_materials < len(obj_types)
     lpos = jnp.pad(scene.light_pos, ((0, 0), (0, 1)))  # [L, 4]
     lspec = scene.light_spec
     if config.n_lights == 0:
         lpos = jnp.zeros((1, 4), jnp.float32)
         lspec = jnp.zeros((1, config.n_samples), jnp.float32)
     return (
-        scene.albedo[:1] if fori else scene.albedo,
-        scene.emission[:1] if fori else scene.emission,
-        scene.mat_albedo if fori else scene.mat_albedo[:1],
-        scene.mat_emission if fori else scene.mat_emission[:1],
+        scene.albedo[:1] if mat_rows else scene.albedo,
+        scene.emission[:1] if mat_rows else scene.emission,
+        scene.mat_albedo if mat_rows else scene.mat_albedo[:1],
+        scene.mat_emission if mat_rows else scene.mat_emission[:1],
         scene.mat_scalars if fori else scene.mat_scalars[:1],
         lpos, lspec,
     )
