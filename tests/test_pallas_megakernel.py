@@ -131,6 +131,40 @@ def test_multibounce_deterministic_zero_flips():
         assert float(np.abs(got - want).max()) / scale < 1e-4  # zero flips
 
 
+def test_unique_materials_shade_by_object_rows():
+    """Same periscope scene, but every object owns a UNIQUE material, so
+    ``n_materials == n_objects`` and build_megakernel's material-indexed
+    shading (``mat_shade``) stays OFF — this pins the per-object-row
+    shading branch, which presets no longer reach (they all share
+    materials, so they shade via the material table). Guards both the
+    branch itself and the `_mat_light_tables` predicate staying in sync
+    with build_megakernel (a drift ships the wrong SMEM table variant)."""
+    from spectral_tpu.scene import schema as S
+
+    scene = _periscope_scene()
+    # give each object its own material copy (unique identity, same values)
+    new_mats = []
+    for obj in scene.objects:
+        m = obj.material.copy()
+        m.name = f"{m.name}@{obj.name}"
+        obj.material = m
+        new_mats.append(m)
+    scene.materials = new_mats
+    scene.validate()
+    arrays, config = flatten_scene(scene)
+    assert config.n_materials == config.n_objects  # mat_shade off
+    obj_types = tuple(np.asarray(arrays.obj_type).tolist())
+    want = np.asarray(integrate_frame(arrays, config, np.uint32(0)))
+    got = np.asarray(
+        integrate_frame_pallas(
+            arrays, config, np.uint32(0), obj_types, interpret=True
+        )
+    )
+    assert float(want.max()) > 0.1
+    scale = max(1.0, float(np.abs(want).max()))
+    assert float(np.abs(got - want).max()) / scale < 1e-4
+
+
 def test_transmission_emission_matches_jnp():
     """Megakernel v2 physics: refraction + hero wavelength + emission."""
     scene = presets.prism(n_samples=8)
