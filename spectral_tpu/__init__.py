@@ -50,6 +50,10 @@ def __getattr__(name):
         from spectral_tpu.utils.sceneio import save_scene
 
         return save_scene
+    if name == "animation":
+        from spectral_tpu.render import animation
+
+        return animation
     raise AttributeError(f"module 'spectral_tpu' has no attribute {name!r}")
 
 
@@ -59,6 +63,7 @@ __all__ = [
     "presets",
     "load_scene",
     "save_scene",
+    "animation",
     "VISIBLE_LIGHT_WAVELENGTH_LOWER_BOUND",
     "VISIBLE_LIGHT_WAVELENGTH_UPPER_BOUND",
     "NBR_OF_SAMPLES_MAX",

@@ -290,6 +290,74 @@ def cmd_render(args) -> int:
     return 0
 
 
+def cmd_animate(args) -> int:
+    """Render a keyframe animation (frames dealt across local devices)."""
+    import json as json_mod
+
+    from spectral_tpu.render import animation as anim_mod
+
+    scene = _load_scene(args)
+
+    if args.anim:
+        anim = anim_mod.load_animation(args.anim, scene=scene)
+        if args.frames is not None:
+            anim.n_frames = args.frames
+        if args.fps is not None:
+            anim.fps = args.fps
+    elif args.orbit is not None:
+        n = args.frames if args.frames is not None else 48
+        center = (
+            tuple(float(c) for c in args.orbit_center.split(","))
+            if args.orbit_center
+            else (0.0, 0.0, 0.0)
+        )
+        anim = anim_mod.Animation(
+            scene,
+            n_frames=n,
+            tracks=anim_mod.orbit_tracks(
+                scene, degrees=args.orbit, n_frames=n, center=center
+            ),
+            fps=args.fps if args.fps is not None else 12.0,
+        )
+    else:
+        print("animate: pass --anim tracks.json or --orbit DEGREES",
+              file=sys.stderr)
+        return 2
+
+    t0 = time.monotonic()
+
+    def progress(done, total):
+        dt = time.monotonic() - t0
+        eta = dt / done * (total - done) if done else 0.0
+        print(
+            f"\rframe {done}/{total}  {dt:6.1f}s elapsed  eta {eta:6.1f}s",
+            end="", file=sys.stderr, flush=True,
+        )
+
+    kwargs = {}
+    if args.interpret:
+        kwargs["_interpret"] = True
+    frames = anim_mod.render_animation(
+        anim,
+        iterations=args.iterations,
+        out_dir=args.out_dir,
+        progress=progress,
+        **kwargs,
+    )
+    print(file=sys.stderr)
+    if args.gif:
+        anim_mod.save_gif(frames, args.gif, fps=anim.fps)
+        print(f"wrote {args.gif}", file=sys.stderr)
+    if args.dump_anim:
+        from pathlib import Path as _P
+
+        _P(args.dump_anim).write_text(
+            json_mod.dumps(anim_mod.animation_to_dict(anim), indent=2)
+        )
+        print(f"wrote {args.dump_anim}", file=sys.stderr)
+    return 0
+
+
 def cmd_scene_dump(args) -> int:
     from spectral_tpu.scene import presets
     from spectral_tpu.utils import sceneio
@@ -470,6 +538,33 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--profile",
                     help="capture a jax.profiler trace of the render into DIR")
     pr.set_defaults(func=cmd_render)
+
+    pa = sub.add_parser(
+        "animate",
+        help="render a keyframe animation (a capability the reference "
+             "lacks); frames are dealt across all local devices",
+    )
+    srca = pa.add_mutually_exclusive_group()
+    srca.add_argument("--preset", choices=sorted(PRESETS), default="default")
+    srca.add_argument("--scene", help="path to a scene JSON file")
+    _add_render_overrides(pa)
+    pa.add_argument("--anim", help="animation JSON: {n_frames, fps, tracks:"
+                    " [{path, keys: [[t, value], ...]}]}; an embedded "
+                    "scene is overridden by --scene/--preset")
+    pa.add_argument("--orbit", type=float, metavar="DEGREES",
+                    help="turntable: orbit the camera by DEGREES around "
+                    "--orbit-center, always looking at it")
+    pa.add_argument("--orbit-center", metavar="X,Y,Z",
+                    help="orbit center (default 0,0,0)")
+    pa.add_argument("--frames", type=int, help="number of animation frames")
+    pa.add_argument("--fps", type=float, help="GIF playback rate")
+    pa.add_argument("--out-dir", help="write frame_NNNN.png files here")
+    pa.add_argument("--gif", help="write an animated GIF here")
+    pa.add_argument("--dump-anim", help="write the resolved animation "
+                    "(including the generated orbit tracks) as JSON")
+    pa.add_argument("--interpret", action="store_true",
+                    help="debug: run Pallas kernels in interpret mode")
+    pa.set_defaults(func=cmd_animate)
 
     ps = sub.add_parser("scene", help="scene file utilities")
     pssub = ps.add_subparsers(dest="scene_command", required=True)
