@@ -287,6 +287,12 @@ def cmd_render(args) -> int:
             )
         if aborted and checkpoint:
             print(f"resume with --resume {checkpoint}", file=sys.stderr)
+    if args.aovs and primary:
+        from spectral_tpu.render.aov import compute_aovs, save_aovs
+
+        save_aovs(compute_aovs(scene), args.aovs)
+        print(f"AOVs (depth/normal/albedo/obj_id) -> {args.aovs}",
+              file=sys.stderr)
     return 0
 
 
@@ -537,6 +543,11 @@ def build_parser() -> argparse.ArgumentParser:
                     "(slow; lets --persist/--adaptive run on CPU hosts)")
     pr.add_argument("--profile",
                     help="capture a jax.profiler trace of the render into DIR")
+    pr.add_argument("--aovs", metavar="DIR",
+                    help="also write first-hit feature buffers (depth, "
+                    "shading normal, albedo, object id) as .npy + .png "
+                    "previews into DIR — denoiser/compositing inputs the "
+                    "reference cannot produce")
     pr.set_defaults(func=cmd_render)
 
     pa = sub.add_parser(
