@@ -298,18 +298,47 @@ def cmd_render(args) -> int:
 
 def cmd_animate(args) -> int:
     """Render a keyframe animation (frames dealt across local devices)."""
+    import dataclasses as dc
     import json as json_mod
 
     from spectral_tpu.render import animation as anim_mod
 
+    if not (args.out_dir or args.gif or args.dump_anim):
+        print("animate: no output requested — pass --out-dir and/or --gif",
+              file=sys.stderr)
+        return 2
+
+    # --scene/--preset override an embedded base scene; with neither
+    # given, an --anim file's embedded scene is used as-is (the preset
+    # default only applies when there is nothing embedded to use)
+    explicit_scene = args.scene is not None or args.preset is not None
+    if args.preset is None:
+        args.preset = "default"
     scene = _load_scene(args)
 
     if args.anim:
-        anim = anim_mod.load_animation(args.anim, scene=scene)
-        if args.frames is not None:
-            anim.n_frames = args.frames
-        if args.fps is not None:
-            anim.fps = args.fps
+        anim = anim_mod.load_animation(
+            args.anim, scene=scene if explicit_scene else None
+        )
+        if not explicit_scene:
+            # size/quality overrides still apply to the embedded scene
+            for attr, val in (
+                ("width", args.width), ("height", args.height),
+                ("nbr_of_iterations", args.iterations),
+                ("nbr_of_ray_bounces", args.bounces),
+            ):
+                if val is not None:
+                    setattr(anim.scene, attr, val)
+            if getattr(args, "samples", None) is not None:
+                anim.scene.spectrum_number_of_samples = args.samples
+                anim.scene.update_all_spectrum_sample_sizes()
+        # dataclasses.replace re-runs __post_init__ validation on the
+        # overridden frame count / playback rate
+        anim = dc.replace(
+            anim,
+            n_frames=args.frames if args.frames is not None else anim.n_frames,
+            fps=args.fps if args.fps is not None else anim.fps,
+        )
     elif args.orbit is not None:
         n = args.frames if args.frames is not None else 48
         center = (
@@ -556,7 +585,10 @@ def build_parser() -> argparse.ArgumentParser:
              "lacks); frames are dealt across all local devices",
     )
     srca = pa.add_mutually_exclusive_group()
-    srca.add_argument("--preset", choices=sorted(PRESETS), default="default")
+    srca.add_argument("--preset", choices=sorted(PRESETS), default=None,
+                      help="base scene preset; with --anim and neither "
+                      "--preset nor --scene, the animation file's "
+                      "embedded scene is used")
     srca.add_argument("--scene", help="path to a scene JSON file")
     _add_render_overrides(pa)
     pa.add_argument("--anim", help="animation JSON: {n_frames, fps, tracks:"

@@ -57,7 +57,7 @@ __all__ = [
 ]
 
 
-_INDEXED = re.compile(r"^(objects|lights|materials|spectra)\[(\d+)\]$")
+_INDEXED = re.compile(r"^(objects|lights|materials)\[(\d+)\]$")
 
 # Paths a track may animate. Everything here changes scene *values* only
 # — never array shapes — so every frame of an animation flattens to the
@@ -246,9 +246,14 @@ def orbit_tracks(
     p0 = np.asarray(scene.camera.position, dtype=np.float64)
     pos_keys, dir_keys = [], []
     n = max(n_frames, 1)
+    # a whole number of full turns loops: sample the circle half-open
+    # (frame n-1 stops one step short of the start pose) so a looping
+    # GIF has no duplicated frame; partial arcs sample inclusively
+    rem = abs(degrees) % 360.0
+    loop = degrees != 0.0 and min(rem, 360.0 - rem) < 1e-9
     for f in range(n):
         t = 0.0 if n == 1 else f / (n - 1)
-        ang = math.radians(degrees) * t
+        ang = math.radians(degrees) * (f / n if loop else t)
         ca, sa = math.cos(ang), math.sin(ang)
         r = p0 - c
         if axis == "y":
@@ -372,10 +377,12 @@ def render_animation(
         for s in scenes:
             s.nbr_of_iterations = iterations
 
-    # every frame must share one compiled program: same RenderConfig
-    cfg0 = flatten_scene(scenes[0])[1]
-    for f, s in enumerate(scenes[1:], start=1):
-        cfg = flatten_scene(s)[1]
+    # every frame must share one compiled program: same RenderConfig.
+    # Flatten once here and hand the snapshots to the Renderers below
+    # (via _flattened) instead of flattening each scene twice.
+    flattened = [flatten_scene(s) for s in scenes]
+    cfg0 = flattened[0][1]
+    for f, (_, cfg) in enumerate(flattened[1:], start=1):
         if cfg != cfg0:
             raise SceneError(
                 f"animation frame {f} changes the render configuration "
@@ -394,13 +401,17 @@ def render_animation(
 
     def _render_one(f: int, dev) -> None:
         with jax.default_device(dev):
-            r = Renderer(scenes[f], **renderer_kwargs)
+            r = Renderer(
+                scenes[f], _flattened=flattened[f], **renderer_kwargs
+            )
             r.render()
             fb = r.framebuffer()
-        u8 = image_mod.accum_to_u8(fb)[..., :3]
-        frames_u8[f] = u8
+        u8 = image_mod.accum_to_u8(fb)
+        frames_u8[f] = u8[..., :3]
         if out_dir_path is not None:
-            image_mod.save_image(fb, out_dir_path / f"frame_{f:04d}.png")
+            image_mod.save_image(
+                fb, out_dir_path / f"frame_{f:04d}.png", u8=u8
+            )
         if progress is not None:
             with lock:
                 done[0] += 1

@@ -37,14 +37,21 @@ def accum_to_u8(accum: np.ndarray, native: bool | None = None) -> np.ndarray:
     return (np.clip(data, 0.0, 1.0) * 255.0).astype(np.uint8)
 
 
-def save_image(accum: np.ndarray, path: str | Path, native: bool | None = None) -> Path:
+def save_image(
+    accum: np.ndarray,
+    path: str | Path,
+    native: bool | None = None,
+    u8: np.ndarray | None = None,
+) -> Path:
     """Save the accumulation buffer; format chosen by extension.
 
     PNG output goes through the native C++ encoder when available; other
-    formats (and the fallback) use PIL.
+    formats (and the fallback) use PIL. Callers that already hold the u8
+    conversion of ``accum`` may pass it to skip re-converting.
     """
     path = Path(path)
-    u8 = accum_to_u8(accum, native=native)
+    if u8 is None:
+        u8 = accum_to_u8(accum, native=native)
 
     if path.suffix.lower() == ".png" and native is not False:
         try:

@@ -360,6 +360,7 @@ class Renderer:
         adaptive: tuple | None = None,
         _interpret: bool = False,
         _phase_tile: int | None = None,
+        _flattened: tuple | None = None,
     ):
         import numpy as _np
 
@@ -369,7 +370,13 @@ class Renderer:
         # validate() (inside flatten) still rejects sample-count mismatch;
         # call scene.update_all_spectrum_sample_sizes() explicitly after
         # changing the sample count (the CLI does).
-        self.scene_arrays, self.config = flatten_scene(scene)
+        # ``_flattened``: a (SceneArrays, RenderConfig) pair the caller
+        # already built for THIS scene (render_animation pre-flattens to
+        # check config equality across frames) — skips re-flattening.
+        if _flattened is not None:
+            self.scene_arrays, self.config = _flattened
+        else:
+            self.scene_arrays, self.config = flatten_scene(scene)
         # identity of the flattened snapshot: checkpoints carry it so a
         # resume against a DIFFERENT scene with the same dimensions is
         # refused instead of silently blending two unrelated renders

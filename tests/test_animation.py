@@ -139,8 +139,21 @@ def test_orbit_tracks_circle_geometry():
         assert np.linalg.norm(d) == pytest.approx(1.0)
         to_center = np.array([0, 1, 0]) - np.asarray(p)
         assert np.dot(d, to_center / np.linalg.norm(to_center)) == pytest.approx(1.0)
-    # 360 degrees returns to the start
-    assert pos.keys[-1][1] == pytest.approx(pos.keys[0][1], abs=1e-9)
+    # full turns sample the circle half-open so a looping GIF has no
+    # duplicated frame: the last key is one step SHORT of the start...
+    assert pos.keys[-1][1] != pytest.approx(pos.keys[0][1], abs=1e-6)
+    # ...at exactly 360 * (n-1)/n degrees
+    ang = np.radians(360.0 * 8 / 9)
+    expect = (-3 * np.sin(ang), 1.0, -3 * np.cos(ang))
+    assert pos.keys[-1][1] == pytest.approx(expect, abs=1e-9)
+
+
+def test_orbit_partial_arc_samples_inclusively():
+    scene = _small_scene()
+    scene.camera.position = (0.0, 0.0, -3.0)
+    tracks = orbit_tracks(scene, degrees=180.0, n_frames=5, center=(0, 0, 0))
+    # a half-turn ENDS at the diametrically opposite pose
+    assert tracks[0].keys[-1][1] == pytest.approx((0, 0, 3), abs=1e-9)
 
 
 def test_orbit_rejects_degenerate_center():
@@ -338,5 +351,55 @@ def test_cli_animate_tracks_file(tmp_path):
 def test_cli_animate_requires_anim_or_orbit(capsys):
     from spectral_tpu.cli import main
 
-    rc = main(["animate", "--preset", "default"])
+    rc = main(["animate", "--preset", "default", "--gif", "/tmp/x.gif"])
     assert rc == 2
+
+
+def test_cli_animate_requires_an_output(tmp_path):
+    from spectral_tpu.cli import main
+
+    rc = main(["animate", "--preset", "default", "--orbit", "90"])
+    assert rc == 2  # refuses BEFORE rendering anything
+
+
+def test_cli_animate_uses_embedded_scene_when_none_given(tmp_path):
+    """A saved animation round-trips through the CLI: with no --scene or
+    --preset, the file's embedded scene renders (not the default preset)."""
+    from spectral_tpu.cli import main
+
+    scene = _small_scene(iters=1)
+    scene.camera.fov_y_deg = 25.0  # a recognizably non-default base scene
+    anim = Animation(
+        scene, 2, [Track("camera.fov_y_deg", [(0.0, 25.0), (1.0, 30.0)])]
+    )
+    path = tmp_path / "anim.json"
+    anim_mod.save_animation(anim, path)
+
+    out_dir = tmp_path / "frames"
+    rc = main(["animate", "--anim", str(path), "--out-dir", str(out_dir)])
+    assert rc == 0
+    got = np.asarray(__import__("PIL.Image", fromlist=["Image"]).open(
+        out_dir / "frame_0000.png"
+    ))
+    # the embedded scene rendered: matches a direct render of it
+    from spectral_tpu.render import image as image_mod
+    from spectral_tpu.render.renderer import Renderer
+
+    r = Renderer(anim.scene_at(0), backend="jnp", regen_frames=1)
+    r.render()
+    expect = image_mod.accum_to_u8(r.framebuffer())
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_cli_animate_overrides_validate(tmp_path):
+    from spectral_tpu.cli import main
+
+    anim_json = tmp_path / "anim.json"
+    anim = Animation(_small_scene(iters=1), 2)
+    anim_mod.save_animation(anim, anim_json)
+    with pytest.raises(ValueError, match="n_frames"):
+        main(["animate", "--anim", str(anim_json), "--frames", "0",
+              "--gif", str(tmp_path / "x.gif")])
+    with pytest.raises(ValueError, match="fps"):
+        main(["animate", "--anim", str(anim_json), "--fps", "0",
+              "--gif", str(tmp_path / "x.gif")])
