@@ -205,7 +205,8 @@ def cmd_render(args) -> int:
         # save_image is multi-process safe (collective gather, primary
         # writes) — every process must reach it
         if args.preview_every and time.monotonic() - last_preview[0] > args.preview_every:
-            renderer.save_image(args.out)
+            renderer.save_image(args.out, exposure=args.exposure,
+                                gamma=args.gamma)
             last_preview[0] = time.monotonic()
 
     t0 = time.monotonic()
@@ -262,7 +263,8 @@ def cmd_render(args) -> int:
                       "partial image saved", file=sys.stderr)
         else:
             checkpoint = f"{args.out}.ckpt.npz"  # auto-save: resumable abort
-    renderer.save_image(args.out)  # collective; primary writes
+    renderer.save_image(args.out, exposure=args.exposure,
+                        gamma=args.gamma)  # collective; primary writes
     if checkpoint:
         renderer.save_checkpoint(checkpoint)
         if primary:
@@ -572,6 +574,14 @@ def build_parser() -> argparse.ArgumentParser:
                     "(slow; lets --persist/--adaptive run on CPU hosts)")
     pr.add_argument("--profile",
                     help="capture a jax.profiler trace of the render into DIR")
+    pr.add_argument("--exposure", type=float, default=None,
+                    help="opt-in display transform: scale linear RGB by "
+                    "this factor before u8 conversion (default: the "
+                    "reference's straight linear output)")
+    pr.add_argument("--gamma", type=float, default=None,
+                    help="opt-in display transform: encode with 1/gamma "
+                    "(e.g. 2.2) before u8 conversion (default: the "
+                    "reference's no-gamma output, a documented quirk)")
     pr.add_argument("--aovs", metavar="DIR",
                     help="also write first-hit feature buffers (depth, "
                     "shading normal, albedo, object id) as .npy + .png "

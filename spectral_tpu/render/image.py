@@ -15,6 +15,30 @@ from pathlib import Path
 import numpy as np
 
 
+def apply_display_transform(
+    accum: np.ndarray,
+    exposure: float | None = None,
+    gamma: float | None = None,
+) -> np.ndarray:
+    """Opt-in display transform on the f32 buffer (RGB channels only):
+    scale by ``exposure`` then encode with ``1/gamma``. The DEFAULT
+    export applies neither — the reference's linear no-gamma output
+    (``src/custom_image.rs:92-101``) is a documented compat quirk; this
+    exists for users who want a display-ready file instead."""
+    out = np.array(accum, dtype=np.float32, copy=True)
+    rgb = np.clip(out[..., :3], 0.0, None)
+    if exposure is not None:
+        if exposure <= 0:
+            raise ValueError("exposure must be positive")
+        rgb = rgb * np.float32(exposure)
+    if gamma is not None:
+        if gamma <= 0:
+            raise ValueError("gamma must be positive")
+        rgb = np.power(rgb, np.float32(1.0 / gamma))
+    out[..., :3] = rgb
+    return out
+
+
 def accum_to_u8(accum: np.ndarray, native: bool | None = None) -> np.ndarray:
     """``[H, W, 4]`` float32 -> ``[H, W, 4]`` uint8.
 
@@ -42,14 +66,24 @@ def save_image(
     path: str | Path,
     native: bool | None = None,
     u8: np.ndarray | None = None,
+    exposure: float | None = None,
+    gamma: float | None = None,
 ) -> Path:
     """Save the accumulation buffer; format chosen by extension.
 
     PNG output goes through the native C++ encoder when available; other
     formats (and the fallback) use PIL. Callers that already hold the u8
     conversion of ``accum`` may pass it to skip re-converting.
+    ``exposure``/``gamma`` opt into a display transform (default: the
+    reference's linear no-gamma output — see apply_display_transform).
     """
     path = Path(path)
+    if exposure is not None or gamma is not None:
+        if u8 is not None:
+            raise ValueError(
+                "pass either a precomputed u8 or a display transform, not both"
+            )
+        accum = apply_display_transform(accum, exposure, gamma)
     if u8 is None:
         u8 = accum_to_u8(accum, native=native)
 

@@ -1054,17 +1054,19 @@ class Renderer:
         self._flush_pending()  # a phased frame may still be in flight
         return fetch_global(self.accum)
 
-    def save_image(self, path) -> None:
+    def save_image(self, path, exposure=None, gamma=None) -> None:
         """Save the current framebuffer.
 
         Multi-process safe: the framebuffer gather is a collective every
         process joins; only process 0 writes the file. Call this from ALL
-        processes in a distributed render."""
+        processes in a distributed render. ``exposure``/``gamma`` opt
+        into a display transform (default: the reference's linear
+        no-gamma output)."""
         from spectral_tpu.parallel.distributed import is_primary
 
         fb = self.framebuffer()
         if is_primary():
-            image_mod.save_image(fb, path)
+            image_mod.save_image(fb, path, exposure=exposure, gamma=gamma)
 
     # --------------------------------------------------------- checkpoint
 

@@ -291,3 +291,45 @@ def test_regen_checkpoint_resume_chunks(tmp_path):
     r2.render()
     assert r2.next_frame == 7  # chunks 3 + 1 tail after resume... 3,1
     assert not np.isnan(r2.framebuffer()).any()
+
+
+def test_display_transform_opt_in():
+    """--exposure/--gamma are export-time opt-ins; the default stays the
+    reference's straight linear u8 conversion (a documented quirk)."""
+    rng = np.random.default_rng(3)
+    accum = rng.uniform(0, 1.4, size=(4, 6, 4)).astype(np.float32)
+
+    out = image_mod.apply_display_transform(accum, exposure=2.0, gamma=2.2)
+    expect = np.clip(accum[..., :3], 0, None) * 2.0
+    expect = np.power(expect, 1.0 / 2.2)
+    assert np.allclose(out[..., :3], expect, atol=1e-6)
+    assert np.array_equal(out[..., 3], accum[..., 3])  # alpha untouched
+    # the input buffer is not mutated
+    assert accum.max() < 1.5
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        image_mod.apply_display_transform(accum, exposure=0.0)
+    with _pytest.raises(ValueError):
+        image_mod.apply_display_transform(accum, gamma=-1.0)
+
+
+def test_save_image_display_transform(tmp_path):
+    accum = np.full((4, 4, 4), 0.25, np.float32)
+    accum[..., 3] = 1.0
+    p_lin = tmp_path / "lin.png"
+    p_g22 = tmp_path / "g22.png"
+    image_mod.save_image(accum, p_lin)
+    image_mod.save_image(accum, p_g22, gamma=2.2)
+    from PIL import Image
+
+    lin = np.asarray(Image.open(p_lin))
+    g22 = np.asarray(Image.open(p_g22))
+    assert lin[0, 0, 0] == int(0.25 * 255)
+    assert g22[0, 0, 0] == int(0.25 ** (1 / 2.2) * 255)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        image_mod.save_image(accum, tmp_path / "x.png",
+                             u8=np.zeros((4, 4, 4), np.uint8), gamma=2.2)
