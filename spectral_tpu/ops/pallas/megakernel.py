@@ -186,6 +186,7 @@ def build_megakernel(
     member_unroll: int = 8,
     persist: tuple[int, int] | None = None,
     lane_stop: bool = False,
+    shadow_interval: bool = False,
 ):
     """Compile-time specialization on the scene structure.
 
@@ -264,6 +265,28 @@ def build_megakernel(
             read-only and read in-body, so it adds no live state to the
             bounce loop, and a zero mask is semantically (and in
             interpret mode, bit-) identical to the plain kernel.
+        shadow_interval: fori-loop shadow occlusion via a SQRT-FREE
+            sign-test predicate instead of computing root values.
+            Occlusion only needs "does the chosen root lie in
+            (0, maxd]", which for the sphere quadratic
+            f(t) = a t^2 + b t + c (a > 0, disc >= 0) — preserving the
+            reference's pick-t1-if-t1>=0 quirk (src/shader.rs:508-529)
+            — is
+            ``(b<0 ∧ c>0 ∧ (vertex<=maxd ∨ f(maxd)<=0))  [t = t1 > 0]
+              ∨ (c<0 ∧ vertex<=maxd ∧ f(maxd)>=0)        [t = t2 > 0]``
+            with ``vertex<=maxd ⟺ b + 2·a·maxd >= 0`` and the identity
+            ``disc - (b + 2·a·maxd)^2 = -4·a·f(maxd)``. This drops the
+            sqrt, both root multiplies and the root select from the hot
+            many-object shadow loop. NOT bit-identical to the
+            root-based test: a lane whose occluder sits within rounding
+            of exactly t=0 or t=maxd can flip (f(maxd) is evaluated
+            directly, rounding differently than the root), so it is
+            opt-in; fori-loop only. MEASURED AND REJECTED as the
+            default (v5e, 1000-sphere config, clustered regen K=100:
+            37.10 -> 37.65 ms/frame, tools/shadow_interval_bench.py):
+            the VPU's pipelined sqrt costs less than the predicate's
+            extra compare/select traffic. Kept opt-in with the
+            measurement so the negative result stays reproducible.
     Returns:
         fn(ox, oy, oz, dx, dy, dz, px, py, frame_id, geom, cbounds,
            albedo, emission, mat_albedo, mat_emission, mat_scalars,
@@ -327,6 +350,11 @@ def build_megakernel(
         if covered != list(range(n_obj)):
             raise ValueError("cluster_runs must cover every object exactly once")
     use_fori = object_loop == "fori"
+    if shadow_interval and not use_fori:
+        raise ValueError(
+            "shadow_interval is a fori-object-loop optimization (the "
+            "unrolled loop keeps the reference-exact division form)"
+        )
     if use_fori and not 0 < n_materials <= 256:
         raise ValueError(
             "the fori object loop selects materials by index and supports "
@@ -818,21 +846,48 @@ def build_megakernel(
         per ray. No normals, no materials. With ``cluster_runs``, a
         cluster is skipped when no RELEVANT lane's shadow ray enters its
         union AABB within its light distance (entry t_min <= max_dist is
-        conservative: any member hit obeys t >= cluster t_min)."""
+        conservative: any member hit obeys t >= cluster t_min).
+
+        With ``shadow_interval`` the carried state is a latched
+        per-light BLOCKED mask (f32 0/1) instead of a nearest-t plane,
+        and the sphere body decides "root in (0, maxd]" by the sqrt-free
+        sign tests documented on ``build_megakernel``."""
         pre = []
         for (sox, soy, soz, sdx, sdy, sdz, maxd) in rays:
             a = _dot(sdx, sdy, sdz, sdx, sdy, sdz)
-            pre.append((1.0 / (2.0 * a), 4.0 * a))
+            if shadow_interval:
+                # per-light loop invariants for the sign-test predicate:
+                # 4a (disc), 2·a·maxd (vertex test) and a·maxd² (f(maxd))
+                pre.append((4.0 * a, 2.0 * a * maxd, a * maxd * maxd))
+            else:
+                pre.append((1.0 / (2.0 * a), 4.0 * a))
 
-        def sphere_body(o, t_bests):
+        def sphere_body(o, carry):
             cx_ = geom[o, _SHIFT]
             cy_ = geom[o, _SHIFT + 1]
             cz_ = geom[o, _SHIFT + 2]
             rad = geom[o, _RADIUS]
             r2 = rad * rad
             out = []
+            if shadow_interval:
+                for (sox, soy, soz, sdx, sdy, sdz, maxd), (
+                    foura, g0, amax2
+                ), blk in zip(rays, pre, carry):
+                    rx_, ry_, rz_ = sox - cx_, soy - cy_, soz - cz_
+                    b = 2.0 * _dot(rx_, ry_, rz_, sdx, sdy, sdz)
+                    c = _dot(rx_, ry_, rz_, rx_, ry_, rz_) - r2
+                    disc = b * b - foura * c
+                    fm = amax2 + b * maxd + c  # f(maxd), a·maxd² hoisted
+                    v_ok = b + g0 >= 0.0  # parabola vertex -b/(2a) <= maxd
+                    # t = t1 branch: 0 < t1 <= maxd
+                    near = (b < 0.0) & (c > 0.0) & (v_ok | (fm <= 0.0))
+                    # t = t2 branch (t1 < 0): 0 < t2 <= maxd
+                    far = (c < 0.0) & v_ok & (fm >= 0.0)
+                    hit_o = (disc >= 0.0) & (near | far)
+                    out.append(jnp.where(hit_o, 1.0, blk))
+                return tuple(out)
             for (sox, soy, soz, sdx, sdy, sdz, _m), (inv2a, foura), t_best in zip(
-                rays, pre, t_bests
+                rays, pre, carry
             ):
                 rx_, ry_, rz_ = sox - cx_, soy - cy_, soz - cz_
                 b = 2.0 * _dot(rx_, ry_, rz_, sdx, sdy, sdz)
@@ -846,26 +901,23 @@ def build_megakernel(
                 out.append(jnp.fmin(t_best, jnp.where(valid, t, _INF)))
             return tuple(out)
 
-        def plain_body(o, t_bests):
+        def _box_accum(t_o, valid, ray, prev):
+            if shadow_interval:
+                return jnp.where(valid & (t_o <= ray[6]), 1.0, prev)
+            return jnp.fmin(prev, jnp.where(valid, t_o, _INF))
+
+        def plain_body(o, carry):
             out = []
-            for (sox, soy, soz, sdx, sdy, sdz, _m), t_best in zip(
-                rays, t_bests
-            ):
-                t_o, valid = _plain_box_t(
-                    geom, o, sox, soy, soz, sdx, sdy, sdz
-                )
-                out.append(jnp.fmin(t_best, jnp.where(valid, t_o, _INF)))
+            for ray, prev in zip(rays, carry):
+                t_o, valid = _plain_box_t(geom, o, *ray[:6])
+                out.append(_box_accum(t_o, valid, ray, prev))
             return tuple(out)
 
-        def rot_body(o, t_bests):
+        def rot_body(o, carry):
             out = []
-            for (sox, soy, soz, sdx, sdy, sdz, _m), t_best in zip(
-                rays, t_bests
-            ):
-                t_o, valid, _ir = _rot_box_t(
-                    geom, o, sox, soy, soz, sdx, sdy, sdz
-                )
-                out.append(jnp.fmin(t_best, jnp.where(valid, t_o, _INF)))
+            for ray, prev in zip(rays, carry):
+                t_o, valid, _ir = _rot_box_t(geom, o, *ray[:6])
+                out.append(_box_accum(t_o, valid, ray, prev))
             return tuple(out)
 
         bodies = {
@@ -873,7 +925,10 @@ def build_megakernel(
             OBJ_PLAIN_BOX: plain_body,
             OBJ_ROTATED_BOX: rot_body,
         }
-        t_bests = tuple(jnp.full((r8, LANE), _INF) for _ in rays)
+        if shadow_interval:
+            t_bests = tuple(jnp.zeros((r8, LANE), jnp.float32) for _ in rays)
+        else:
+            t_bests = tuple(jnp.full((r8, LANE), _INF) for _ in rays)
         if clustered:
             for cidx, (run_tag, start, stop, is_cl) in enumerate(cluster_runs):
                 body = bodies[run_tag]
@@ -896,7 +951,11 @@ def build_megakernel(
                     # within the light distance) needs no more tests —
                     # occlusion is any-hit, so 'blocked' can only latch,
                     # never unlatch: skipping keeps the output identical
-                    r = c_hit & (ct_min <= maxd) & ~(t_bests[ri] <= maxd)
+                    unblocked = (
+                        (t_bests[ri] <= 0.0) if shadow_interval
+                        else ~(t_bests[ri] <= maxd)
+                    )
+                    r = c_hit & (ct_min <= maxd) & unblocked
                     rel = r if rel is None else (rel | r)
                 if relevant is not None:
                     rel = rel & relevant
@@ -916,6 +975,8 @@ def build_megakernel(
                     t_bests = body(start, t_bests)
                 else:
                     t_bests = _member_loop(body, start, stop, t_bests)
+        if shadow_interval:
+            return [blk > 0.0 for blk in t_bests]
         return [
             (t < _INF) & (t <= ray[6]) for t, ray in zip(t_bests, rays)
         ]

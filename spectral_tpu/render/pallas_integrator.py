@@ -84,6 +84,7 @@ def _kernel_regen(
     regen_frames: int,
     cluster_runs: tuple | None = None,
     member_unroll: int = 8,
+    shadow_interval: bool = False,
 ):
     return mk.build_megakernel(
         obj_types,
@@ -96,6 +97,7 @@ def _kernel_regen(
         regen_frames=regen_frames,
         cluster_runs=cluster_runs,
         member_unroll=member_unroll,
+        shadow_interval=shadow_interval,
     )
 
 
@@ -399,6 +401,7 @@ def integrate_frames_pallas_regen(
     lane_inv: jax.Array | None = None,
     clusters: tuple | None = None,
     member_unroll: int = 8,
+    shadow_interval: bool = False,
 ) -> jax.Array:
     """K progressive frames in ONE kernel launch via in-kernel path
     regeneration -> the SUM of their linear-RGB frames ``[H, W, 3]``.
@@ -508,7 +511,7 @@ def integrate_frames_pallas_regen(
     run = _kernel_regen(
         obj_types, config, tile, interpret, has_transmission, has_emission,
         object_loop, int(k), clusters[1] if clusters else None,
-        member_unroll,
+        member_unroll, shadow_interval,
     )
     rad = run(
         lanes(origin.x), lanes(origin.y), lanes(origin.z),
@@ -541,6 +544,7 @@ def render_frames_step_pallas_regen(
     lane_perm: jax.Array | None = None,
     lane_inv: jax.Array | None = None,
     clusters: tuple | None = None,
+    shadow_interval: bool = False,
 ) -> jax.Array:
     """K progressive frames (one regeneration launch) blended into the
     accumulator — the K-frame analog of ``render_frame_step_pallas``."""
@@ -550,7 +554,7 @@ def render_frames_step_pallas_regen(
         scene, config, first_frame_id, obj_types, k, tile=tile,
         interpret=interpret, has_transmission=has_transmission,
         has_emission=has_emission, lane_perm=lane_perm, lane_inv=lane_inv,
-        clusters=clusters,
+        clusters=clusters, shadow_interval=shadow_interval,
     )
     return accumulate_frames(accum, rgb_sum, first_frame_id, k)
 

@@ -307,3 +307,93 @@ def test_clustered_tie_across_cluster_boundary_small_scene():
         )
     )
     assert np.array_equal(plain, clustered)
+
+
+def test_shadow_interval_matches_root_test():
+    """The sqrt-free shadow-occlusion predicate (``shadow_interval``)
+    must reproduce the root-based test everywhere except lanes whose
+    occluder sits within rounding of exactly t=0 or t=maxd (see the
+    derivation on ``build_megakernel``). On this deterministic scene no
+    lane is on a boundary, so the rendered frames are bit-identical —
+    with and without the clustered loop (the latched blocked mask feeds
+    the cluster relevance pre-test)."""
+    import numpy as np
+
+    from spectral_tpu.ops.pallas import megakernel as mk
+    from spectral_tpu.render.pallas_integrator import (
+        integrate_frames_pallas_regen,
+    )
+
+    arrays, config = flatten_scene(_cluster_scene())
+    obj_types = tuple(np.asarray(arrays.obj_type).tolist())
+    sigma, runs = mk.plan_clusters(
+        np.asarray(arrays.aabb_min), np.asarray(arrays.aabb_max),
+        obj_types, cluster_size=16,
+    )
+    clusters = (sigma, runs)
+
+    base = np.asarray(
+        integrate_frames_pallas_regen(
+            arrays, config, np.uint32(0), obj_types, 3, interpret=True,
+            object_loop="fori",
+        )
+    )
+    interval = np.asarray(
+        integrate_frames_pallas_regen(
+            arrays, config, np.uint32(0), obj_types, 3, interpret=True,
+            object_loop="fori", shadow_interval=True,
+        )
+    )
+    assert np.array_equal(base, interval)
+
+    interval_cl = np.asarray(
+        integrate_frames_pallas_regen(
+            arrays, config, np.uint32(0), obj_types, 3, interpret=True,
+            clusters=clusters, shadow_interval=True,
+        )
+    )
+    assert np.array_equal(base, interval_cl)
+
+
+def test_shadow_interval_rejects_unrolled_loop():
+    from spectral_tpu.ops.pallas.megakernel import build_megakernel
+    from spectral_tpu.scene.flatten import RenderConfig
+
+    config = RenderConfig(
+        width=16, height=8, n_samples=8, max_bounces=2, intended_frames=1,
+        n_objects=4, n_lights=1, n_materials=2,
+    )
+    with pytest.raises(ValueError, match="fori"):
+        build_megakernel(
+            tuple([1] * 4), config, object_loop="unrolled",
+            shadow_interval=True,
+        )
+
+
+def test_shadow_interval_predicate_algebra():
+    """Property test of the sign-test occlusion predicate against the
+    root-based formulation in float64 (where both are exact for random
+    coefficients): blocked ⟺ the reference-chosen root lies in
+    (0, maxd]. Validates the boolean algebra across all sign cases of
+    (b, c, disc, vertex, f(maxd))."""
+    rng = np.random.default_rng(7)
+    n = 200_000
+    a = rng.uniform(0.5, 2.0, n)
+    b = rng.uniform(-4.0, 4.0, n)
+    c = rng.uniform(-4.0, 4.0, n)
+    maxd = rng.uniform(0.1, 5.0, n)
+
+    disc = b * b - 4.0 * a * c
+    sq = np.sqrt(np.maximum(disc, 0.0))
+    t1 = (-b - sq) / (2.0 * a)
+    t2 = (-b + sq) / (2.0 * a)
+    t = np.where(t1 >= 0.0, t1, t2)
+    blocked_root = (disc >= 0.0) & (t > 0.0) & (t <= maxd)
+
+    fm = a * maxd * maxd + b * maxd + c
+    v_ok = b + 2.0 * a * maxd >= 0.0
+    near = (b < 0.0) & (c > 0.0) & (v_ok | (fm <= 0.0))
+    far = (c < 0.0) & v_ok & (fm >= 0.0)
+    blocked_interval = (disc >= 0.0) & (near | far)
+
+    assert np.array_equal(blocked_root, blocked_interval)
