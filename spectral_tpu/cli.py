@@ -27,6 +27,12 @@ def _add_render_overrides(p: argparse.ArgumentParser) -> None:
     p.add_argument("--iterations", type=int, help=HELP["iterations"])
     p.add_argument("--bounces", type=int, help=HELP["max_bounces"])
     p.add_argument("--samples", type=int, help=HELP["spectrum_samples"])
+    p.add_argument("--aperture", type=float,
+                   help="thin-lens aperture radius (world units); 0 = "
+                        "pinhole (depth of field, beyond the reference)")
+    p.add_argument("--focus-distance", type=float,
+                   help="focus-plane distance along the view axis "
+                        "(with --aperture > 0)")
 
 
 def _load_scene(args):
@@ -50,6 +56,10 @@ def _load_scene(args):
     if getattr(args, "samples", None) is not None:
         scene.spectrum_number_of_samples = args.samples
         scene.update_all_spectrum_sample_sizes()
+    if getattr(args, "aperture", None) is not None:
+        scene.camera.aperture_radius = args.aperture
+    if getattr(args, "focus_distance", None) is not None:
+        scene.camera.focus_distance = args.focus_distance
     return scene
 
 

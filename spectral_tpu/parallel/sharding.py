@@ -285,6 +285,12 @@ def render_persistent_sharded(
     ring planes assume a single global frame window, which reintroduces
     whole-mesh coupling (the measured slowest-pixel pacing, PARITY.md).
     """
+    if config.has_dof:
+        raise ValueError(
+            "the persist kernel's in-kernel restart raygen assumes the "
+            "frame-constant pinhole camera, incompatible with depth of "
+            "field; use the per-frame sharded step"
+        )
     import dataclasses
     import functools
 
@@ -650,6 +656,12 @@ def build_sharded_pallas_regen_step(
         integrate_frames_pallas_regen,
     )
 
+    if config.has_dof:
+        raise ValueError(
+            "in-kernel path regeneration restarts frames from the packed "
+            "frame-constant camera origin, incompatible with depth of "
+            "field; use the per-frame sharded step"
+        )
     n_dev = mesh.devices.size
     local_h = config.height // n_dev
     local_config = dataclasses.replace(config, height=local_h)

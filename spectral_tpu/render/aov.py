@@ -42,6 +42,9 @@ def _aov_program(scene, config):
         config.width,
         config.height,
         frame_id=jnp.uint32(0),
+        # no dof= even when the scene has an aperture: G-buffers are
+        # DEFINED at the pinhole view (a lens-averaged "first hit" is not
+        # a well-posed geometric quantity), so the center ray is traced
         intended_frames=1,  # Hammersley offset (0.5, 0.5): pixel centers
     )
     res = trace(origin, direction, scene)

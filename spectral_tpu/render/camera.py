@@ -39,6 +39,13 @@ def camera_basis(cam_dir, cam_up, fov_y_deg, width: int, height: int):
     return forward, right, true_up, focal_distance, aspect_ratio
 
 
+def scene_dof(scene, config):
+    """``(aperture, focus)`` for :func:`generate_primary_rays` when the
+    static config enables depth of field, else None (the compile-time
+    pinhole path)."""
+    return (scene.cam_aperture, scene.cam_focus) if config.has_dof else None
+
+
 def generate_primary_rays(
     cam_pos: jax.Array,
     cam_dir: jax.Array,
@@ -52,6 +59,7 @@ def generate_primary_rays(
     full_height: int | None = None,
     row_offset=0,
     pixel_xy: tuple[jax.Array, jax.Array] | None = None,
+    dof: tuple[jax.Array, jax.Array] | None = None,
 ) -> tuple[Vec3, Vec3, jax.Array, jax.Array]:
     """Build the ``[height * width]`` wavefront of camera rays.
 
@@ -67,6 +75,18 @@ def generate_primary_rays(
     uint32, any order/length) — used for permuted lane assignment: every
     per-ray quantity is elementwise in (px, py), so rays for a permuted
     coordinate list are bit-identical to their row-major twins.
+
+    ``dof = (aperture_radius, focus_distance)`` (traced f32 scalars)
+    enables thin-lens depth of field — a capability the reference lacks
+    (its raygen is the fixed pinhole above). In keeping with the
+    reference's SCREEN-WIDE jitter design, each frame draws ONE lens
+    point for all pixels (PCG3D of the frame id — decorrelated from the
+    Hammersley sub-pixel jitter), offsets the camera position by it in
+    the right/true-up plane, and re-aims every ray at its pinhole ray's
+    intersection with the plane ``focus_distance`` along the view axis;
+    progressive accumulation over the frames integrates the aperture.
+    Pass ``None`` (the default, and whenever ``config.has_dof`` is
+    False) for bit-identical pinhole ray generation.
     """
     if pixel_xy is not None:
         px, py = pixel_xy
@@ -98,9 +118,32 @@ def generate_primary_rays(
     # reference normalizes in raygen AND in Ray::new
     d = d.normalize().normalize()
 
+    ox, oy, oz = cam_pos[0], cam_pos[1], cam_pos[2]
+    if dof is not None:
+        from spectral_tpu.ops.rng import random_pcg3d
+
+        aperture, focus = dof
+        # one lens point per frame (screen-wide, like the jitter); the
+        # PCG stream is disjoint from the bounce RNG, whose x/y seeds
+        # are pixel coordinates
+        u1, u2, _u3 = random_pcg3d(
+            frame_id, jnp.uint32(0x9E3779B9), jnp.uint32(0x85EBCA6B)
+        )
+        r = aperture * jnp.sqrt(u1)
+        theta = (2.0 * PI) * u2
+        lens_x = r * jnp.cos(theta)
+        lens_y = r * jnp.sin(theta)
+        shift = right * lens_x + true_up * lens_y
+        # pinhole ray's hit with the focus plane (d is unit; forward is
+        # unit, so d.forward is the cosine to the view axis), re-aimed
+        # from the shifted origin: F - o' = d * t_f - shift
+        t_f = focus / d.dot(forward)
+        d = (d * t_f - shift).normalize().normalize()
+        ox, oy, oz = ox + shift.x, oy + shift.y, oz + shift.z
+
     origin = Vec3(
-        jnp.broadcast_to(cam_pos[0], (n,)),
-        jnp.broadcast_to(cam_pos[1], (n,)),
-        jnp.broadcast_to(cam_pos[2], (n,)),
+        jnp.broadcast_to(ox, (n,)),
+        jnp.broadcast_to(oy, (n,)),
+        jnp.broadcast_to(oz, (n,)),
     )
     return origin, d, px, py

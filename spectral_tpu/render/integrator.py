@@ -51,7 +51,7 @@ from spectral_tpu.ops.sampling import (
     sample_in_cone,
 )
 from spectral_tpu.ops.vecmath import Vec3
-from spectral_tpu.render.camera import generate_primary_rays
+from spectral_tpu.render.camera import generate_primary_rays, scene_dof
 from spectral_tpu.render.color import spectra_to_rgb
 from spectral_tpu.scene.flatten import RenderConfig, SceneArrays
 
@@ -261,6 +261,7 @@ def integrate_frame(
         config.height,
         frame_id,
         config.intended_frames,
+        dof=scene_dof(scene, config),
     )
     n = config.width * config.height
     s = config.n_samples

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from spectral_tpu.ops.pallas import megakernel as mk
-from spectral_tpu.render.camera import generate_primary_rays
+from spectral_tpu.render.camera import generate_primary_rays, scene_dof
 from spectral_tpu.render.color import spectra_to_rgb
 from spectral_tpu.render.integrator import accumulate_frame
 from spectral_tpu.scene.flatten import RenderConfig, SceneArrays
@@ -297,6 +297,7 @@ def integrate_frame_pallas(
         scene.cam_pos, scene.cam_dir, scene.cam_up, scene.fov_y_deg,
         config.width, config.height, frame_id, config.intended_frames,
         full_height=full_height, row_offset=row_offset,
+        dof=scene_dof(scene, config),
     )
 
     def lanes(a, dtype=jnp.float32):
@@ -372,6 +373,7 @@ def probe_path_cost(
         origin, direction, px, py = generate_primary_rays(
             scene.cam_pos, scene.cam_dir, scene.cam_up, scene.fov_y_deg,
             config.width, config.height, fid, config.intended_frames,
+                dof=scene_dof(scene, config),
         )
         _rad, cost = run(
             lanes(origin.x), lanes(origin.y), lanes(origin.z),
@@ -436,6 +438,14 @@ def integrate_frames_pallas_regen(
     """
     if k < 2:
         raise ValueError("regen wants k >= 2 (use integrate_frame_pallas)")
+    if config.has_dof:
+        raise ValueError(
+            "in-kernel path regeneration restarts frames from the packed "
+            "FRAME-CONSTANT camera origin, but depth of field shifts the "
+            "origin per frame (one lens point per frame); render DoF "
+            "scenes with regen_frames=1 (the Renderer does this "
+            "automatically)"
+        )
     if (lane_perm is None) != (lane_inv is None):
         raise ValueError("lane_perm and lane_inv must be passed together")
     first_frame_id = jnp.asarray(first_frame_id, dtype=jnp.uint32)
@@ -972,6 +982,12 @@ def render_persistent(
     ~1/count brightening that fades as frames accumulate (display only).
     ``info`` is a dict with launches, min frames done, budget, ring size.
     """
+    if config.has_dof:
+        raise ValueError(
+            "the persist kernels restart frames from the packed "
+            "frame-constant camera, but depth of field shifts the origin "
+            "per frame; render DoF scenes without persist=True"
+        )
     if n_frames < 1:
         raise ValueError("n_frames must be >= 1")
     n = config.width * config.height
@@ -1405,6 +1421,7 @@ def integrate_frame_pallas_split(
     origin, direction, px, py = generate_primary_rays(
         scene.cam_pos, scene.cam_dir, scene.cam_up, scene.fov_y_deg,
         config.width, config.height, frame_id, config.intended_frames,
+        dof=scene_dof(scene, config),
     )
 
     def lanes(a, dtype=jnp.float32):
@@ -1580,6 +1597,7 @@ def integrate_frame_pallas_cascade(
     origin, direction, px, py = generate_primary_rays(
         scene.cam_pos, scene.cam_dir, scene.cam_up, scene.fov_y_deg,
         config.width, config.height, frame_id, config.intended_frames,
+        dof=scene_dof(scene, config),
     )
 
     def lanes(a, dtype=jnp.float32):

@@ -103,6 +103,8 @@ class SceneArrays:
     cam_dir: jax.Array  # [3]
     cam_up: jax.Array  # [3]
     fov_y_deg: jax.Array  # scalar
+    cam_aperture: jax.Array  # scalar thin-lens radius (0 = pinhole)
+    cam_focus: jax.Array  # scalar focus-plane distance along the view axis
     # color pipeline
     xyz_weights: jax.Array  # [S, 3] per-sample XYZ integration weights
     xyz_to_rgb: jax.Array  # [3, 3]
@@ -134,6 +136,10 @@ class RenderConfig:
     lambda_lo: float = 380.0
     lambda_hi: float = 780.0
     n_materials: int = 0
+    # static depth-of-field gate: raygen adds the thin-lens re-aim only
+    # when the scene has a positive aperture, so pinhole scenes compile
+    # the reference-exact ray generation (bit-identical)
+    has_dof: bool = False
 
 
 def _sphere_tables(center, radius_in):
@@ -324,6 +330,8 @@ def flatten_scene(scene: Scene) -> tuple[SceneArrays, RenderConfig]:
         cam_dir=jnp.asarray(np.asarray(scene.camera.direction, dtype=F32)),
         cam_up=jnp.asarray(np.asarray(scene.camera.up, dtype=F32)),
         fov_y_deg=jnp.asarray(F32(scene.camera.fov_y_deg)),
+        cam_aperture=jnp.asarray(F32(scene.camera.aperture_radius)),
+        cam_focus=jnp.asarray(F32(scene.camera.focus_distance)),
         xyz_weights=jnp.asarray(xyz_weights),
         xyz_to_rgb=jnp.asarray(cie.XYZ_TO_RGB_MATRIX),
     )
@@ -338,5 +346,6 @@ def flatten_scene(scene: Scene) -> tuple[SceneArrays, RenderConfig]:
         lambda_lo=float(scene.spectrum_lower_bound),
         lambda_hi=float(scene.spectrum_upper_bound),
         n_materials=len(material_list),
+        has_dof=scene.camera.aperture_radius > 0.0,
     )
     return arrays, config

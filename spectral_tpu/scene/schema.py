@@ -328,12 +328,24 @@ class SceneObject:
 
 @dataclasses.dataclass
 class Camera:
-    """Pinhole camera (reference ``UICamera``, src/main.rs:1957-1985)."""
+    """Pinhole camera (reference ``UICamera``, src/main.rs:1957-1985),
+    plus an optional thin-lens aperture the reference lacks.
+
+    ``aperture_radius`` > 0 enables depth of field: each progressive
+    frame samples ONE lens point (screen-wide, like the reference's
+    screen-wide sub-pixel jitter) on a disk of this radius in the
+    camera's right/true-up plane, and every pixel ray is re-aimed at
+    its pinhole ray's intersection with the focus plane
+    ``focus_distance`` along the view axis — accumulation over frames
+    integrates the aperture. At the default 0.0 the camera is the
+    reference-exact pinhole (bit-identical ray generation)."""
 
     position: tuple[float, float, float] = (0.0, 0.0, -2.0)
     direction: tuple[float, float, float] = (0.0, 0.0, 1.0)
     up: tuple[float, float, float] = (0.0, 1.0, 0.0)
     fov_y_deg: float = 60.0
+    aperture_radius: float = 0.0
+    focus_distance: float = 1.0
 
 
 F32_DELTA = 1e-5  # reference src/shader.rs:7
@@ -425,6 +437,13 @@ class Scene:
         if are_linear_dependent(self.camera.direction, self.camera.up):
             raise SceneError(
                 "camera view direction and up direction are linearly dependent"
+            )
+        if self.camera.aperture_radius < 0.0:
+            raise SceneError("camera aperture_radius must be >= 0")
+        if self.camera.aperture_radius > 0.0 and self.camera.focus_distance <= 0.0:
+            raise SceneError(
+                "depth of field (aperture_radius > 0) needs a positive "
+                "focus_distance"
             )
         if self.width <= 0 or self.height <= 0:
             raise SceneError("image dimensions must be positive")

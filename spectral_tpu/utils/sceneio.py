@@ -81,6 +81,8 @@ def scene_to_dict(scene: S.Scene) -> dict:
             "direction": list(scene.camera.direction),
             "up": list(scene.camera.up),
             "fov_y_deg": scene.camera.fov_y_deg,
+            "aperture_radius": scene.camera.aperture_radius,
+            "focus_distance": scene.camera.focus_distance,
         },
         "spectra": [spectrum_json(sp) for sp in scene.spectra],
         "materials": [
@@ -213,6 +215,9 @@ def scene_from_dict(data: dict) -> S.Scene:
             tuple(cam["direction"]),
             tuple(cam["up"]),
             float(cam["fov_y_deg"]),
+            # absent in pre-DoF scene files: default to the pinhole
+            float(cam.get("aperture_radius", 0.0)),
+            float(cam.get("focus_distance", 1.0)),
         ),
         lights=lights,
         objects=objects,

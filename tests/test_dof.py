@@ -1,0 +1,139 @@
+"""Thin-lens depth of field (a capability the reference lacks — its
+ray generation is the fixed pinhole, src/shader.rs:271-293).
+
+Design under test (render/camera.py): one lens point per FRAME
+(screen-wide, like the reference's screen-wide sub-pixel jitter),
+PCG3D-derived from the frame id; every pixel ray is re-aimed at its
+pinhole ray's intersection with the focus plane, so progressive
+accumulation integrates the aperture. ``aperture_radius == 0`` keeps
+the compile-time pinhole path (``config.has_dof`` is static)."""
+
+import numpy as np
+import pytest
+
+from spectral_tpu.scene import presets, schema
+from spectral_tpu.scene.flatten import flatten_scene
+
+
+def _dof_scene(aperture=0.08, focus=2.0):
+    scene = presets.default_scene()
+    scene.width, scene.height = 32, 24
+    scene.nbr_of_iterations = 4
+    scene.nbr_of_ray_bounces = 2
+    scene.camera.aperture_radius = aperture
+    scene.camera.focus_distance = focus
+    return scene
+
+
+def test_validate_rejects_bad_dof():
+    scene = _dof_scene(aperture=-0.1)
+    with pytest.raises(schema.SceneError, match="aperture_radius"):
+        scene.validate()
+    scene = _dof_scene(aperture=0.1, focus=0.0)
+    with pytest.raises(schema.SceneError, match="focus_distance"):
+        scene.validate()
+    _dof_scene().validate()  # positive aperture + focus is legal
+
+
+def test_pinhole_default_is_static():
+    arrays, config = flatten_scene(presets.default_scene())
+    assert config.has_dof is False
+    assert float(arrays.cam_aperture) == 0.0
+    arrays, config = flatten_scene(_dof_scene())
+    assert config.has_dof is True
+    assert float(arrays.cam_aperture) == pytest.approx(0.08)
+    assert float(arrays.cam_focus) == pytest.approx(2.0)
+
+
+def test_lens_rays_converge_on_the_focus_plane():
+    """The defining thin-lens property: for every frame (= lens point),
+    each pixel's DoF ray passes through its own pinhole ray's focal
+    point, so objects ON the focus plane are sharp and everything else
+    blurs with distance from it."""
+    import jax.numpy as jnp
+
+    from spectral_tpu.ops.vecmath import Vec3
+    from spectral_tpu.render.camera import (
+        camera_basis,
+        generate_primary_rays,
+        scene_dof,
+    )
+
+    scene = _dof_scene(aperture=0.15, focus=3.0)
+    arrays, config = flatten_scene(scene)
+    forward, *_ = camera_basis(
+        arrays.cam_dir, arrays.cam_up, arrays.fov_y_deg,
+        config.width, config.height,
+    )
+
+    def focal_points(o, d, focus):
+        t = focus / d.dot(forward)
+        return np.stack(
+            [np.asarray(o.x + d.x * t), np.asarray(o.y + d.y * t),
+             np.asarray(o.z + d.z * t)], axis=1
+        )
+
+    for frame in range(3):
+        fid = jnp.uint32(frame)
+        args = (
+            arrays.cam_pos, arrays.cam_dir, arrays.cam_up,
+            arrays.fov_y_deg, config.width, config.height, fid,
+            config.intended_frames,
+        )
+        o0, d0, _, _ = generate_primary_rays(*args)
+        o1, d1, _, _ = generate_primary_rays(
+            *args, dof=scene_dof(arrays, config)
+        )
+        # a real lens offset was applied (nonzero with probability 1)
+        shift = np.asarray(o1.x - o0.x)[0], np.asarray(o1.y - o0.y)[0]
+        assert np.hypot(*shift) > 0.0
+        assert np.hypot(*shift) <= 0.15 * 1.0001  # within the aperture
+        f0 = focal_points(o0, d0, 3.0)
+        f1 = focal_points(o1, d1, 3.0)
+        assert np.allclose(f0, f1, atol=2e-4), np.abs(f0 - f1).max()
+
+
+def test_dof_render_smoke_and_pinhole_unchanged():
+    """A DoF render is finite, nonzero, and differs from the pinhole
+    render of the same scene; aperture 0 takes the has_dof=False path
+    (bit-identical raygen by construction — same compiled program)."""
+    from spectral_tpu.render.renderer import Renderer
+
+    pin = Renderer(presets_scene := _dof_scene(aperture=0.0)).render()
+    assert presets_scene.camera.aperture_radius == 0.0
+    with pytest.warns(UserWarning, match="depth of field"):
+        r = Renderer(_dof_scene())
+    assert r.regen_frames == 1
+    img = r.render()
+    assert np.isfinite(img).all()
+    assert float(img[..., :3].max()) > 0.01
+    assert not np.array_equal(img, pin)
+
+
+def test_dof_rejects_regen_and_persist():
+    from spectral_tpu.render.renderer import Renderer
+
+    with pytest.raises(ValueError, match="regen_frames"):
+        Renderer(_dof_scene(), regen_frames=8)
+    with pytest.raises(ValueError, match="persist"):
+        Renderer(_dof_scene(), persist=True)
+
+
+def test_dof_scene_json_round_trip(tmp_path):
+    from spectral_tpu.utils import sceneio
+
+    scene = _dof_scene(aperture=0.25, focus=4.5)
+    path = tmp_path / "dof.json"
+    sceneio.save_scene(scene, path)
+    loaded = sceneio.load_scene(path)
+    assert loaded.camera.aperture_radius == pytest.approx(0.25)
+    assert loaded.camera.focus_distance == pytest.approx(4.5)
+    # pre-DoF scene files (no aperture keys) default to the pinhole
+    import json
+
+    data = json.loads(path.read_text())
+    del data["camera"]["aperture_radius"]
+    del data["camera"]["focus_distance"]
+    path.write_text(json.dumps(data))
+    legacy = sceneio.load_scene(path)
+    assert legacy.camera.aperture_radius == 0.0
