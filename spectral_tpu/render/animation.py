@@ -146,8 +146,13 @@ def _apply_path(scene: Scene, path: str, value) -> None:
                 raise ValueError(f"{path!r} expects a 3-vector keyframe")
             setattr(scene.camera, parts[1], value)
             return
-        if parts[1] == "fov_y_deg":
-            scene.camera.fov_y_deg = float(value)
+        if parts[1] in ("fov_y_deg", "aperture_radius", "focus_distance"):
+            # aperture/focus tracks animate depth of field (rack focus);
+            # note aperture must stay on one side of 0 across the whole
+            # animation — has_dof is static, and crossing it would split
+            # the frames over two compiled programs (the same-RenderConfig
+            # check below rejects that loudly)
+            setattr(scene.camera, parts[1], float(value))
             return
         raise ValueError(f"unsupported track path {path!r}")
 

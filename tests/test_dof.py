@@ -137,3 +137,31 @@ def test_dof_scene_json_round_trip(tmp_path):
     path.write_text(json.dumps(data))
     legacy = sceneio.load_scene(path)
     assert legacy.camera.aperture_radius == 0.0
+
+
+def test_rack_focus_animation_tracks():
+    """``camera.focus_distance`` / ``aperture_radius`` are animatable:
+    every frame shares one RenderConfig (has_dof is static and constant
+    when the aperture stays positive), so the whole rack-focus rides a
+    single compiled program."""
+    from spectral_tpu.render.animation import Animation, Track
+
+    scene = _dof_scene(aperture=0.1, focus=2.0)
+    anim = Animation(
+        scene=scene,
+        n_frames=3,
+        tracks=[
+            Track("camera.focus_distance", [(0.0, 1.0), (1.0, 6.0)]),
+            Track("camera.aperture_radius", [(0.0, 0.05), (1.0, 0.2)]),
+        ],
+    )
+    configs = set()
+    focuses = []
+    for f in range(3):
+        s = anim.scene_at(f)
+        s.validate()
+        arrays, config = flatten_scene(s)
+        configs.add(config)
+        focuses.append(float(arrays.cam_focus))
+    assert len(configs) == 1 and next(iter(configs)).has_dof
+    assert focuses == pytest.approx([1.0, 3.5, 6.0])
