@@ -659,9 +659,19 @@ def build_parser() -> argparse.ArgumentParser:
 
 def _enable_compile_cache() -> None:
     """Persist XLA compilations across CLI invocations (TPU compiles are
-    expensive; the render program is identical run to run)."""
+    expensive; the render program is identical run to run).
+
+    ``SPECTRAL_TPU_NO_COMPILE_CACHE=1`` disables it. The test suite sets
+    this (tests/conftest.py): CLI tests run ``main()`` in-process, which
+    would otherwise enable the SHARED on-disk cache for the rest of the
+    pytest process — and a cache entry truncated by a killed writer
+    segfaults jax's cache read in whatever unrelated test next compiles
+    the same program (observed: a ``timeout``-killed suite corrupted an
+    entry and every later full-suite run crashed in test_persist)."""
     import os
 
+    if os.environ.get("SPECTRAL_TPU_NO_COMPILE_CACHE"):
+        return
     try:
         import jax
 
