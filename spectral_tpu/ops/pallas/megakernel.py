@@ -1367,7 +1367,25 @@ def build_megakernel(
                         gdx = jnp.where(m, dirx_ref[k - 1], gdx)
                         gdy = jnp.where(m, diry_ref[k - 1], gdy)
                         gdz = jnp.where(m, dirz_ref[k - 1], gdz)
-                cpx, cpy, cpz = cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2]
+                if not persist_mode and cam_ref.shape[0] > 1:
+                    # depth of field: per-frame thin-lens origins
+                    # (pack_camera_frames, row k-1 = frame first+k) —
+                    # the same frame-counter select as the direction
+                    # planes above; rows are bit-identical to host
+                    # raygen's origins, so every restarted path stays
+                    # bit-identical to its monolithic rendering
+                    cpx, cpy, cpz = (
+                        cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2]
+                    )
+                    for k in range(2, regen_frames):
+                        m = nf == frame_id + jnp.uint32(k)
+                        cpx = jnp.where(m, cam_ref[k - 1, 0], cpx)
+                        cpy = jnp.where(m, cam_ref[k - 1, 1], cpy)
+                        cpz = jnp.where(m, cam_ref[k - 1, 2], cpz)
+                else:
+                    cpx, cpy, cpz = (
+                        cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2]
+                    )
 
                 ox = jnp.where(cl, newox, jnp.where(new_path, cpx, ox))
                 oy = jnp.where(cl, newoy, jnp.where(new_path, cpy, oy))
@@ -1518,7 +1536,9 @@ def build_megakernel(
         geom_ref, cb_ref, albedo_ref, emis_ref,
         m_alb_ref, m_emis_ref, m_scal_ref,
         lpos_ref, lspec_ref,
-        cam_ref,  # [1,4] f32 (SMEM): camera position (pack_camera)
+        cam_ref,  # [1,4] f32 (SMEM): camera position (pack_camera); or
+        # [K-1,4] per-frame thin-lens origins for a depth-of-field
+        # render (pack_camera_frames, selected by frame counter)
         dirx_ref, diry_ref, dirz_ref,  # [K-1, R8, 128] f32: frames 1..K-1
         rad_ref, thr_ref,
     ):
@@ -2120,6 +2140,43 @@ def pack_camera(scene: SceneArrays) -> jax.Array:
     return jnp.stack(
         [scene.cam_pos[0], scene.cam_pos[1], scene.cam_pos[2], z]
     ).astype(jnp.float32).reshape(1, 4)
+
+
+def pack_camera_frames(
+    scene: SceneArrays, config: RenderConfig, first_frame_id, k: int
+) -> jax.Array:
+    """[k-1, 4] SMEM table for a DEPTH-OF-FIELD path-regeneration launch:
+    row ``j-1`` is frame ``first+j``'s thin-lens camera origin (one lens
+    point per FRAME — screen-wide, like the reference's Hammersley jitter
+    — so the origin is frame-constant and fits an SMEM scalar row). Built
+    with the host raygen's own :func:`camera_basis` + :func:`lens_point`
+    ops, so each row is bit-identical to the origin
+    ``generate_primary_rays`` would produce for that frame; the kernel
+    selects a restarting lane's origin by its frame counter exactly like
+    the host-precomputed direction planes."""
+    from spectral_tpu.render.camera import camera_basis, lens_point
+
+    _fwd, right, true_up, _focal, _aspect = camera_basis(
+        scene.cam_dir, scene.cam_up, scene.fov_y_deg,
+        config.width, config.height,
+    )
+    first_frame_id = jnp.asarray(first_frame_id, jnp.uint32)
+    z = jnp.zeros((), jnp.float32)
+    rows = []
+    for j in range(1, int(k)):
+        shift = lens_point(
+            right, true_up, scene.cam_aperture,
+            first_frame_id + jnp.uint32(j),
+        )
+        rows.append(
+            jnp.stack([
+                scene.cam_pos[0] + shift.x,
+                scene.cam_pos[1] + shift.y,
+                scene.cam_pos[2] + shift.z,
+                z,
+            ])
+        )
+    return jnp.stack(rows).astype(jnp.float32)
 
 
 def pack_camera_basis(scene: SceneArrays, config: RenderConfig) -> jax.Array:

@@ -656,12 +656,6 @@ def build_sharded_pallas_regen_step(
         integrate_frames_pallas_regen,
     )
 
-    if config.has_dof:
-        raise ValueError(
-            "in-kernel path regeneration restarts frames from the packed "
-            "frame-constant camera origin, incompatible with depth of "
-            "field; use the per-frame sharded step"
-        )
     n_dev = mesh.devices.size
     local_h = config.height // n_dev
     local_config = dataclasses.replace(config, height=local_h)

@@ -46,6 +46,25 @@ def scene_dof(scene, config):
     return (scene.cam_aperture, scene.cam_focus) if config.has_dof else None
 
 
+def lens_point(right, true_up, aperture, frame_id):
+    """The thin-lens origin shift for ``frame_id`` — ONE lens point per
+    frame (screen-wide, like the reference's Hammersley jitter), drawn
+    from a PCG3D stream disjoint from the bounce RNG (whose x/y seeds are
+    pixel coordinates). Shared by host raygen and the regeneration
+    kernel's per-frame origin table (``pack_camera_frames``) so both are
+    bit-identical."""
+    from spectral_tpu.ops.rng import random_pcg3d
+
+    u1, u2, _u3 = random_pcg3d(
+        frame_id, jnp.uint32(0x9E3779B9), jnp.uint32(0x85EBCA6B)
+    )
+    r = aperture * jnp.sqrt(u1)
+    theta = (2.0 * PI) * u2
+    lens_x = r * jnp.cos(theta)
+    lens_y = r * jnp.sin(theta)
+    return right * lens_x + true_up * lens_y
+
+
 def generate_primary_rays(
     cam_pos: jax.Array,
     cam_dir: jax.Array,
@@ -120,20 +139,8 @@ def generate_primary_rays(
 
     ox, oy, oz = cam_pos[0], cam_pos[1], cam_pos[2]
     if dof is not None:
-        from spectral_tpu.ops.rng import random_pcg3d
-
         aperture, focus = dof
-        # one lens point per frame (screen-wide, like the jitter); the
-        # PCG stream is disjoint from the bounce RNG, whose x/y seeds
-        # are pixel coordinates
-        u1, u2, _u3 = random_pcg3d(
-            frame_id, jnp.uint32(0x9E3779B9), jnp.uint32(0x85EBCA6B)
-        )
-        r = aperture * jnp.sqrt(u1)
-        theta = (2.0 * PI) * u2
-        lens_x = r * jnp.cos(theta)
-        lens_y = r * jnp.sin(theta)
-        shift = right * lens_x + true_up * lens_y
+        shift = lens_point(right, true_up, aperture, frame_id)
         # pinhole ray's hit with the focus plane (d is unit; forward is
         # unit, so d.forward is the cosine to the view axis), re-aimed
         # from the shifted origin: F - o' = d * t_f - shift

@@ -438,14 +438,6 @@ def integrate_frames_pallas_regen(
     """
     if k < 2:
         raise ValueError("regen wants k >= 2 (use integrate_frame_pallas)")
-    if config.has_dof:
-        raise ValueError(
-            "in-kernel path regeneration restarts frames from the packed "
-            "FRAME-CONSTANT camera origin, but depth of field shifts the "
-            "origin per frame (one lens point per frame); render DoF "
-            "scenes with regen_frames=1 (the Renderer does this "
-            "automatically)"
-        )
     if (lane_perm is None) != (lane_inv is None):
         raise ValueError("lane_perm and lane_inv must be passed together")
     first_frame_id = jnp.asarray(first_frame_id, dtype=jnp.uint32)
@@ -485,10 +477,12 @@ def integrate_frames_pallas_regen(
         ).reshape(n)
         pixel_xy = (px0[lane_perm], py0[lane_perm])
 
+    dof = scene_dof(scene, config)
     origin, direction, px, py = generate_primary_rays(
         scene.cam_pos, scene.cam_dir, scene.cam_up, scene.fov_y_deg,
         config.width, config.height, first_frame_id, config.intended_frames,
         full_height=full_height, row_offset=row_offset, pixel_xy=pixel_xy,
+        dof=dof,
     )
 
     def lanes(a, dtype=jnp.float32):
@@ -497,14 +491,17 @@ def integrate_frames_pallas_regen(
 
     # frames first+1 .. first+k-1: primary directions for the in-kernel
     # frame restarts (same raygen call as the monolithic path — see
-    # docstring); origins are all cam_pos (shipped via pack_camera)
+    # docstring); origins are all cam_pos (shipped via pack_camera), or
+    # — with depth of field — the per-frame thin-lens origins
+    # (frame-constant scalars, shipped as a [k-1, 4] SMEM table the
+    # kernel selects from by frame counter, pack_camera_frames)
     later = [
         generate_primary_rays(
             scene.cam_pos, scene.cam_dir, scene.cam_up, scene.fov_y_deg,
             config.width, config.height,
             first_frame_id + jnp.uint32(j), config.intended_frames,
             full_height=full_height, row_offset=row_offset,
-            pixel_xy=pixel_xy,
+            pixel_xy=pixel_xy, dof=dof,
         )[1]
         for j in range(1, int(k))
     ]
@@ -513,7 +510,10 @@ def integrate_frames_pallas_regen(
     dirz = jnp.stack([lanes(d.z) for d in later])
 
     geom, cbounds = _pack_geom_clusters(scene, clusters)
-    cam = mk.pack_camera(scene)
+    cam = (
+        mk.pack_camera_frames(scene, config, first_frame_id, int(k))
+        if config.has_dof else mk.pack_camera(scene)
+    )
     (albedo_in, emission_in, m_alb, m_emis, m_scal,
      lpos, lspec) = _mat_light_tables(
         scene, config, obj_types, clusters, object_loop)

@@ -549,33 +549,17 @@ class Renderer:
             regen_frames = "auto"
         if persist and regen_frames == "auto":
             regen_frames = 1  # persist supersedes the default regen chunking
-        if self.config.has_dof:
-            # depth of field draws one lens point per FRAME; the regen and
-            # persist kernels restart frames from a packed frame-constant
-            # camera origin, so they cannot compose with it
-            if persist:
-                raise ValueError(
-                    "persist=True cannot render depth-of-field scenes "
-                    "(the in-kernel frame restarts assume the pinhole "
-                    "camera); drop persist or set aperture_radius=0"
-                )
-            if regen_frames == "auto":
-                regen_frames = 1
-            elif not isinstance(regen_frames, int) or regen_frames > 1:
-                raise ValueError(
-                    "regen_frames > 1 cannot render depth-of-field scenes "
-                    "(in-kernel frame restarts assume the pinhole camera); "
-                    "use regen_frames=1"
-                )
-            else:
-                regen_frames = int(regen_frames)
-            import warnings
-
-            warnings.warn(
-                "depth of field (aperture_radius > 0) renders on the "
-                "per-frame kernel: in-kernel path regeneration is "
-                "disabled for this scene",
-                stacklevel=2,
+        if self.config.has_dof and persist:
+            # depth of field draws one lens point per FRAME; fixed-window
+            # regeneration ships the per-frame lens origins as a [K-1,4]
+            # SMEM table (pack_camera_frames), but the persist kernels
+            # restart from a single packed camera origin (free-running
+            # re-derives raygen from the frame-INDEPENDENT basis table),
+            # so persist cannot compose with it
+            raise ValueError(
+                "persist=True cannot render depth-of-field scenes "
+                "(the in-kernel frame restarts assume the pinhole "
+                "camera); drop persist or set aperture_radius=0"
             )
         if regen_frames == "auto":
             if self.backend != "pallas" or (

@@ -101,22 +101,59 @@ def test_dof_render_smoke_and_pinhole_unchanged():
 
     pin = Renderer(presets_scene := _dof_scene(aperture=0.0)).render()
     assert presets_scene.camera.aperture_radius == 0.0
-    with pytest.warns(UserWarning, match="depth of field"):
-        r = Renderer(_dof_scene())
-    assert r.regen_frames == 1
-    img = r.render()
+    img = Renderer(_dof_scene()).render()
     assert np.isfinite(img).all()
     assert float(img[..., :3].max()) > 0.01
     assert not np.array_equal(img, pin)
 
 
-def test_dof_rejects_regen_and_persist():
+def test_dof_rejects_persist():
     from spectral_tpu.render.renderer import Renderer
 
-    with pytest.raises(ValueError, match="regen_frames"):
-        Renderer(_dof_scene(), regen_frames=8)
     with pytest.raises(ValueError, match="persist"):
         Renderer(_dof_scene(), persist=True)
+    # fixed-window regeneration, by contrast, composes with DoF (the
+    # per-frame lens origins ship as an SMEM table — see
+    # test_dof_regen_matches_per_frame_sum)
+    r = Renderer(_dof_scene(), regen_frames=4, _interpret=True)
+    assert r.regen_frames == 4
+
+
+def test_dof_regen_matches_per_frame_sum():
+    """Fixed-window path regeneration composes with depth of field: the
+    per-frame thin-lens origins are frame-constant (one lens point per
+    frame, screen-wide) and ship as a [K-1, 4] SMEM table built with host
+    raygen's own camera_basis + lens_point ops (pack_camera_frames), so
+    every restarted path is bit-identical to its per-frame rendering —
+    the K-frame radiance sum matches the sum of K per-frame launches up
+    to pure f32 reassociation (an origin mismatch would flip the
+    un-offset diffuse self-intersection coin and blow this bound up)."""
+    from spectral_tpu.render.pallas_integrator import (
+        integrate_frame_pallas,
+        integrate_frames_pallas_regen,
+    )
+
+    scene = _dof_scene()  # 32x24, 4 frames, 2 bounces
+    scene.spectrum_number_of_samples = 8
+    scene.update_all_spectrum_sample_sizes()
+    arrays, config = flatten_scene(scene)
+    obj_types = tuple(np.asarray(arrays.obj_type).tolist())
+    mono = sum(
+        np.asarray(
+            integrate_frame_pallas(
+                arrays, config, np.uint32(f), obj_types, interpret=True
+            ),
+            np.float64,
+        )
+        for f in range(4)
+    )
+    regen = np.asarray(
+        integrate_frames_pallas_regen(
+            arrays, config, np.uint32(0), obj_types, 4, interpret=True
+        ),
+        np.float64,
+    )
+    assert float(np.abs(regen - mono).max()) < 1e-4
 
 
 def test_dof_scene_json_round_trip(tmp_path):
