@@ -464,6 +464,15 @@ def render_batch_spmd(
 
     if not scenes:
         raise ValueError("render_batch_spmd needs at least one scene")
+    if iterations is not None:
+        # override BEFORE flattening so the screen-wide Hammersley
+        # denominator (config.intended_frames) follows the override —
+        # the same semantics as render_animation(iterations=...)
+        if iterations < 1:
+            raise ValueError("iterations must be >= 1")
+        scenes = [copy.deepcopy(s) for s in scenes]
+        for s in scenes:
+            s.nbr_of_iterations = iterations
     flat = [flatten_scene(s) for s in scenes]
     cfg = flat[0][1]
     for f, (_, c) in enumerate(flat[1:], start=1):
@@ -473,7 +482,7 @@ def render_batch_spmd(
             )
     batch = jax.tree.map(lambda *xs: jnp.stack(xs), *[a for a, _ in flat])
 
-    n_frames = iterations if iterations is not None else cfg.intended_frames
+    n_frames = cfg.intended_frames
 
     if mesh is not None:
         batch = jax.tree.map(

@@ -277,6 +277,17 @@ def test_render_batch_spmd_matches_individual_renders():
         expect = r.render()
         np.testing.assert_allclose(batch[k], expect, rtol=0, atol=1e-6)
 
+    # an iterations override must change the Hammersley jitter stream
+    # exactly like setting nbr_of_iterations on the scene (the screen-
+    # wide jitter denominator is intended_frames), i.e. match an
+    # individual render of the overridden scene bit-for-bit
+    batch1 = render_batch_spmd(scenes[:1], iterations=1)
+    s1 = _small_scene(iters=1)
+    s1.camera.fov_y_deg = 50.0
+    expect1 = Renderer(s1, backend="jnp", regen_frames=1).render()
+    np.testing.assert_allclose(batch1[0], expect1, rtol=0, atol=1e-6)
+    assert scenes[0].nbr_of_iterations == 2  # caller's scenes untouched
+
 
 def test_render_batch_spmd_rejects_mismatched_configs():
     with pytest.raises(SceneError):
