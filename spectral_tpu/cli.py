@@ -500,7 +500,9 @@ def build_parser() -> argparse.ArgumentParser:
     src.add_argument("--scene", help="path to a scene JSON file")
     _add_render_overrides(pr)
     pr.add_argument("--out", default="render.png",
-                    help="output image (png/jpg/bmp/tiff by extension)")
+                    help="output image by extension: png/jpg/bmp/tiff "
+                         "(8-bit, the reference's formats) or exr "
+                         "(linear HDR float, beyond the reference)")
     pr.add_argument("--mesh", type=int, default=0,
                     help="shard over the first N devices (0 = single device)")
     pr.add_argument("--coordinator",

@@ -84,6 +84,12 @@ def save_image(
                 "pass either a precomputed u8 or a display transform, not both"
             )
         accum = apply_display_transform(accum, exposure, gamma)
+    if path.suffix.lower() == ".exr":
+        # HDR export: the linear float radiance, no u8 clamp (a
+        # capability the reference's 8-bit-only save path lacks)
+        from spectral_tpu.render.exr import write_exr
+
+        return write_exr(np.asarray(accum, np.float32), path)
     if u8 is None:
         u8 = accum_to_u8(accum, native=native)
 
