@@ -305,6 +305,21 @@ def cmd_render(args) -> int:
         save_aovs(compute_aovs(scene), args.aovs)
         print(f"AOVs (depth/normal/albedo/obj_id) -> {args.aovs}",
               file=sys.stderr)
+    if args.denoise is not None:
+        fb = renderer.framebuffer()  # collective: all processes join
+        if primary:
+            from pathlib import Path
+
+            from spectral_tpu.render import image as image_mod
+            from spectral_tpu.render.denoise import denoise_render
+
+            out = Path(args.out)
+            dn_path = out.with_name(out.stem + ".denoised" + out.suffix)
+            denoised = denoise_render(scene, fb, iterations=args.denoise)
+            image_mod.save_image(denoised, dn_path, exposure=args.exposure,
+                                 gamma=args.gamma)
+            print(f"denoised ({args.denoise} a-trous levels) -> {dn_path}",
+                  file=sys.stderr)
     return 0
 
 
@@ -599,6 +614,13 @@ def build_parser() -> argparse.ArgumentParser:
                     "shading normal, albedo, object id) as .npy + .png "
                     "previews into DIR — denoiser/compositing inputs the "
                     "reference cannot produce")
+    pr.add_argument("--denoise", nargs="?", const=5, default=None,
+                    type=int, metavar="LEVELS",
+                    help="also write an AOV-guided a-trous denoised copy "
+                    "of the render next to --out (<stem>.denoised<ext>); "
+                    "LEVELS a-trous passes (default 5). Post-process "
+                    "only: the beauty image and checkpoints are "
+                    "untouched")
     pr.set_defaults(func=cmd_render)
 
     pa = sub.add_parser(
