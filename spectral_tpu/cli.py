@@ -404,6 +404,7 @@ def cmd_animate(args) -> int:
         iterations=args.iterations,
         out_dir=args.out_dir,
         progress=progress,
+        shutter=args.shutter,
         **kwargs,
     )
     print(file=sys.stderr)
@@ -649,6 +650,12 @@ def build_parser() -> argparse.ArgumentParser:
     pa.add_argument("--gif", help="write an animated GIF here")
     pa.add_argument("--dump-anim", help="write the resolved animation "
                     "(including the generated orbit tracks) as JSON")
+    pa.add_argument("--shutter", type=float, default=0.0,
+                    help="motion blur: shutter width in frame-intervals "
+                    "(0.5 = 180-degree shutter; 0 = off). Each "
+                    "progressive iteration samples the tracks at one "
+                    "deterministic time in a centered window, so the "
+                    "accumulated frame integrates the shutter")
     pa.add_argument("--interpret", action="store_true",
                     help="debug: run Pallas kernels in interpret mode")
     pa.set_defaults(func=cmd_animate)

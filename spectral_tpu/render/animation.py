@@ -226,8 +226,13 @@ class Animation:
             raise ValueError(
                 f"frame {frame} out of range [0, {self.n_frames})"
             )
+        return self.scene_at_time(self.time_at(frame))
+
+    def scene_at_time(self, t: float) -> Scene:
+        """The fully-evaluated scene at normalized track time ``t`` in
+        [0, 1] — continuous sampling between frames is what motion blur
+        integrates over."""
         out = copy.deepcopy(self.scene)
-        t = self.time_at(frame)
         for track in self.tracks:
             _apply_path(out, track.path, track.value_at(t))
         out.validate()
@@ -348,12 +353,84 @@ def load_animation(path, scene: Scene | None = None) -> Animation:
 # -------------------------------------------------------------- rendering
 
 
+def _vdc_base3(n: int) -> float:
+    """Base-3 van der Corput radical inverse (host-side float64).
+
+    The shutter-time stream for motion blur: a low-discrepancy sequence
+    over [0, 1) chosen in a base COPRIME to the render's own base-2
+    streams (the sub-pixel jitter is radical-inverse base 2, reference
+    ``src/shader.rs:655``; the DoF lens point is PCG3D) so time samples
+    decorrelate from both."""
+    f, inv = 0.0, 1.0 / 3.0
+    while n:
+        f += (n % 3) * inv
+        n //= 3
+        inv /= 3.0
+    return f
+
+
+def _tracks_can_enable(anim: Animation, field: str) -> bool:
+    """True if any track writes ``field`` with a nonzero key value —
+    conservative: interpolation between keys never leaves the convex
+    hull, so all-zero keys (plus an all-zero base) keep the field off."""
+    for tr in anim.tracks:
+        if tr.path.endswith("." + field):
+            for _t, v in tr.keys:
+                if float(np.max(np.abs(np.atleast_1d(np.asarray(v, float))))) > 0:
+                    return True
+    return False
+
+
+def _motion_blur_schedule(
+    anim: Animation, frame: int, shutter: float, cfg0, scene_prep
+):
+    """``frame_id -> SceneArrays`` sampling the shutter around animation
+    frame ``frame``.
+
+    Reference-style screen-wide sampling: each progressive iteration
+    draws ONE shutter time for the whole image (like the sub-pixel
+    jitter, reference ``src/shader.rs:280``, and the thin-lens point),
+    so accumulation over iterations integrates the shutter interval —
+    zero per-bounce cost, and iteration ``k`` is deterministic
+    (``_vdc_base3(k + 1)``), which keeps motion-blurred renders
+    checkpoint/resume-exact.
+
+    The shutter is centered on the frame time and spans ``shutter``
+    frame-intervals (0.5 = a 180-degree shutter; with ``n_frames == 1``
+    the unit is the whole track, rendering a motion-blurred still).
+    ``scene_prep(scene)`` applies the caller's per-frame overrides
+    (iteration count) before flattening.
+    """
+    from spectral_tpu.scene.flatten import flatten_scene
+
+    dt = 1.0 if anim.n_frames == 1 else 1.0 / (anim.n_frames - 1)
+    t0 = anim.time_at(frame)
+
+    def schedule(frame_id: int):
+        u = _vdc_base3(int(frame_id) + 1)
+        t = min(max(t0 + (u - 0.5) * shutter * dt, 0.0), 1.0)
+        sc = scene_prep(anim.scene_at_time(t))
+        arrays, cfg = flatten_scene(sc)
+        if cfg != cfg0:
+            raise SceneError(
+                f"shutter sample at t={t:.4f} changes the render "
+                f"configuration ({cfg} != {cfg0}); tracks may only "
+                "animate scene values"
+            )
+        return arrays
+
+    schedule.has_transmission = _tracks_can_enable(anim, "transmission")
+    schedule.has_emission = False  # emission spectra are not animatable
+    return schedule
+
+
 def render_animation(
     anim: Animation,
     iterations: int | None = None,
     devices: list | None = None,
     out_dir: str | Path | None = None,
     progress: Callable[[int, int], None] | None = None,
+    shutter: float = 0.0,
     **renderer_kwargs,
 ) -> np.ndarray:
     """Render every animation frame; returns u8 ``[F, H, W, 3]``.
@@ -367,6 +444,15 @@ def render_animation(
     ``frame_0000.png`` .. per frame. ``progress(done, total)`` is called
     after each completed frame (from worker threads, externally
     serialized by a lock). Extra kwargs reach each ``Renderer``.
+
+    ``shutter > 0`` enables motion blur: each progressive iteration of a
+    frame samples the animation tracks at one deterministic
+    low-discrepancy time in a centered window of ``shutter``
+    frame-intervals (0.5 = 180-degree shutter; with a single frame the
+    window spans ``shutter`` of the whole track — a motion-blurred
+    still). The accumulated frame converges to the shutter integral.
+    Runs on the per-frame dispatch path (fixed-window regeneration fuses
+    one scene across K frames and is automatically disabled).
     """
     import jax
 
@@ -374,6 +460,8 @@ def render_animation(
     from spectral_tpu.render.renderer import Renderer
     from spectral_tpu.scene.flatten import flatten_scene
 
+    if shutter < 0:
+        raise ValueError("shutter must be >= 0")
     devices = list(devices) if devices else jax.devices()
     scenes = [anim.scene_at(f) for f in range(anim.n_frames)]
     if iterations is not None:
@@ -381,6 +469,11 @@ def render_animation(
             raise ValueError("iterations must be >= 1")
         for s in scenes:
             s.nbr_of_iterations = iterations
+
+    def _scene_prep(s: Scene) -> Scene:
+        if iterations is not None:
+            s.nbr_of_iterations = iterations
+        return s
 
     # every frame must share one compiled program: same RenderConfig.
     # Flatten once here and hand the snapshots to the Renderers below
@@ -406,9 +499,12 @@ def render_animation(
 
     def _render_one(f: int, dev) -> None:
         with jax.default_device(dev):
-            r = Renderer(
-                scenes[f], _flattened=flattened[f], **renderer_kwargs
-            )
+            kw = dict(renderer_kwargs)
+            if shutter > 0:
+                kw["_scene_schedule"] = _motion_blur_schedule(
+                    anim, f, shutter, cfg0, _scene_prep
+                )
+            r = Renderer(scenes[f], _flattened=flattened[f], **kw)
             r.render()
             fb = r.framebuffer()
         u8 = image_mod.accum_to_u8(fb)

@@ -361,6 +361,7 @@ class Renderer:
         _interpret: bool = False,
         _phase_tile: int | None = None,
         _flattened: tuple | None = None,
+        _scene_schedule: "Callable[[int], SceneArrays] | None" = None,
     ):
         import numpy as _np
 
@@ -377,6 +378,12 @@ class Renderer:
             self.scene_arrays, self.config = _flattened
         else:
             self.scene_arrays, self.config = flatten_scene(scene)
+        # ``_scene_schedule``: frame_id -> SceneArrays for renders whose
+        # scene varies per progressive frame (motion blur — the shutter
+        # integral sampled one time-point per frame, reference-style
+        # screen-wide). Same shapes/config/object types as the base
+        # scene; the caller guarantees it (render_animation does).
+        self._scene_schedule = _scene_schedule
         # identity of the flattened snapshot: checkpoints carry it so a
         # resume against a DIFFERENT scene with the same dimensions is
         # refused instead of silently blending two unrelated renders
@@ -539,6 +546,41 @@ class Renderer:
         # pallas path (1.5-1.75x on the BASELINE configs), 1 elsewhere or
         # when a conflicting mode is requested explicitly. ("auto", cap)
         # bounds the chosen K (live viewers want short chunks).
+        if _scene_schedule is not None:
+            # the schedule changes the scene BETWEEN frames, so every
+            # frame must be its own dispatch of the per-frame step; the
+            # multi-frame-fused modes bake one scene across their window
+            if (
+                persist
+                or phase_split is not None
+                or frames_per_dispatch > 1
+                or sharding is not None
+                or self.grid is not None
+            ):
+                raise ValueError(
+                    "a per-frame scene schedule (motion blur) runs on "
+                    "the plain per-frame jnp/pallas step only; drop "
+                    "persist/phase_split/frames_per_dispatch/sharding/"
+                    "accel='grid'"
+                )
+            # a track may animate material.transmission from 0 through
+            # nonzero mid-shutter; the schedule carries conservative
+            # flags so the kernel compiles the needed branches
+            self.has_transmission = self.has_transmission or bool(
+                getattr(_scene_schedule, "has_transmission", False)
+            )
+            self.has_emission = self.has_emission or bool(
+                getattr(_scene_schedule, "has_emission", False)
+            )
+            is_auto = regen_frames == "auto" or (
+                isinstance(regen_frames, tuple) and regen_frames[:1] == ("auto",)
+            )
+            if not is_auto and regen_frames != 1:
+                raise ValueError(
+                    "regen_frames fuses K frames of ONE scene per launch "
+                    "and cannot compose with a per-frame scene schedule"
+                )
+            regen_frames = 1
         auto_cap = None
         if (
             isinstance(regen_frames, tuple)
@@ -796,6 +838,19 @@ class Renderer:
 
     def _advance(self, frame_id) -> None:
         fid = jnp.uint32(frame_id)
+        if self._scene_schedule is not None:
+            # motion blur: this frame's scene snapshot (same shapes, so
+            # the jitted step is compiled once and reused across frames)
+            arrays = self._scene_schedule(int(frame_id))
+            if self.backend == "pallas":
+                self.accum = _step_pallas(
+                    arrays, self.config, self.accum, fid,
+                    self.obj_types, self.has_transmission, self.has_emission,
+                    self._interpret, self.clusters,
+                )
+            else:
+                self.accum = _step(arrays, self.config, self.accum, fid)
+            return
         if self.phase_stages is not None:
             rgb, overflow = _phased_rgb(
                 self.scene_arrays, self.config, fid, self.obj_types,

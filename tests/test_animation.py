@@ -414,3 +414,89 @@ def test_cli_animate_overrides_validate(tmp_path):
     with pytest.raises(ValueError, match="fps"):
         main(["animate", "--anim", str(anim_json), "--fps", "0",
               "--gif", str(tmp_path / "x.gif")])
+
+
+# ------------------------------------------------------------- motion blur
+
+
+def test_vdc_base3_sequence():
+    from spectral_tpu.render.animation import _vdc_base3
+
+    got = [_vdc_base3(n) for n in range(1, 7)]
+    expect = [1 / 3, 2 / 3, 1 / 9, 1 / 9 + 1 / 3, 1 / 9 + 2 / 3, 2 / 9]
+    np.testing.assert_allclose(got, expect, rtol=1e-12)
+
+
+def test_shutter_on_static_tracks_matches_unblurred():
+    """With tracks that are constant over time, every shutter sample is
+    the same scene — the motion-blur path must reproduce the plain
+    render bit-exactly (pins the schedule plumbing: same RNG streams,
+    same accumulation)."""
+    scene = _small_scene(iters=3)
+    anim = Animation(
+        scene, n_frames=2,
+        tracks=[Track("camera.fov_y_deg", [(0.0, 60.0), (1.0, 60.0)])],
+    )
+    plain = render_animation(anim, backend="jnp")
+    blurred = render_animation(anim, backend="jnp", shutter=0.5)
+    np.testing.assert_array_equal(plain, blurred)
+
+
+def test_motion_blur_spreads_a_moving_object():
+    """A sphere sweeping across the view: the shutter samples hit
+    different scenes, so the blurred render must differ from the static
+    one (the static-tracks test above pins the converse)."""
+    scene = _small_scene(w=24, h=16, iters=8, bounces=2)
+    anim = Animation(
+        scene, n_frames=1,
+        tracks=[Track(
+            "objects[0].position",
+            [(0.0, (-1.5, 0.0, 2.0)), (1.0, (1.5, 0.0, 2.0))],
+        )],
+    )
+    static = render_animation(anim, backend="jnp")
+    blurred = render_animation(anim, backend="jnp", shutter=1.0)
+    assert blurred.shape == static.shape
+    assert (blurred != static).any()
+
+
+def test_schedule_rejects_fused_modes():
+    from spectral_tpu.render.renderer import Renderer
+
+    scene = _small_scene()
+    sched = lambda fid: None  # noqa: E731 - never called
+    with pytest.raises(ValueError, match="scene schedule"):
+        Renderer(scene, backend="jnp", persist=True, _interpret=True,
+                 _scene_schedule=sched)
+    with pytest.raises(ValueError, match="regen_frames"):
+        Renderer(scene, backend="jnp", regen_frames=5, _interpret=True,
+                 _scene_schedule=sched)
+
+
+def test_shutter_transmission_flag_is_conservative():
+    from spectral_tpu.render.animation import _tracks_can_enable
+
+    scene = _small_scene()
+    on = Animation(
+        scene, 2,
+        [Track("materials[0].transmission", [(0.0, 0.0), (1.0, 0.8)])],
+    )
+    off = Animation(
+        scene, 2,
+        [Track("materials[0].transmission", [(0.0, 0.0), (1.0, 0.0)])],
+    )
+    assert _tracks_can_enable(on, "transmission")
+    assert not _tracks_can_enable(off, "transmission")
+
+
+def test_cli_animate_shutter(tmp_path):
+    from spectral_tpu.cli import main
+
+    rc = main([
+        "animate", "--preset", "default", "--width", "12", "--height", "8",
+        "--iterations", "2", "--bounces", "2", "--orbit", "30",
+        "--frames", "2", "--shutter", "0.5",
+        "--gif", str(tmp_path / "mb.gif"),
+    ])
+    assert rc == 0
+    assert (tmp_path / "mb.gif").exists()
