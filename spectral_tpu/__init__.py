@@ -54,6 +54,10 @@ def __getattr__(name):
         from spectral_tpu.render import animation
 
         return animation
+    if name == "mesh":
+        from spectral_tpu.scene import mesh
+
+        return mesh
     raise AttributeError(f"module 'spectral_tpu' has no attribute {name!r}")
 
 
@@ -64,6 +68,7 @@ __all__ = [
     "load_scene",
     "save_scene",
     "animation",
+    "mesh",
     "VISIBLE_LIGHT_WAVELENGTH_LOWER_BOUND",
     "VISIBLE_LIGHT_WAVELENGTH_UPPER_BOUND",
     "NBR_OF_SAMPLES_MAX",

@@ -459,7 +459,10 @@ def cmd_describe(args) -> int:
     print(f"{len(scene.objects)} objects:")
     for o in scene.objects:
         tag = " [hidden]" if o.hidden else ""
-        print(f"  {o.name}: {type(o.object_type).__name__} at {o.position}, "
+        kind = type(o.object_type).__name__
+        if hasattr(o.object_type, "n_triangles"):
+            kind += f" ({o.object_type.n_triangles} triangles)"
+        print(f"  {o.name}: {kind} at {o.position}, "
               f"material {o.material.name!r}{tag}")
     print(f"{len(scene.materials)} materials:")
     for m in scene.materials:

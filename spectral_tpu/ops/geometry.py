@@ -33,6 +33,7 @@ from spectral_tpu.scene.flatten import (
     OBJ_PLAIN_BOX,
     OBJ_ROTATED_BOX,
     OBJ_SPHERE,
+    OBJ_TRIANGLE,
     SceneArrays,
 )
 
@@ -130,6 +131,46 @@ def _box_t(origin: Vec3, direction: Vec3, scene: SceneArrays):
     return slab_pick(t_min, t_max), hit
 
 
+def triangle_t(origin: Vec3, direction: Vec3, v0: Vec3, e1: Vec3, e2: Vec3):
+    """Moller-Trumbore ray/triangle intersection (beyond-reference
+    geometry — the reference has only boxes and spheres,
+    src/shader.rs:302-357). All inputs broadcast to a common shape.
+
+    Two-sided (both determinant signs accepted); ``t >= 0`` here, the
+    caller applies the strict ``t > 0`` rule like every other primitive.
+    A zero determinant makes ``inv_det`` inf, which drives u/v/t to
+    inf/NaN and the barycentric box conditions reject them — no explicit
+    epsilon is needed (NaN comparisons are false).
+    """
+    p = direction.cross(e2)
+    det = e1.dot(p)
+    inv_det = 1.0 / det
+    s = origin - v0
+    u = s.dot(p) * inv_det
+    q = s.cross(e1)
+    v = direction.dot(q) * inv_det
+    t = e2.dot(q) * inv_det
+    valid = (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t >= 0.0)
+    return t, valid
+
+
+def _triangle_t(origin: Vec3, direction: Vec3, scene: SceneArrays):
+    """Triangle candidates over ``[n_rays, n_objects]`` (triangle rows
+    store v0 in ``shift``, e1/e2 in ``slab_min``/``slab_max``)."""
+    v0 = Vec3.from_array(scene.shift)
+    e1 = Vec3.from_array(scene.slab_min)
+    e2 = Vec3.from_array(scene.slab_max)
+    b = lambda c: c[None, :]  # noqa: E731
+    v0b = Vec3(b(v0.x), b(v0.y), b(v0.z))
+    e1b = Vec3(b(e1.x), b(e1.y), b(e1.z))
+    e2b = Vec3(b(e2.x), b(e2.y), b(e2.z))
+    ob = Vec3(origin.x[:, None], origin.y[:, None], origin.z[:, None])
+    db = Vec3(
+        direction.x[:, None], direction.y[:, None], direction.z[:, None]
+    )
+    return triangle_t(ob, db, v0b, e1b, e2b)
+
+
 def _sphere_t(origin: Vec3, direction: Vec3, scene: SceneArrays):
     """Nearest non-negative sphere intersection over ``[n_rays, n_objects]``."""
     sp = Vec3.from_array(scene.sphere_pos)
@@ -162,7 +203,15 @@ def _trace_dense(origin: Vec3, direction: Vec3, scene: SceneArrays) -> TraceResu
 
     is_sphere = (scene.obj_type == OBJ_SPHERE)[None, :]
     t = jnp.where(is_sphere, t_sph, t_box)
-    valid = jnp.where(is_sphere, hit_sph, hit_box) & (t > 0.0)
+    valid = jnp.where(is_sphere, hit_sph, hit_box)
+    if OBJ_TRIANGLE in scene.obj_types_static:
+        # triangle rows reuse the slab columns for e1/e2, so t_box is
+        # garbage there — selected out here (mirroring the sphere select)
+        t_tri, hit_tri = _triangle_t(origin, direction, scene)
+        is_tri = (scene.obj_type == OBJ_TRIANGLE)[None, :]
+        t = jnp.where(is_tri, t_tri, t)
+        valid = jnp.where(is_tri, hit_tri, valid)
+    valid = valid & (t > 0.0)
 
     t_all = jnp.where(valid, t, _INF)
     t_hit = jnp.min(t_all, axis=1)
@@ -296,4 +345,10 @@ def surface_normal(
 
     n = n_box.where(otype == OBJ_PLAIN_BOX, n_rot)
     n = n_sphere.where(otype == OBJ_SPHERE, n)
+    if OBJ_TRIANGLE in scene.obj_types_static:
+        # triangle: the precomputed unit geometric normal (stored as
+        # inv_rot row 0 by flatten) — winding-defined, never ray-flipped,
+        # matching the reference's geometric-normal convention
+        n_tri = inv_rows[0]
+        n = n_tri.where(otype == OBJ_TRIANGLE, n)
     return n

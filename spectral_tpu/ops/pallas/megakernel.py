@@ -52,6 +52,7 @@ from spectral_tpu.scene.flatten import (
     OBJ_PLAIN_BOX,
     OBJ_ROTATED_BOX,
     OBJ_SPHERE,
+    OBJ_TRIANGLE,
     RenderConfig,
     SceneArrays,
 )
@@ -410,6 +411,8 @@ def build_megakernel(
             t2 = (-b + sq) / (2.0 * a)
             t = jnp.where(t1 >= 0.0, t1, t2)
             valid = (disc >= 0.0) & (t >= 0.0)
+        elif ot == OBJ_TRIANGLE:
+            t, valid = _tri_t(geom, o, ox, oy, oz, dx, dy, dz)
         else:
             if ot == OBJ_ROTATED_BOX:
                 shx, shy, shz = (
@@ -486,6 +489,12 @@ def build_megakernel(
                 uy = axis(ipy, geom[o, _SLAB_MIN + 1], geom[o, _SLAB_MAX + 1])
                 uz = axis(ipz, geom[o, _SLAB_MIN + 2], geom[o, _SLAB_MAX + 2])
                 cnx, cny, cnz = _normalize(ux, uy, uz)
+            elif ot == OBJ_TRIANGLE:
+                # stored unit geometric normal (winding-defined)
+                shape = ox.shape
+                cnx = jnp.broadcast_to(geom[o, _INV_ROT], shape)
+                cny = jnp.broadcast_to(geom[o, _INV_ROT + 1], shape)
+                cnz = jnp.broadcast_to(geom[o, _INV_ROT + 2], shape)
             else:  # rotated box: closest local face, strict < scan order
                 shx, shy, shz = (
                     geom[o, _SHIFT], geom[o, _SHIFT + 1], geom[o, _SHIFT + 2]
@@ -578,6 +587,38 @@ def build_megakernel(
         t = jnp.where(t1 >= 0.0, t1, t2)
         valid = (disc >= 0.0) & (t > 0.0)
         return t, valid, (cx_, cy_, cz_)
+
+    def _tri_t(geom, o, ox, oy, oz, dx, dy, dz):
+        """Moller-Trumbore over the tile (beyond-reference geometry —
+        mesh faces; triangle rows reuse _SHIFT = v0, _SLAB_MIN = e1,
+        _SLAB_MAX = e2, and _INV_ROT row 0 carries the unit geometric
+        normal). Two-sided; det == 0 drives u/v/t to inf/NaN and the
+        barycentric box conditions reject them (no epsilon needed). Op
+        order matches ``ops.geometry.triangle_t`` exactly so the jnp and
+        pallas paths agree bitwise on deterministic rays."""
+        e1x, e1y, e1z = (
+            geom[o, _SLAB_MIN], geom[o, _SLAB_MIN + 1], geom[o, _SLAB_MIN + 2]
+        )
+        e2x, e2y, e2z = (
+            geom[o, _SLAB_MAX], geom[o, _SLAB_MAX + 1], geom[o, _SLAB_MAX + 2]
+        )
+        v0x, v0y, v0z = (
+            geom[o, _SHIFT], geom[o, _SHIFT + 1], geom[o, _SHIFT + 2]
+        )
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = _dot(e1x, e1y, e1z, px, py, pz)
+        inv_det = 1.0 / det
+        sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+        u = _dot(sx, sy, sz, px, py, pz) * inv_det
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        v = _dot(dx, dy, dz, qx, qy, qz) * inv_det
+        t = _dot(e2x, e2y, e2z, qx, qy, qz) * inv_det
+        valid = (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t >= 0.0)
+        return t, valid & (t > 0.0)
 
     def _plain_box_t(geom, o, ox, oy, oz, dx, dy, dz):
         """World-space slab test — plain boxes carry an identity rotation
@@ -752,10 +793,18 @@ def build_megakernel(
             rnz = r[6] * lnx + r[7] * lny + r[8] * lnz
             return accum(carry, o, t_o, valid, rnx, rny, rnz, 0.0)
 
+        def tri_body(o, carry):
+            t_o, valid = _tri_t(geom, o, ox, oy, oz, dx, dy, dz)
+            tnx = jnp.broadcast_to(geom[o, _INV_ROT], (r8, LANE))
+            tny = jnp.broadcast_to(geom[o, _INV_ROT + 1], (r8, LANE))
+            tnz = jnp.broadcast_to(geom[o, _INV_ROT + 2], (r8, LANE))
+            return accum(carry, o, t_o, valid, tnx, tny, tnz, 0.0)
+
         bodies = {
             OBJ_SPHERE: sphere_body,
             OBJ_PLAIN_BOX: plain_body,
             OBJ_ROTATED_BOX: rot_body,
+            OBJ_TRIANGLE: tri_body,
         }
         carry = init
         if clustered:
@@ -920,10 +969,18 @@ def build_megakernel(
                 out.append(_box_accum(t_o, valid, ray, prev))
             return tuple(out)
 
+        def tri_body(o, carry):
+            out = []
+            for ray, prev in zip(rays, carry):
+                t_o, valid = _tri_t(geom, o, *ray[:6])
+                out.append(_box_accum(t_o, valid, ray, prev))
+            return tuple(out)
+
         bodies = {
             OBJ_SPHERE: sphere_body,
             OBJ_PLAIN_BOX: plain_body,
             OBJ_ROTATED_BOX: rot_body,
+            OBJ_TRIANGLE: tri_body,
         }
         if shadow_interval:
             t_bests = tuple(jnp.zeros((r8, LANE), jnp.float32) for _ in rays)

@@ -75,7 +75,9 @@ def compute_aovs(scene) -> dict:
     (+inf where no geometry is hit), ``normal`` ``[H, W, 3]`` f32 unit
     shading normal (zeros on miss), ``albedo`` ``[H, W, 3]`` f32 linear
     RGB first-hit reflectance (zeros on miss), and ``obj_id`` ``[H, W]``
-    int32 index into ``scene.objects`` (-1 on miss).
+    int32 index into the flattened object rows (-1 on miss) — for scenes
+    without meshes this is the ``scene.objects`` index; mesh faces get
+    one id per triangle, which makes the buffer a per-face id map.
     """
     from spectral_tpu.scene.flatten import flatten_scene
 

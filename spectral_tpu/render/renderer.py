@@ -412,6 +412,15 @@ class Renderer:
             self.backend = "jnp"  # the grid tracer lives on the jnp path
         use_grid = accel == "grid"
         self.grid = self.grid_static = None
+        if use_grid and 3 in self.scene_arrays.obj_types_static:
+            # OBJ_TRIANGLE: the grid's cell tests treat every non-sphere
+            # as a slab box, but triangle rows reuse the slab columns
+            # for Moller-Trumbore edges
+            raise ValueError(
+                "accel='grid' does not support mesh/triangle scenes; "
+                "use the default dense path (triangles cluster-cull on "
+                "the megakernel)"
+            )
         if use_grid and self.config.n_objects > 0:
             from spectral_tpu.scene.accel import build_grid
 

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from spectral_tpu.scene.schema import (
+    Mesh,
     PlainBox,
     RotatedBox,
     Scene,
@@ -35,6 +36,13 @@ F32 = np.float32
 OBJ_PLAIN_BOX = 0
 OBJ_SPHERE = 1
 OBJ_ROTATED_BOX = 2
+OBJ_TRIANGLE = 3  # one mesh face, expanded to a first-class object row
+
+# Conservative padding on triangle world AABBs: an axis-planar triangle
+# has a zero-thickness AABB, which the strict slab test (t_max > t_min)
+# and cluster-union culling would skip. The exact intersection decides
+# hits; the AABB is only ever used for culling, so padding is safe.
+_TRI_AABB_PAD = F32(1e-4)
 
 
 def euler_to_rotation_matrix(roll: float, pitch: float, yaw: float) -> np.ndarray:
@@ -108,6 +116,12 @@ class SceneArrays:
     # color pipeline
     xyz_weights: jax.Array  # [S, 3] per-sample XYZ integration weights
     xyz_to_rgb: jax.Array  # [3, 3]
+    # static (non-traced) copy of obj_type: lets jitted code include a
+    # primitive's intersection math only when the scene actually has it
+    # (triangles would otherwise tax every boxes-and-spheres scene)
+    obj_types_static: tuple = dataclasses.field(
+        metadata=dict(static=True), default=()
+    )
 
     @property
     def n_objects(self) -> int:
@@ -191,7 +205,17 @@ def flatten_scene(scene: Scene) -> tuple[SceneArrays, RenderConfig]:
     objects = scene.visible_objects()
     lights = scene.visible_lights()
 
-    n_obj = len(objects)
+    # meshes expand: each face becomes one first-class object row (so
+    # every kernel — brute force, clusters, NEE, AOVs — handles
+    # triangles with zero special-casing at the orchestration layer)
+    rows: list[tuple] = []
+    for obj in objects:
+        if isinstance(obj.object_type, Mesh):
+            rows.extend((obj, f) for f in range(len(obj.object_type.faces)))
+        else:
+            rows.append((obj, None))
+
+    n_obj = len(rows)
     obj_type = np.zeros(n_obj, dtype=np.int32)
     slab_min = np.zeros((n_obj, 3), dtype=F32)
     slab_max = np.zeros((n_obj, 3), dtype=F32)
@@ -215,11 +239,40 @@ def flatten_scene(scene: Scene) -> tuple[SceneArrays, RenderConfig]:
     material_index: dict[int, int] = {}
     material_list: list[int] = []
 
-    for i, obj in enumerate(objects):
+    for i, (obj, face) in enumerate(rows):
         pos = np.asarray(obj.position, dtype=F32)
         center[i] = pos
         t = obj.object_type
-        if isinstance(t, PlainBox):
+        if face is not None:
+            # triangle row (Mesh face): columns are REUSED for the
+            # Moller-Trumbore parameterization — shift = v0,
+            # slab_min = e1, slab_max = e2, inv_rot row 0 = the unit
+            # geometric normal (winding-defined, never ray-flipped; the
+            # reference's own normals are geometric too). See
+            # pack_geometry/_candidate_t for the kernel-side reads.
+            i0, i1, i2 = t.faces[face]
+            v0 = (pos + np.asarray(t.vertices[i0], F32)).astype(F32)
+            v1 = (pos + np.asarray(t.vertices[i1], F32)).astype(F32)
+            v2 = (pos + np.asarray(t.vertices[i2], F32)).astype(F32)
+            e1 = (v1 - v0).astype(F32)
+            e2 = (v2 - v0).astype(F32)
+            obj_type[i] = OBJ_TRIANGLE
+            shift[i] = v0
+            slab_min[i] = e1
+            slab_max[i] = e2
+            nrm = np.cross(e1.astype(np.float64), e2.astype(np.float64))
+            ln = np.linalg.norm(nrm)
+            if ln > 0.0:
+                inv_rot[i, 0] = (nrm / ln).astype(F32)
+            else:  # degenerate face: zero normal, never wins a hit anyway
+                inv_rot[i, 0] = 0.0
+            vs = np.stack([v0, v1, v2])
+            aabb_min[i] = (vs.min(axis=0) - _TRI_AABB_PAD).astype(F32)
+            aabb_max[i] = (vs.max(axis=0) + _TRI_AABB_PAD).astype(F32)
+            # centroid (Morton clustering key; nothing else reads it
+            # for triangles)
+            center[i] = ((v0 + v1 + v2) / F32(3.0)).astype(F32)
+        elif isinstance(t, PlainBox):
             obj_type[i] = OBJ_PLAIN_BOX
             half = np.array(
                 [F32(t.x_length) / 2, F32(t.y_length) / 2, F32(t.z_length) / 2],
@@ -334,6 +387,7 @@ def flatten_scene(scene: Scene) -> tuple[SceneArrays, RenderConfig]:
         cam_focus=jnp.asarray(F32(scene.camera.focus_distance)),
         xyz_weights=jnp.asarray(xyz_weights),
         xyz_to_rgb=jnp.asarray(cie.XYZ_TO_RGB_MATRIX),
+        obj_types_static=tuple(int(x) for x in obj_type),
     )
     config = RenderConfig(
         width=scene.width,

@@ -312,7 +312,48 @@ class RotatedBox:
     z_rotation: float = 0.0
 
 
-ObjectType = Union[PlainBox, Sphere, RotatedBox]
+@dataclasses.dataclass(frozen=True)
+class Mesh:
+    """Indexed triangle mesh — a geometry class beyond the reference
+    (its ``UIObjectType`` has only boxes and spheres,
+    src/main.rs:2070-2076).
+
+    ``vertices`` is a tuple of ``(x, y, z)`` tuples in object space
+    (the owning ``SceneObject.position`` translates them to world
+    space); ``faces`` is a tuple of ``(i0, i1, i2)`` vertex-index
+    triples. Triangles are single-sided in the reference's own normal
+    convention: the geometric normal is ``normalize((v1 - v0) x
+    (v2 - v0))`` — counter-clockwise winding faces the normal — and is
+    never flipped toward the ray (exactly like the reference's sphere/
+    box normals, which also stay geometric when hit from behind).
+
+    Flattening expands each face into one first-class object row, so
+    meshes trace through the same brute-force/clustered kernels, NEE,
+    dispersion and AOV machinery as every other object type, and scale
+    with the measured many-object path (Morton clustering groups
+    spatially-local triangles automatically)."""
+
+    vertices: tuple = ()
+    faces: tuple = ()
+
+    def __post_init__(self):
+        # normalize to hashable nested tuples (frozen dataclass: set via
+        # object.__setattr__, the standard idiom)
+        object.__setattr__(
+            self, "vertices",
+            tuple(tuple(float(c) for c in v) for v in self.vertices),
+        )
+        object.__setattr__(
+            self, "faces",
+            tuple(tuple(int(i) for i in f) for f in self.faces),
+        )
+
+    @property
+    def n_triangles(self) -> int:
+        return len(self.faces)
+
+
+ObjectType = Union[PlainBox, Sphere, RotatedBox, Mesh]
 
 
 @dataclasses.dataclass
@@ -409,6 +450,29 @@ class Scene:
                 raise SceneError(
                     f"object {obj.name!r} references a material not in the scene"
                 )
+            if isinstance(obj.object_type, Mesh):
+                m = obj.object_type
+                nv = len(m.vertices)
+                if not m.faces:
+                    raise SceneError(
+                        f"mesh object {obj.name!r} has no faces"
+                    )
+                for f in m.faces:
+                    if len(f) != 3:
+                        raise SceneError(
+                            f"mesh object {obj.name!r} has a non-triangle "
+                            f"face {f} (triangulate on import)"
+                        )
+                    if any(not 0 <= i < nv for i in f):
+                        raise SceneError(
+                            f"mesh object {obj.name!r} face {f} references "
+                            f"a vertex outside [0, {nv})"
+                        )
+                for v in m.vertices:
+                    if len(v) != 3:
+                        raise SceneError(
+                            f"mesh object {obj.name!r} has a non-3D vertex"
+                        )
         for mat in self.materials:
             if id(mat.spectrum) not in spectra_ids:
                 raise SceneError(

@@ -32,6 +32,7 @@ _OBJECT_TYPES = {
     "plain_box": S.PlainBox,
     "sphere": S.Sphere,
     "rotated_box": S.RotatedBox,
+    "mesh": S.Mesh,  # vertices/faces round-trip as nested JSON lists
 }
 _OBJECT_NAMES = {v: k for k, v in _OBJECT_TYPES.items()}
 

@@ -161,6 +161,34 @@ def ray_sphere_intersection(o, d, sphere_pos, radius):
     return None
 
 
+def ray_triangle_intersection(o, d, v0, e1, e2):
+    """Moller-Trumbore, two-sided, component math in the exact op order
+    of ``ops.geometry.triangle_t`` (Vec3 cross/dot component order, f32
+    throughout). Beyond-reference geometry. Returns t or None."""
+    def cross(ax, ay, az, bx, by, bz):
+        return (
+            F(ay * bz - az * by),
+            F(az * bx - ax * bz),
+            F(ax * by - ay * bx),
+        )
+
+    def dot3(ax, ay, az, bx, by, bz):
+        return F(F(F(ax * bx) + F(ay * by)) + F(az * bz))
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        px, py, pz = cross(d[0], d[1], d[2], e2[0], e2[1], e2[2])
+        det = dot3(e1[0], e1[1], e1[2], px, py, pz)
+        inv_det = F(F(1.0) / det)
+        sx, sy, sz = F(o[0] - v0[0]), F(o[1] - v0[1]), F(o[2] - v0[2])
+        u = F(dot3(sx, sy, sz, px, py, pz) * inv_det)
+        qx, qy, qz = cross(sx, sy, sz, e1[0], e1[1], e1[2])
+        v = F(dot3(d[0], d[1], d[2], qx, qy, qz) * inv_det)
+        t = F(dot3(e2[0], e2[1], e2[2], qx, qy, qz) * inv_det)
+    if u >= 0.0 and v >= 0.0 and F(u + v) <= 1.0 and t >= 0.0:
+        return t
+    return None
+
+
 class OracleRenderer:
     """Drives the recursion over numpy copies of the flattened scene."""
 
@@ -203,6 +231,10 @@ class OracleRenderer:
     def intersection_shader(self, o, d, i):
         """Per-type exact test (reference src/shader.rs:302-357)."""
         ot = self.obj_type[i]
+        if ot == 3:  # triangle (mesh face; v0/e1/e2 reuse shift/slab cols)
+            return ray_triangle_intersection(
+                o, d, self.shift[i], self.slab_min[i], self.slab_max[i]
+            )
         if ot == 1:  # sphere
             res = ray_sphere_intersection(o, d, self.sphere_pos[i], self.radius[i])
             return None if res is None else res[0]
@@ -259,6 +291,8 @@ class OracleRenderer:
 
     def _normal(self, i, ip):
         ot = self.obj_type[i]
+        if ot == 3:  # triangle: stored unit geometric normal (inv_rot row 0)
+            return self.inv_rot[i][0].astype(F)
         if ot == 0:
             amin, amax = self.aabb_min[i], self.aabb_max[i]
             comps = []

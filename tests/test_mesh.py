@@ -1,0 +1,295 @@
+"""Triangle-mesh geometry (schema.Mesh + scene.mesh helpers).
+
+Beyond-reference capability: the reference's geometry catalog is boxes
+and spheres only (``UIObjectType``, reference src/main.rs:2070-2076).
+Meshes flatten to first-class triangle rows (Moller-Trumbore in every
+backend), so these tests pin: construction/IO, flattening layout, the
+intersection math against the scalar oracle and analytic cases, jnp ==
+interpret-pallas equivalence (incl. the many-object fori and clustered
+loops), and the guard rails.
+"""
+
+import numpy as np
+import pytest
+
+from spectral_tpu.ops.geometry import surface_normal, trace, triangle_t
+from spectral_tpu.ops.vecmath import Vec3
+from spectral_tpu.render.integrator import integrate_frame
+from spectral_tpu.scene import presets
+from spectral_tpu.scene.flatten import OBJ_TRIANGLE, flatten_scene
+from spectral_tpu.scene.mesh import icosahedron, icosphere, load_obj
+from spectral_tpu.scene.schema import Mesh, SceneError, SceneObject
+
+
+def _vec(x, y, z):
+    import jax.numpy as jnp
+
+    return Vec3(jnp.float32(x), jnp.float32(y), jnp.float32(z))
+
+
+# ------------------------------------------------------------- primitives
+
+
+def test_triangle_t_analytic_cases():
+    v0, e1, e2 = _vec(0, 0, 5), _vec(2, 0, 0), _vec(0, 2, 0)
+    o, d = _vec(0.5, 0.5, 0), _vec(0, 0, 1)
+    t, ok = triangle_t(o, d, v0, e1, e2)
+    assert bool(ok) and float(t) == pytest.approx(5.0)
+
+    # outside the barycentric box
+    o2 = _vec(1.9, 1.9, 0)
+    _, ok2 = triangle_t(o2, d, v0, e1, e2)
+    assert not bool(ok2)
+
+    # behind the origin
+    o3, d3 = _vec(0.5, 0.5, 10), _vec(0, 0, 1)
+    _, ok3 = triangle_t(o3, d3, v0, e1, e2)
+    assert not bool(ok3)
+
+    # two-sided: hit from the back face too
+    o4, d4 = _vec(0.5, 0.5, 10), _vec(0, 0, -1)
+    t4, ok4 = triangle_t(o4, d4, v0, e1, e2)
+    assert bool(ok4) and float(t4) == pytest.approx(5.0)
+
+    # parallel ray (det == 0) rejects without NaN leakage
+    o5, d5 = _vec(0.5, 0.5, 0), _vec(1, 0, 0)
+    _, ok5 = triangle_t(o5, d5, v0, e1, e2)
+    assert not bool(ok5)
+
+
+def test_icosahedron_winding_and_radius():
+    m = icosahedron(2.5)
+    v = np.array(m.vertices)
+    np.testing.assert_allclose(np.linalg.norm(v, axis=1), 2.5, rtol=1e-6)
+    assert m.n_triangles == 20
+    for f in m.faces:
+        v0, v1, v2 = v[list(f)]
+        n = np.cross(v1 - v0, v2 - v0)
+        assert np.dot(n, (v0 + v1 + v2) / 3) > 0  # CCW faces outward
+
+
+def test_icosphere_subdivision():
+    m = icosphere(1.0, 2)
+    assert m.n_triangles == 20 * 16
+    v = np.array(m.vertices)
+    np.testing.assert_allclose(np.linalg.norm(v, axis=1), 1.0, rtol=1e-6)
+
+
+def test_load_obj(tmp_path):
+    p = tmp_path / "quad.obj"
+    p.write_text(
+        "# comment\n"
+        "v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\n"
+        "f 1/1/1 2/2/2 3/3/3 4/4/4\n"  # quad -> fan-triangulated
+        "f -4 -3 -2\n"  # negative indices
+    )
+    m = load_obj(p, scale=2.0)
+    assert len(m.vertices) == 4 and m.vertices[2] == (2.0, 2.0, 0.0)
+    assert m.faces == ((0, 1, 2), (0, 2, 3), (0, 1, 2))
+
+    bad = tmp_path / "bad.obj"
+    bad.write_text("v 0 0 0\nf 1 2 3\n")
+    with pytest.raises(ValueError, match="out of range"):
+        load_obj(bad)
+
+
+def test_mesh_validation():
+    sc = presets.default_scene()
+    mat = sc.objects[0].material
+    sc.objects.append(SceneObject((0, 0, 0), Mesh(((0, 0, 0),), ((0, 0, 5),)),
+                                  mat, name="bad"))
+    with pytest.raises(SceneError, match="outside"):
+        sc.validate()
+    sc.objects[-1] = SceneObject((0, 0, 0), Mesh((), ()), mat, name="empty")
+    with pytest.raises(SceneError, match="no faces"):
+        sc.validate()
+
+
+def test_scene_json_round_trip_with_mesh(tmp_path):
+    from spectral_tpu.utils import sceneio
+
+    sc = presets.default_scene()
+    sc.objects.append(SceneObject((0.0, 1.0, 6.0), icosahedron(1.2),
+                                  sc.objects[0].material, name="ico"))
+    path = tmp_path / "mesh_scene.json"
+    sceneio.save_scene(sc, path)
+    back = sceneio.load_scene(path)
+    m0, m1 = sc.objects[-1].object_type, back.objects[-1].object_type
+    assert isinstance(m1, Mesh)
+    assert m1.vertices == m0.vertices and m1.faces == m0.faces
+    a0, _ = flatten_scene(sc)
+    a1, _ = flatten_scene(back)
+    np.testing.assert_array_equal(np.asarray(a0.shift), np.asarray(a1.shift))
+
+
+# ------------------------------------------------------------- flattening
+
+
+def _mesh_scene(n_samples=8, sub=None, bounces=3):
+    sc = presets.default_scene(n_samples=n_samples)
+    sc.width, sc.height = 24, 16
+    sc.nbr_of_ray_bounces = bounces
+    sc.nbr_of_iterations = 2
+    geom = icosahedron(1.2) if sub is None else icosphere(1.2, sub)
+    sc.objects.append(SceneObject((0.0, 1.0, 6.0), geom,
+                                  sc.objects[0].material, name="mesh"))
+    return sc
+
+
+def test_flatten_expands_faces_to_rows():
+    sc = _mesh_scene()
+    arrays, config = flatten_scene(sc)
+    n_base = len(sc.objects) - 1
+    assert config.n_objects == n_base + 20
+    tri = [i for i, t in enumerate(arrays.obj_types_static)
+           if t == OBJ_TRIANGLE]
+    assert len(tri) == 20
+    # triangle rows: shift = v0, slabs = e1/e2, inv_rot row 0 = unit normal
+    i = tri[0]
+    n = np.asarray(arrays.inv_rot)[i, 0]
+    np.testing.assert_allclose(np.linalg.norm(n), 1.0, atol=1e-6)
+    amin = np.asarray(arrays.aabb_min)[i]
+    amax = np.asarray(arrays.aabb_max)[i]
+    assert (amax - amin > 0).all()  # padded: never zero-thickness
+    # all 20 rows share the mesh object's material id
+    mid = np.asarray(arrays.mat_id)[tri]
+    assert (mid == mid[0]).all()
+
+
+def test_surface_normal_is_stored_winding_normal():
+    sc = _mesh_scene()
+    arrays, config = flatten_scene(sc)
+    import jax.numpy as jnp
+
+    tri = [i for i, t in enumerate(arrays.obj_types_static)
+           if t == OBJ_TRIANGLE][0]
+    # a point on that triangle: v0 + 0.25*e1 + 0.25*e2
+    v0 = np.asarray(arrays.shift)[tri]
+    e1 = np.asarray(arrays.slab_min)[tri]
+    e2 = np.asarray(arrays.slab_max)[tri]
+    ip = v0 + 0.25 * e1 + 0.25 * e2
+    p = Vec3(jnp.float32(ip[0:1]), jnp.float32(ip[1:2]), jnp.float32(ip[2:3]))
+    n = surface_normal(p, jnp.int32([tri]), arrays)
+    want = np.asarray(arrays.inv_rot)[tri, 0]
+    got = np.array([float(n.x[0]), float(n.y[0]), float(n.z[0])])
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_trace_hits_the_mesh():
+    sc = _mesh_scene()
+    sc.objects = [sc.objects[-1]]  # isolate the mesh (material stays valid)
+    arrays, _ = flatten_scene(sc)
+    import jax.numpy as jnp
+
+    o = Vec3(jnp.float32([0.0]), jnp.float32([1.0]), jnp.float32([0.0]))
+    d = Vec3(jnp.float32([0.0]), jnp.float32([0.0]), jnp.float32([1.0]))
+    res = trace(o, d, arrays)
+    assert bool(res.hit[0])
+    assert arrays.obj_types_static[int(res.obj_idx[0])] == OBJ_TRIANGLE
+    # front face of an icosahedron of radius 1.2 centered 6 away
+    assert 4.5 < float(res.t[0]) < 6.0
+
+
+# ------------------------------------------------------- oracle / pallas
+
+
+def test_mesh_scene_matches_oracle_direct():
+    from tests.oracle import OracleRenderer
+
+    sc = _mesh_scene(bounces=1)
+    arrays, config = flatten_scene(sc)
+    got = np.asarray(integrate_frame(arrays, config, np.uint32(0)))
+    want = OracleRenderer(arrays, config).render_frame(0)
+    scale = max(1.0, float(np.abs(want).max()))
+    err = np.abs(got - want).max(axis=-1) / scale
+    # this framing includes a grazing sphere silhouette pixel where the
+    # f32 quadratic is catastrophically sensitive (oracle-vs-XLA t
+    # differs ~1e-4 on a near-tangent hit — pre-existing envelope, not a
+    # triangle effect); everything else must be tight
+    assert float(err.max()) < 1e-3
+    assert float(np.quantile(err, 0.99)) < 1e-5
+
+
+def test_mesh_scene_matches_oracle_multibounce_statistical():
+    from tests.oracle import OracleRenderer
+
+    sc = _mesh_scene(bounces=3)
+    arrays, config = flatten_scene(sc)
+    got = np.asarray(integrate_frame(arrays, config, np.uint32(1)))
+    want = OracleRenderer(arrays, config).render_frame(1)
+    scale = max(1.0, float(np.abs(want).max()))
+    err = np.abs(got - want).max(axis=-1) / scale
+    flips = int((err > 1e-3).sum())
+    assert flips <= 0.15 * err.size
+    assert float(err[err <= 1e-3].max()) < 1e-5
+
+
+def test_mesh_pallas_interpret_matches_jnp_direct():
+    from spectral_tpu.render.pallas_integrator import integrate_frame_pallas
+
+    sc = _mesh_scene(bounces=1)
+    arrays, config = flatten_scene(sc)
+    obj_types = tuple(np.asarray(arrays.obj_type).tolist())
+    want = np.asarray(integrate_frame(arrays, config, np.uint32(0)))
+    got = np.asarray(integrate_frame_pallas(
+        arrays, config, np.uint32(0), obj_types, interpret=True))
+    scale = max(1.0, float(np.abs(want).max()))
+    assert np.abs(got - want).max() / scale < 1e-5
+
+
+def test_mesh_many_object_fori_and_clustered_match_jnp():
+    """320-triangle icosphere: the type-run fori loop and the
+    Morton-clustered culled loop must agree with the jnp path on a
+    deterministic direct-only frame."""
+    from spectral_tpu.ops.pallas.megakernel import plan_clusters
+    from spectral_tpu.render.pallas_integrator import integrate_frame_pallas
+
+    sc = _mesh_scene(sub=2, bounces=1)
+    arrays, config = flatten_scene(sc)
+    obj_types = tuple(np.asarray(arrays.obj_type).tolist())
+    assert config.n_objects > 64  # actually exercises the fori loop
+    want = np.asarray(integrate_frame(arrays, config, np.uint32(0)))
+    scale = max(1.0, float(np.abs(want).max()))
+
+    got = np.asarray(integrate_frame_pallas(
+        arrays, config, np.uint32(0), obj_types, interpret=True))
+    assert np.abs(got - want).max() / scale < 1e-5
+
+    cl = plan_clusters(
+        np.asarray(arrays.aabb_min), np.asarray(arrays.aabb_max), obj_types,
+        cluster_size=64, camera_pos=np.asarray(arrays.cam_pos)[:3],
+    )
+    got_cl = np.asarray(integrate_frame_pallas(
+        arrays, config, np.uint32(0), obj_types, interpret=True, clusters=cl))
+    np.testing.assert_array_equal(got_cl, got)  # culling is bit-exact
+
+
+# ------------------------------------------------------------ guard rails
+
+
+def test_grid_accel_refuses_meshes():
+    from spectral_tpu.render.renderer import Renderer
+
+    with pytest.raises(ValueError, match="mesh"):
+        Renderer(_mesh_scene(), backend="jnp", accel="grid")
+
+
+def test_cli_render_and_describe_mesh(tmp_path):
+    from spectral_tpu.cli import main
+    from spectral_tpu.utils import sceneio
+
+    sc = _mesh_scene()
+    path = tmp_path / "scene.json"
+    sceneio.save_scene(sc, path)
+    out = tmp_path / "img.png"
+    rc = main(["render", "--scene", str(path), "--iterations", "1",
+               "--quiet", "--out", str(out)])
+    assert rc == 0 and out.exists()
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(["describe", "--scene", str(path)]) == 0
+    assert "Mesh (20 triangles)" in buf.getvalue()
