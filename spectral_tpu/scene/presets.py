@@ -254,9 +254,74 @@ def sphere_field(
     )
 
 
+def mesh_demo(n_samples: int = NBR_OF_SPECTRUM_SAMPLES_DEFAULT) -> Scene:
+    """Triangle-mesh showcase (beyond-reference geometry — the
+    reference's object catalog stops at boxes and spheres): the Cornell
+    room walls around a 320-triangle mirror icosphere and a diffuse
+    blue icosahedron."""
+    from spectral_tpu.scene.mesh import icosahedron, icosphere
+    from spectral_tpu.scene.schema import ReflectiveBlue
+
+    solar = SceneSpectrum.new(
+        "Solar light spectrum", Solar(0.0001),
+        SpectrumEffectType.EMISSIVE, n=n_samples,
+    )
+    grey = SceneSpectrum.new(
+        "Reflective gray", PlainReflective(0.7),
+        SpectrumEffectType.REFLECTIVE, n=n_samples,
+    )
+    red = SceneSpectrum.new(
+        "Reflective red", ReflectiveRed(1.0),
+        SpectrumEffectType.REFLECTIVE, n=n_samples,
+    )
+    green = SceneSpectrum.new(
+        "Reflective green", ReflectiveGreen(1.0),
+        SpectrumEffectType.REFLECTIVE, n=n_samples,
+    )
+    blue = SceneSpectrum.new(
+        "Reflective blue", ReflectiveBlue(1.0),
+        SpectrumEffectType.REFLECTIVE, n=n_samples,
+    )
+
+    material_grey = Material(0.0, 0.0, grey, "Grey plastic")
+    material_red = Material(0.0, 0.0, red, "Red plastic")
+    material_green = Material(0.0, 0.0, green, "Green plastic")
+    material_blue = Material(0.0, 0.3, blue, "Blue plastic")
+    material_mirror = Material(1.0, 0.05, grey, "Brushed mirror")
+
+    scene = Scene(
+        camera=Camera(),
+        lights=[Light((0.0, 0.9, 0.0), solar, "Top light")],
+        objects=[
+            SceneObject((0.0, 0.0, 2.0), PlainBox(2.0, 2.0, 2.0),
+                        material_grey, "Central wall"),
+            SceneObject((0.0, 2.0, 0.0), PlainBox(2.0, 2.0, 2.0),
+                        material_grey, "Ceiling"),
+            SceneObject((0.0, -2.0, 0.0), PlainBox(2.0, 2.0, 2.0),
+                        material_grey, "Floor"),
+            SceneObject((-2.0, 0.0, 0.0), PlainBox(2.0, 2.0, 2.0),
+                        material_red, "Left wall"),
+            SceneObject((2.0, 0.0, 0.0), PlainBox(2.0, 2.0, 2.0),
+                        material_green, "Right wall"),
+            SceneObject((0.42, -0.45, -0.15), icosphere(0.55, 2),
+                        material_mirror, "Mirror icosphere"),
+            SceneObject((-0.55, -0.72, 0.45), icosahedron(0.38),
+                        material_blue, "Blue icosahedron"),
+        ],
+        spectra=[solar, grey, red, green, blue],
+        materials=[
+            material_grey, material_red, material_green, material_blue,
+            material_mirror,
+        ],
+        spectrum_number_of_samples=n_samples,
+    )
+    return scene
+
+
 PRESETS = {
     "default": default_scene,
     "cornell": cornell_box,
     "prism": prism,
     "spheres": sphere_field,
+    "mesh": mesh_demo,
 }

@@ -293,3 +293,50 @@ def test_cli_render_and_describe_mesh(tmp_path):
     with contextlib.redirect_stdout(buf):
         assert main(["describe", "--scene", str(path)]) == 0
     assert "Mesh (20 triangles)" in buf.getvalue()
+
+
+def test_mesh_preset_flattens_and_round_trips(tmp_path):
+    from spectral_tpu.utils import sceneio
+
+    sc = presets.PRESETS["mesh"]()
+    sc.validate()
+    arrays, config = flatten_scene(sc)
+    n_tri = sum(1 for t in arrays.obj_types_static if t == OBJ_TRIANGLE)
+    assert n_tri == 320 + 20  # mirror icosphere + blue icosahedron
+    assert config.n_objects == 5 + n_tri
+
+    path = tmp_path / "mesh_preset.json"
+    sceneio.save_scene(sc, path)
+    back = sceneio.load_scene(path)
+    a1, _ = flatten_scene(back)
+    np.testing.assert_array_equal(
+        np.asarray(arrays.shift), np.asarray(a1.shift)
+    )
+
+
+def test_mesh_regen_matches_per_frame_blend():
+    """The production dispatch mode (in-kernel path regeneration) on a
+    mesh scene: a K=2 regen launch must equal the two per-frame
+    monolithic launches' blend up to f32 sum reassociation."""
+    from spectral_tpu.render.pallas_integrator import (
+        integrate_frame_pallas,
+        render_frames_step_pallas_regen,
+    )
+
+    sc = _mesh_scene(bounces=2)
+    arrays, config = flatten_scene(sc)
+    obj_types = tuple(np.asarray(arrays.obj_type).tolist())
+    import jax.numpy as jnp
+
+    accum = jnp.zeros((config.height, config.width, 4), jnp.float32)
+    got = np.asarray(render_frames_step_pallas_regen(
+        arrays, config, accum, np.uint32(0), obj_types, 2, interpret=True))
+
+    accum2 = jnp.zeros((config.height, config.width, 4), jnp.float32)
+    from spectral_tpu.render.renderer import _blend
+    for f in range(2):
+        rgb = integrate_frame_pallas(
+            arrays, config, np.uint32(f), obj_types, interpret=True)
+        accum2 = _blend(accum2, rgb, jnp.uint32(f))
+    want = np.asarray(accum2)
+    np.testing.assert_allclose(got, want, atol=2e-6)
