@@ -91,6 +91,18 @@ def _make_scene(name: str):
             "1000 spheres 1024x768, 32 lambda, 8 bounces, "
             "fori megakernel with in-kernel path regeneration"
         )
+    if name == "mesh":
+        # beyond-BASELINE config (opt-in, not part of the no-arg 'all'
+        # run): the triangle-mesh preset — 340 object rows dominated by
+        # Moller-Trumbore triangles on the clustered fori loop
+        scene = presets.PRESETS["mesh"]()
+        scene.width = scene.height = 512
+        scene.nbr_of_ray_bounces = 30
+        scene.nbr_of_iterations = 100
+        return scene, (
+            "mesh preset 512x512 (340 triangle rows), 32 lambda, "
+            "30 bounces, clustered fori megakernel"
+        )
     raise SystemExit(f"unknown bench config {name!r}")
 
 
@@ -113,6 +125,7 @@ _REGEN = {
     "hero": (100, 4096),
     "prism": (100, 4096),
     "spheres": (100, 4096),
+    "mesh": (100, 4096),
 }
 
 
