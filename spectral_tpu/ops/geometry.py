@@ -141,6 +141,9 @@ def triangle_t(origin: Vec3, direction: Vec3, v0: Vec3, e1: Vec3, e2: Vec3):
     A zero determinant makes ``inv_det`` inf, which drives u/v/t to
     inf/NaN and the barycentric box conditions reject them — no explicit
     epsilon is needed (NaN comparisons are false).
+
+    Returns ``(t, valid, u, v)`` — the barycentrics feed Phong normal
+    interpolation for free (see ``surface_normal``).
     """
     p = direction.cross(e2)
     det = e1.dot(p)
@@ -151,7 +154,7 @@ def triangle_t(origin: Vec3, direction: Vec3, v0: Vec3, e1: Vec3, e2: Vec3):
     v = direction.dot(q) * inv_det
     t = e2.dot(q) * inv_det
     valid = (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t >= 0.0)
-    return t, valid
+    return t, valid, u, v
 
 
 def _triangle_t(origin: Vec3, direction: Vec3, scene: SceneArrays):
@@ -168,7 +171,8 @@ def _triangle_t(origin: Vec3, direction: Vec3, scene: SceneArrays):
     db = Vec3(
         direction.x[:, None], direction.y[:, None], direction.z[:, None]
     )
-    return triangle_t(ob, db, v0b, e1b, e2b)
+    t, valid, _u, _v = triangle_t(ob, db, v0b, e1b, e2b)
+    return t, valid
 
 
 def _sphere_t(origin: Vec3, direction: Vec3, scene: SceneArrays):
@@ -326,10 +330,22 @@ def _rotated_box_normal(
 
 
 def surface_normal(
-    ip: Vec3, obj_idx: jax.Array, scene: SceneArrays
+    ip: Vec3,
+    obj_idx: jax.Array,
+    scene: SceneArrays,
+    origin: Vec3 | None = None,
+    direction: Vec3 | None = None,
 ) -> Vec3:
     """Per-ray surface normal at hit points (reference ``hit_shader``
-    normal dispatch, ``src/shader.rs:366-378``)."""
+    normal dispatch, ``src/shader.rs:366-378``).
+
+    ``origin``/``direction`` (the ray that produced ``ip``) enable the
+    triangle shading normal: the Moller-Trumbore barycentrics are
+    recomputed for the winning row (identical op order to the trace) and
+    interpolate ``normalize(n0 + u*dn1 + v*dn2)`` — Phong smooth shading
+    when the mesh carries vertex normals, the flat winding normal
+    otherwise (zero deltas). Without the ray, triangles fall back to the
+    stored flat normal."""
     amin = Vec3.from_array(scene.aabb_min).take(obj_idx)
     amax = Vec3.from_array(scene.aabb_max).take(obj_idx)
     pos = Vec3.from_array(scene.center).take(obj_idx)
@@ -346,9 +362,22 @@ def surface_normal(
     n = n_box.where(otype == OBJ_PLAIN_BOX, n_rot)
     n = n_sphere.where(otype == OBJ_SPHERE, n)
     if OBJ_TRIANGLE in scene.obj_types_static:
-        # triangle: the precomputed unit geometric normal (stored as
-        # inv_rot row 0 by flatten) — winding-defined, never ray-flipped,
-        # matching the reference's geometric-normal convention
-        n_tri = inv_rows[0]
+        # triangle: inv_rot rows carry (n0, n1-n0, n2-n0) — winding
+        # normal with zero deltas for flat meshes, vertex normals for
+        # smooth ones. Never ray-flipped, matching the reference's
+        # geometric-normal convention.
+        n0, dn1, dn2 = inv_rows
+        if (
+            scene.smooth_tri_static
+            and origin is not None
+            and direction is not None
+        ):
+            v0 = Vec3.from_array(scene.shift).take(obj_idx)
+            e1 = Vec3.from_array(scene.slab_min).take(obj_idx)
+            e2 = Vec3.from_array(scene.slab_max).take(obj_idx)
+            _t, _ok, u, v = triangle_t(origin, direction, v0, e1, e2)
+            n_tri = (n0 + dn1 * u + dn2 * v).normalize()
+        else:
+            n_tri = n0  # flat meshes: the exact stored winding normal
         n = n_tri.where(otype == OBJ_TRIANGLE, n)
     return n

@@ -412,7 +412,7 @@ def build_megakernel(
             t = jnp.where(t1 >= 0.0, t1, t2)
             valid = (disc >= 0.0) & (t >= 0.0)
         elif ot == OBJ_TRIANGLE:
-            t, valid = _tri_t(geom, o, ox, oy, oz, dx, dy, dz)
+            t, valid, _u, _v = _tri_t(geom, o, ox, oy, oz, dx, dy, dz)
         else:
             if ot == OBJ_ROTATED_BOX:
                 shx, shy, shz = (
@@ -490,11 +490,10 @@ def build_megakernel(
                 uz = axis(ipz, geom[o, _SLAB_MIN + 2], geom[o, _SLAB_MAX + 2])
                 cnx, cny, cnz = _normalize(ux, uy, uz)
             elif ot == OBJ_TRIANGLE:
-                # stored unit geometric normal (winding-defined)
-                shape = ox.shape
-                cnx = jnp.broadcast_to(geom[o, _INV_ROT], shape)
-                cny = jnp.broadcast_to(geom[o, _INV_ROT + 1], shape)
-                cnz = jnp.broadcast_to(geom[o, _INV_ROT + 2], shape)
+                # shading normal at the hit's barycentrics (winding
+                # normal when the mesh is flat — zero deltas)
+                _tt, _tv, u_, v_ = _tri_t(geom, o, ox, oy, oz, dx, dy, dz)
+                cnx, cny, cnz = _tri_normal(geom, o, u_, v_)
             else:  # rotated box: closest local face, strict < scan order
                 shx, shy, shz = (
                     geom[o, _SHIFT], geom[o, _SHIFT + 1], geom[o, _SHIFT + 2]
@@ -591,11 +590,13 @@ def build_megakernel(
     def _tri_t(geom, o, ox, oy, oz, dx, dy, dz):
         """Moller-Trumbore over the tile (beyond-reference geometry —
         mesh faces; triangle rows reuse _SHIFT = v0, _SLAB_MIN = e1,
-        _SLAB_MAX = e2, and _INV_ROT row 0 carries the unit geometric
-        normal). Two-sided; det == 0 drives u/v/t to inf/NaN and the
-        barycentric box conditions reject them (no epsilon needed). Op
-        order matches ``ops.geometry.triangle_t`` exactly so the jnp and
-        pallas paths agree bitwise on deterministic rays."""
+        _SLAB_MAX = e2, and _INV_ROT rows carry the shading normal as
+        (n0, n1-n0, n2-n0) — zero deltas for flat meshes). Two-sided;
+        det == 0 drives u/v/t to inf/NaN and the barycentric box
+        conditions reject them (no epsilon needed). Op order matches
+        ``ops.geometry.triangle_t`` exactly so the jnp and pallas paths
+        agree bitwise on deterministic rays. Returns (t, valid, u, v);
+        the barycentrics feed Phong normal interpolation."""
         e1x, e1y, e1z = (
             geom[o, _SLAB_MIN], geom[o, _SLAB_MIN + 1], geom[o, _SLAB_MIN + 2]
         )
@@ -618,7 +619,20 @@ def build_megakernel(
         v = _dot(dx, dy, dz, qx, qy, qz) * inv_det
         t = _dot(e2x, e2y, e2z, qx, qy, qz) * inv_det
         valid = (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t >= 0.0)
-        return t, valid & (t > 0.0)
+        return t, valid & (t > 0.0), u, v
+
+    def _tri_normal(geom, o, u, v):
+        """Shading normal at barycentrics (u, v): normalize(n0 + u*dn1 +
+        v*dn2) — Phong interpolation for smooth meshes, the flat winding
+        normal (zero deltas, normalize of a unit vector) otherwise."""
+        return _normalize(
+            geom[o, _INV_ROT] + u * geom[o, _INV_ROT + 3]
+            + v * geom[o, _INV_ROT + 6],
+            geom[o, _INV_ROT + 1] + u * geom[o, _INV_ROT + 4]
+            + v * geom[o, _INV_ROT + 7],
+            geom[o, _INV_ROT + 2] + u * geom[o, _INV_ROT + 5]
+            + v * geom[o, _INV_ROT + 8],
+        )
 
     def _plain_box_t(geom, o, ox, oy, oz, dx, dy, dz):
         """World-space slab test — plain boxes carry an identity rotation
@@ -794,10 +808,8 @@ def build_megakernel(
             return accum(carry, o, t_o, valid, rnx, rny, rnz, 0.0)
 
         def tri_body(o, carry):
-            t_o, valid = _tri_t(geom, o, ox, oy, oz, dx, dy, dz)
-            tnx = jnp.broadcast_to(geom[o, _INV_ROT], (r8, LANE))
-            tny = jnp.broadcast_to(geom[o, _INV_ROT + 1], (r8, LANE))
-            tnz = jnp.broadcast_to(geom[o, _INV_ROT + 2], (r8, LANE))
+            t_o, valid, u_, v_ = _tri_t(geom, o, ox, oy, oz, dx, dy, dz)
+            tnx, tny, tnz = _tri_normal(geom, o, u_, v_)
             return accum(carry, o, t_o, valid, tnx, tny, tnz, 0.0)
 
         bodies = {
@@ -972,7 +984,7 @@ def build_megakernel(
         def tri_body(o, carry):
             out = []
             for ray, prev in zip(rays, carry):
-                t_o, valid = _tri_t(geom, o, *ray[:6])
+                t_o, valid, _u, _v = _tri_t(geom, o, *ray[:6])
                 out.append(_box_accum(t_o, valid, ray, prev))
             return tuple(out)
 

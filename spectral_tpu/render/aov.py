@@ -53,7 +53,9 @@ def _aov_program(scene, config):
     depth = jnp.where(res.hit, res.t, jnp.inf).reshape(h, w)
 
     ip = origin + direction * res.t
-    n = surface_normal(ip, res.obj_idx, scene)
+    n = surface_normal(
+        ip, res.obj_idx, scene, origin=origin, direction=direction
+    )
     normal = jnp.stack([n.x, n.y, n.z], axis=-1)
     normal = jnp.where(res.hit[:, None], normal, 0.0).reshape(h, w, 3)
 

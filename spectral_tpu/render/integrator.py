@@ -151,7 +151,7 @@ def _bounce(
 
     t_safe = jnp.where(alive, res.t, 0.0)
     ip = o + d * t_safe
-    normal = surface_normal(ip, res.obj_idx, scene)
+    normal = surface_normal(ip, res.obj_idx, scene, origin=o, direction=d)
 
     m_metal = scene.metallicness[res.obj_idx]
     m_rough = scene.roughness[res.obj_idx]

@@ -122,6 +122,12 @@ class SceneArrays:
     obj_types_static: tuple = dataclasses.field(
         metadata=dict(static=True), default=()
     )
+    # static: any mesh in the scene carries per-vertex normals — gates
+    # the Phong interpolation + renormalize in the shading-normal path
+    # (all-flat scenes keep the exact stored winding normal, no extra ops)
+    smooth_tri_static: bool = dataclasses.field(
+        metadata=dict(static=True), default=False
+    )
 
     @property
     def n_objects(self) -> int:
@@ -246,8 +252,13 @@ def flatten_scene(scene: Scene) -> tuple[SceneArrays, RenderConfig]:
         if face is not None:
             # triangle row (Mesh face): columns are REUSED for the
             # Moller-Trumbore parameterization — shift = v0,
-            # slab_min = e1, slab_max = e2, inv_rot row 0 = the unit
-            # geometric normal (winding-defined, never ray-flipped; the
+            # slab_min = e1, slab_max = e2. inv_rot carries the shading
+            # normal as (row 0 = n0, row 1 = n1-n0, row 2 = n2-n0) so
+            # every backend shades with ONE formula,
+            # normalize(n0 + u*dn1 + v*dn2), from the barycentrics the
+            # intersection test already computed: flat meshes store the
+            # winding normal with zero deltas, smooth meshes (per-vertex
+            # `normals`) get Phong interpolation. Never ray-flipped (the
             # reference's own normals are geometric too). See
             # pack_geometry/_candidate_t for the kernel-side reads.
             i0, i1, i2 = t.faces[face]
@@ -260,12 +271,23 @@ def flatten_scene(scene: Scene) -> tuple[SceneArrays, RenderConfig]:
             shift[i] = v0
             slab_min[i] = e1
             slab_max[i] = e2
-            nrm = np.cross(e1.astype(np.float64), e2.astype(np.float64))
-            ln = np.linalg.norm(nrm)
-            if ln > 0.0:
-                inv_rot[i, 0] = (nrm / ln).astype(F32)
-            else:  # degenerate face: zero normal, never wins a hit anyway
-                inv_rot[i, 0] = 0.0
+            inv_rot[i] = 0.0
+            if t.normals:
+                def _unit(idx):
+                    n_ = np.asarray(t.normals[idx], np.float64)
+                    ln_ = np.linalg.norm(n_)
+                    return (n_ / ln_ if ln_ > 0.0 else n_).astype(F32)
+
+                n0_, n1_, n2_ = _unit(i0), _unit(i1), _unit(i2)
+                inv_rot[i, 0] = n0_
+                inv_rot[i, 1] = (n1_ - n0_).astype(F32)
+                inv_rot[i, 2] = (n2_ - n0_).astype(F32)
+            else:
+                nrm = np.cross(e1.astype(np.float64), e2.astype(np.float64))
+                ln = np.linalg.norm(nrm)
+                if ln > 0.0:
+                    inv_rot[i, 0] = (nrm / ln).astype(F32)
+                # degenerate face: zero normal, never wins a hit anyway
             vs = np.stack([v0, v1, v2])
             aabb_min[i] = (vs.min(axis=0) - _TRI_AABB_PAD).astype(F32)
             aabb_max[i] = (vs.max(axis=0) + _TRI_AABB_PAD).astype(F32)
@@ -388,6 +410,10 @@ def flatten_scene(scene: Scene) -> tuple[SceneArrays, RenderConfig]:
         xyz_weights=jnp.asarray(xyz_weights),
         xyz_to_rgb=jnp.asarray(cie.XYZ_TO_RGB_MATRIX),
         obj_types_static=tuple(int(x) for x in obj_type),
+        smooth_tri_static=any(
+            isinstance(o.object_type, Mesh) and bool(o.object_type.normals)
+            for o in objects
+        ),
     )
     config = RenderConfig(
         width=scene.width,

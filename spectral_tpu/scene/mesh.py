@@ -14,18 +14,50 @@ from pathlib import Path
 
 from spectral_tpu.scene.schema import Mesh
 
-__all__ = ["load_obj", "icosahedron", "icosphere"]
+__all__ = [
+    "load_obj",
+    "icosahedron",
+    "icosphere",
+    "smooth_normals",
+]
 
 
-def load_obj(path, scale: float = 1.0) -> Mesh:
+def smooth_normals(mesh: Mesh) -> Mesh:
+    """A copy of ``mesh`` with area-weighted per-vertex normals (smooth
+    Phong shading). The unnormalized face-normal sum is the standard
+    area weighting — the cross product's magnitude is twice the face
+    area, so large faces dominate their vertices' normals."""
+    import numpy as np
+
+    v = np.asarray(mesh.vertices, np.float64)
+    acc = np.zeros_like(v)
+    for (i, j, k) in mesh.faces:
+        n = np.cross(v[j] - v[i], v[k] - v[i])
+        acc[i] += n
+        acc[j] += n
+        acc[k] += n
+    ln = np.linalg.norm(acc, axis=1, keepdims=True)
+    ln[ln == 0.0] = 1.0  # isolated vertices: keep a zero normal
+    acc = acc / ln
+    return Mesh(
+        vertices=mesh.vertices,
+        faces=mesh.faces,
+        normals=tuple(tuple(float(c) for c in n) for n in acc),
+    )
+
+
+def load_obj(path, scale: float = 1.0, smooth: bool = False) -> Mesh:
     """Parse a Wavefront ``.obj`` file into a :class:`Mesh`.
 
     Supports the geometry subset: ``v`` lines (positions; w ignored) and
     ``f`` lines (``i``, ``i/t``, ``i/t/n``, ``i//n`` forms; negative
     indices count from the end, per the OBJ spec). Polygons are
-    fan-triangulated, preserving winding. Normals/texcoords/materials
-    are ignored — shading normals are geometric (winding-defined), and
-    the material comes from the owning ``SceneObject``.
+    fan-triangulated, preserving winding. File normals/texcoords/
+    materials are ignored — the material comes from the owning
+    ``SceneObject`` — but ``smooth=True`` derives area-weighted vertex
+    normals for Phong-interpolated smooth shading (the common intent of
+    OBJ ``vn`` data, without its separate index topology); the default
+    keeps flat winding normals.
     """
     vertices: list[tuple] = []
     faces: list[tuple] = []
@@ -68,7 +100,8 @@ def load_obj(path, scale: float = 1.0) -> Mesh:
                     faces.append((idx[0], idx[k], idx[k + 1]))
     if not faces:
         raise ValueError(f"{Path(path).name}: no faces found")
-    return Mesh(vertices=tuple(vertices), faces=tuple(faces))
+    out = Mesh(vertices=tuple(vertices), faces=tuple(faces))
+    return smooth_normals(out) if smooth else out
 
 
 def icosahedron(radius: float = 1.0) -> Mesh:
@@ -90,9 +123,13 @@ def icosahedron(radius: float = 1.0) -> Mesh:
     return Mesh(vertices=tuple(verts), faces=tuple(faces))
 
 
-def icosphere(radius: float = 1.0, subdivisions: int = 1) -> Mesh:
+def icosphere(
+    radius: float = 1.0, subdivisions: int = 1, smooth: bool = False
+) -> Mesh:
     """Icosahedron subdivided ``subdivisions`` times with vertices
-    projected to the sphere (20 * 4^n triangles)."""
+    projected to the sphere (20 * 4^n triangles). ``smooth=True``
+    attaches the exact sphere normals (the unit vertex directions), so
+    the mesh shades like an analytic sphere."""
     if subdivisions < 0:
         raise ValueError("subdivisions must be >= 0")
     base = icosahedron(1.0)
@@ -120,4 +157,5 @@ def icosphere(radius: float = 1.0, subdivisions: int = 1) -> Mesh:
     scaled = tuple(
         (v[0] * radius, v[1] * radius, v[2] * radius) for v in verts
     )
-    return Mesh(vertices=scaled, faces=tuple(faces))
+    normals = tuple(tuple(v) for v in verts) if smooth else ()
+    return Mesh(vertices=scaled, faces=tuple(faces), normals=normals)

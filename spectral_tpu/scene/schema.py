@@ -331,10 +331,18 @@ class Mesh:
     meshes trace through the same brute-force/clustered kernels, NEE,
     dispersion and AOV machinery as every other object type, and scale
     with the measured many-object path (Morton clustering groups
-    spatially-local triangles automatically)."""
+    spatially-local triangles automatically).
+
+    ``normals`` (optional, one per vertex) enables smooth shading:
+    shading normals are barycentrically interpolated across each face
+    (Phong normal interpolation) — the Moller-Trumbore test already
+    produces the barycentrics, so interpolation is nearly free in every
+    backend. Empty (the default) keeps flat winding normals. Use
+    ``scene.mesh.smooth_normals()`` to derive area-weighted ones."""
 
     vertices: tuple = ()
     faces: tuple = ()
+    normals: tuple = ()
 
     def __post_init__(self):
         # normalize to hashable nested tuples (frozen dataclass: set via
@@ -346,6 +354,10 @@ class Mesh:
         object.__setattr__(
             self, "faces",
             tuple(tuple(int(i) for i in f) for f in self.faces),
+        )
+        object.__setattr__(
+            self, "normals",
+            tuple(tuple(float(c) for c in n) for n in self.normals),
         )
 
     @property
@@ -472,6 +484,17 @@ class Scene:
                     if len(v) != 3:
                         raise SceneError(
                             f"mesh object {obj.name!r} has a non-3D vertex"
+                        )
+                if m.normals and len(m.normals) != nv:
+                    raise SceneError(
+                        f"mesh object {obj.name!r} has {len(m.normals)} "
+                        f"normals for {nv} vertices (one per vertex, or "
+                        "none for flat shading)"
+                    )
+                for n_ in m.normals:
+                    if len(n_) != 3:
+                        raise SceneError(
+                            f"mesh object {obj.name!r} has a non-3D normal"
                         )
         for mat in self.materials:
             if id(mat.spectrum) not in spectra_ids:

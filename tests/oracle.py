@@ -185,7 +185,7 @@ def ray_triangle_intersection(o, d, v0, e1, e2):
         v = F(dot3(d[0], d[1], d[2], qx, qy, qz) * inv_det)
         t = F(dot3(e2[0], e2[1], e2[2], qx, qy, qz) * inv_det)
     if u >= 0.0 and v >= 0.0 and F(u + v) <= 1.0 and t >= 0.0:
-        return t
+        return t, u, v
     return None
 
 
@@ -223,6 +223,7 @@ class OracleRenderer:
         self.xyz_weights = g(scene_arrays.xyz_weights)
         self.xyz_to_rgb = g(scene_arrays.xyz_to_rgb)
         self.config = config
+        self.smooth_tri = bool(getattr(scene_arrays, "smooth_tri_static", False))
         self.n_obj = len(self.obj_type)
         self.n_samples = self.albedo.shape[1] if self.n_obj else config.n_samples
 
@@ -232,9 +233,10 @@ class OracleRenderer:
         """Per-type exact test (reference src/shader.rs:302-357)."""
         ot = self.obj_type[i]
         if ot == 3:  # triangle (mesh face; v0/e1/e2 reuse shift/slab cols)
-            return ray_triangle_intersection(
+            res = ray_triangle_intersection(
                 o, d, self.shift[i], self.slab_min[i], self.slab_max[i]
             )
+            return None if res is None else res[0]
         if ot == 1:  # sphere
             res = ray_sphere_intersection(o, d, self.sphere_pos[i], self.radius[i])
             return None if res is None else res[0]
@@ -289,10 +291,22 @@ class OracleRenderer:
 
     # ------------------------------------------------------------ normals
 
-    def _normal(self, i, ip):
+    def _normal(self, i, ip, o=None, d=None):
         ot = self.obj_type[i]
-        if ot == 3:  # triangle: stored unit geometric normal (inv_rot row 0)
-            return self.inv_rot[i][0].astype(F)
+        if ot == 3:  # triangle: normalize(n0 + u*dn1 + v*dn2) — Phong
+            # interpolation via the hit's barycentrics. Scene-level
+            # smooth gate mirrors the jnp path's smooth_tri_static: all-
+            # flat scenes return the stored winding normal bit-exactly.
+            n0, dn1, dn2 = self.inv_rot[i].astype(F)
+            if o is None or not self.smooth_tri:
+                return n0
+            res = ray_triangle_intersection(
+                o, d, self.shift[i], self.slab_min[i], self.slab_max[i]
+            )
+            if res is None:  # grazing re-test miss: fall back flat
+                return n0
+            _t, u, v = res
+            return norm((n0 + F(u) * dn1 + F(v) * dn2).astype(F))
         if ot == 0:
             amin, amax = self.aabb_min[i], self.aabb_max[i]
             comps = []
@@ -330,7 +344,7 @@ class OracleRenderer:
 
     def hit_shader(self, o, d, i, t, max_bounces, px, py, frame_id, hero=-1):
         ip = (o + d * t).astype(F)
-        normal = self._normal(i, ip)
+        normal = self._normal(i, ip, o, d)
         new_pos = (ip + normal * OFFSET).astype(F)
 
         received = np.zeros(self.n_samples, dtype=F)

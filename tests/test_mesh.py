@@ -33,27 +33,28 @@ def _vec(x, y, z):
 def test_triangle_t_analytic_cases():
     v0, e1, e2 = _vec(0, 0, 5), _vec(2, 0, 0), _vec(0, 2, 0)
     o, d = _vec(0.5, 0.5, 0), _vec(0, 0, 1)
-    t, ok = triangle_t(o, d, v0, e1, e2)
+    t, ok, u, v = triangle_t(o, d, v0, e1, e2)
     assert bool(ok) and float(t) == pytest.approx(5.0)
+    assert float(u) == pytest.approx(0.25) and float(v) == pytest.approx(0.25)
 
     # outside the barycentric box
     o2 = _vec(1.9, 1.9, 0)
-    _, ok2 = triangle_t(o2, d, v0, e1, e2)
+    _, ok2, _, _ = triangle_t(o2, d, v0, e1, e2)
     assert not bool(ok2)
 
     # behind the origin
     o3, d3 = _vec(0.5, 0.5, 10), _vec(0, 0, 1)
-    _, ok3 = triangle_t(o3, d3, v0, e1, e2)
+    _, ok3, _, _ = triangle_t(o3, d3, v0, e1, e2)
     assert not bool(ok3)
 
     # two-sided: hit from the back face too
     o4, d4 = _vec(0.5, 0.5, 10), _vec(0, 0, -1)
-    t4, ok4 = triangle_t(o4, d4, v0, e1, e2)
+    t4, ok4, _, _ = triangle_t(o4, d4, v0, e1, e2)
     assert bool(ok4) and float(t4) == pytest.approx(5.0)
 
     # parallel ray (det == 0) rejects without NaN leakage
     o5, d5 = _vec(0.5, 0.5, 0), _vec(1, 0, 0)
-    _, ok5 = triangle_t(o5, d5, v0, e1, e2)
+    _, ok5, _, _ = triangle_t(o5, d5, v0, e1, e2)
     assert not bool(ok5)
 
 
@@ -340,3 +341,142 @@ def test_mesh_regen_matches_per_frame_blend():
         accum2 = _blend(accum2, rgb, jnp.uint32(f))
     want = np.asarray(accum2)
     np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+# -------------------------------------------------------- smooth shading
+
+
+def test_smooth_helpers():
+    from spectral_tpu.scene.mesh import smooth_normals
+
+    m = icosphere(2.0, 1, smooth=True)
+    v = np.array(m.vertices)
+    n = np.array(m.normals)
+    # icosphere smooth normals are the exact unit vertex directions
+    np.testing.assert_allclose(n, v / 2.0, atol=1e-12)
+
+    # area-weighted normals of an icosahedron align with vertex
+    # directions by symmetry
+    ms = smooth_normals(icosahedron(1.0))
+    v = np.array(ms.vertices)
+    n = np.array(ms.normals)
+    dots = np.sum(n * v, axis=1)
+    np.testing.assert_allclose(dots, 1.0, atol=1e-6)
+
+    sc = presets.default_scene()
+    sc.objects.append(SceneObject(
+        (0, 0, 0), Mesh(((0, 0, 0), (1, 0, 0), (0, 1, 0)), ((0, 1, 2),),
+                        normals=((0, 0, 1),)),
+        sc.objects[0].material, name="bad-normals"))
+    with pytest.raises(SceneError, match="normals"):
+        sc.validate()
+
+
+def test_smooth_round_trip_and_flatten_layout(tmp_path):
+    from spectral_tpu.utils import sceneio
+
+    sc = presets.default_scene()
+    sc.objects.append(SceneObject(
+        (0.0, 1.0, 6.0), icosphere(1.2, 1, smooth=True),
+        sc.objects[0].material, name="smooth"))
+    p = tmp_path / "smooth.json"
+    sceneio.save_scene(sc, p)
+    back = sceneio.load_scene(p)
+    assert back.objects[-1].object_type.normals == \
+        sc.objects[-1].object_type.normals
+
+    arrays, _ = flatten_scene(sc)
+    assert arrays.smooth_tri_static
+    tri = [i for i, t in enumerate(arrays.obj_types_static)
+           if t == OBJ_TRIANGLE][0]
+    ir = np.asarray(arrays.inv_rot)[tri]
+    np.testing.assert_allclose(np.linalg.norm(ir[0]), 1.0, atol=1e-6)
+    # smooth rows carry nonzero normal deltas
+    assert np.abs(ir[1:]).max() > 0
+
+    # flat scenes: static flag off, delta rows zero
+    flat, _ = flatten_scene(_mesh_scene())
+    assert not flat.smooth_tri_static
+    trif = [i for i, t in enumerate(flat.obj_types_static)
+            if t == OBJ_TRIANGLE][0]
+    assert np.abs(np.asarray(flat.inv_rot)[trif][1:]).max() == 0
+
+
+def test_smooth_icosphere_shades_like_analytic_sphere():
+    """Shading normals of a smooth icosphere approach the analytic
+    sphere normal; the flat version of the same mesh is visibly worse.
+    Parallel-ray scan over the isolated mesh (no camera model in the
+    loop)."""
+    import jax.numpy as jnp
+
+    def angular_err(smooth):
+        sc = presets.default_scene()
+        center = np.array([0.0, 0.0, 3.0])
+        sc.objects = [SceneObject(
+            tuple(center), icosphere(1.0, 2, smooth=smooth),
+            sc.objects[0].material, name="ball")]
+        arrays, _ = flatten_scene(sc)
+        k = 31
+        xs, ys = np.meshgrid(
+            np.linspace(-0.9, 0.9, k), np.linspace(-0.9, 0.9, k)
+        )
+        o = Vec3(jnp.float32(xs.ravel()), jnp.float32(ys.ravel()),
+                 jnp.float32(np.full(k * k, -2.0)))
+        d = Vec3(jnp.float32(np.zeros(k * k)), jnp.float32(np.zeros(k * k)),
+                 jnp.float32(np.ones(k * k)))
+        res = trace(o, d, arrays)
+        hit = np.asarray(res.hit)
+        assert hit.sum() > 300
+        t = np.asarray(res.t)
+        ipz = -2.0 + t  # d = +z, o z = -2
+        ip = np.stack([xs.ravel(), ys.ravel(), ipz], axis=1)[hit]
+        n_true = ip - center
+        n_true /= np.linalg.norm(n_true, axis=1, keepdims=True)
+        nv = surface_normal(
+            o + d * res.t, res.obj_idx, arrays, origin=o, direction=d
+        )
+        n = np.stack(
+            [np.asarray(nv.x), np.asarray(nv.y), np.asarray(nv.z)], axis=1
+        )[hit]
+        cos = np.clip(np.sum(n * n_true, axis=1), -1, 1)
+        return np.degrees(np.arccos(cos))
+
+    err_smooth = angular_err(True)
+    err_flat = angular_err(False)
+    assert np.median(err_smooth) < 1.0, np.median(err_smooth)
+    assert np.median(err_flat) > 3.0 * np.median(err_smooth)
+
+
+def _smooth_scene(bounces=1):
+    sc = presets.default_scene(n_samples=8)
+    sc.width, sc.height = 24, 16
+    sc.nbr_of_ray_bounces = bounces
+    sc.nbr_of_iterations = 2
+    sc.objects.append(SceneObject(
+        (0.0, 1.0, 6.0), icosphere(1.2, 1, smooth=True),
+        sc.objects[0].material, name="smooth"))
+    return sc
+
+
+def test_smooth_mesh_pallas_matches_jnp_direct():
+    from spectral_tpu.render.pallas_integrator import integrate_frame_pallas
+
+    arrays, config = flatten_scene(_smooth_scene())
+    obj_types = tuple(np.asarray(arrays.obj_type).tolist())
+    want = np.asarray(integrate_frame(arrays, config, np.uint32(0)))
+    got = np.asarray(integrate_frame_pallas(
+        arrays, config, np.uint32(0), obj_types, interpret=True))
+    scale = max(1.0, float(np.abs(want).max()))
+    assert np.abs(got - want).max() / scale < 1e-5
+
+
+def test_smooth_mesh_matches_oracle_direct():
+    from tests.oracle import OracleRenderer
+
+    arrays, config = flatten_scene(_smooth_scene())
+    got = np.asarray(integrate_frame(arrays, config, np.uint32(0)))
+    want = OracleRenderer(arrays, config).render_frame(0)
+    scale = max(1.0, float(np.abs(want).max()))
+    err = np.abs(got - want).max(axis=-1) / scale
+    assert float(err.max()) < 1e-3  # grazing-hit envelope
+    assert float(np.quantile(err, 0.99)) < 1e-5
