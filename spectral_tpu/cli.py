@@ -472,6 +472,9 @@ def cmd_describe(args) -> int:
                       f"{', cauchy ' + str(m.cauchy_b_um2) if m.cauchy_b_um2 else ''})")
         if m.emission is not None:
             extra += f", emission {m.emission.name!r}"
+        if m.texture is not None:
+            extra += (f", checker texture (scale {m.texture.scale}, "
+                      f"low {m.texture.low})")
         print(f"  {m.name}: metallicness {m.metallicness}, "
               f"roughness {m.roughness}{extra}")
     print(f"{len(scene.spectra)} spectra")

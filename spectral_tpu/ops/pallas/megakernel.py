@@ -82,7 +82,9 @@ _CAUCHY = 32  # Cauchy B (um^2)
 _MATID = 33  # material table index (fori object loop)
 _TYPE = 34  # object type tag as f32 (fori object loop)
 _ORIG = 35  # original object index as f32 (clustered loop tie rule)
-GEOM_COLS = 36
+_TEXS = 36  # checker texture cell size (0 = untextured)
+_TEXL = 37  # checker dark-cell albedo factor
+GEOM_COLS = 38
 
 
 def _u32_to_f32(u):
@@ -188,6 +190,7 @@ def build_megakernel(
     persist: tuple[int, int] | None = None,
     lane_stop: bool = False,
     shadow_interval: bool = False,
+    has_texture: bool = False,
 ):
     """Compile-time specialization on the scene structure.
 
@@ -1118,6 +1121,33 @@ def build_megakernel(
 
                     def mat_mask(m, _masks=_masks):
                         return _masks[m]
+            texf = None
+            if has_texture:
+                # winner material's checker params -> one lane-plane
+                # albedo factor per bounce (lambda-independent; op order
+                # mirrors integrator.checker_factor). Static gate:
+                # untextured scenes compile none of this.
+                texs = jnp.zeros((r8, LANE), jnp.float32)
+                texl = jnp.ones((r8, LANE), jnp.float32)
+                if masks is not None:
+                    for o in range(n_obj):
+                        texs = jnp.where(masks[o], geom[o, _TEXS], texs)
+                        texl = jnp.where(masks[o], geom[o, _TEXL], texl)
+                else:
+                    for m in range(n_materials):
+                        is_m = mat_mask(m)
+                        texs = jnp.where(is_m, m_scal_ref[m, 5], texs)
+                        texl = jnp.where(is_m, m_scal_ref[m, 6], texl)
+                inv_ts = 1.0 / texs
+                pp = (
+                    jnp.floor(ipx * inv_ts) + jnp.floor(ipy * inv_ts)
+                    + jnp.floor(ipz * inv_ts)
+                )
+                odd = (pp - 2.0 * jnp.floor(pp * 0.5)) != 0.0
+                texf = jnp.where(
+                    texs > 0.0, jnp.where(odd, texl, 1.0), 1.0
+                )
+
             gate_ok = (gate == 0.0) | (t > _SPEC_MIN)
             alive = alive * hit.astype(jnp.float32) * gate_ok.astype(jnp.float32)
             live = alive > 0.0
@@ -1243,6 +1273,8 @@ def build_megakernel(
                 else:
                     for o in range(n_obj):
                         alb_s = alb_s + jnp.where(masks[o], albedo_ref[o, s], 0.0)
+                if texf is not None:
+                    alb_s = alb_s * texf
                 # select, not multiply-by-mask: 0 * NaN = NaN, and a NaN
                 # direct_s on a masked lane (e.g. dist2 == 0 on a dead or
                 # specular lane) must not poison the accumulator — mirror
@@ -2302,6 +2334,8 @@ def pack_geometry(scene: SceneArrays, sigma: tuple | None = None) -> jax.Array:
     geom = geom.at[:, _CAUCHY].set(scene.cauchy_b)
     geom = geom.at[:, _MATID].set(scene.mat_id.astype(jnp.float32))
     geom = geom.at[:, _TYPE].set(scene.obj_type.astype(jnp.float32))
+    geom = geom.at[:, _TEXS].set(scene.tex_scale)
+    geom = geom.at[:, _TEXL].set(scene.tex_low)
     geom = geom.at[:, _ORIG].set(
         jnp.arange(o, dtype=jnp.int32).astype(jnp.float32)
     )

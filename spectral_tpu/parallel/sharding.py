@@ -94,7 +94,7 @@ def build_sharded_persist_step(
     interpret: bool = False,
     has_transmission: bool = False, has_emission: bool = False,
     cluster_runs: tuple | None = None, member_unroll: int = 8,
-    lane_stop: bool = False,
+    lane_stop: bool = False, has_texture: bool = False,
 ):
     """Row-sharded persistent launch: each device runs ``budget`` bounce
     iterations of the free-running persist kernel over ITS row slab's
@@ -114,6 +114,7 @@ def build_sharded_persist_step(
     run = _kernel_persist(
         obj_types, local_config, tile, interpret, has_transmission,
         has_emission, 0, budget, cluster_runs, member_unroll, lane_stop,
+        has_texture=has_texture,
     )
     local_n = local_config.width * local_config.height
 
@@ -466,6 +467,7 @@ def render_persistent_sharded(
         has_transmission, has_emission,
         clusters[1] if clusters else None, member_unroll,
         lane_stop=adaptive is not None,
+        has_texture=scene.textured_static,
     )
 
     end_arr = jnp.uint32(n_frames)

@@ -64,6 +64,16 @@ def _aov_program(scene, config):
     # no gamma — out-of-gamut values may be negative, like the render)
     albedo_spec = scene.albedo[res.obj_idx]
     albedo = spectra_to_rgb(albedo_spec, scene.xyz_weights, scene.xyz_to_rgb)
+    if scene.textured_static:
+        # checker modulation — so denoisers demodulating by this buffer
+        # preserve the texture pattern exactly
+        from spectral_tpu.render.integrator import checker_factor
+
+        texf = checker_factor(
+            ip.x, ip.y, ip.z,
+            scene.tex_scale[res.obj_idx], scene.tex_low[res.obj_idx],
+        )
+        albedo = albedo * texf[:, None]
     albedo = jnp.where(res.hit[:, None], albedo, 0.0).reshape(h, w, 3)
 
     obj_id = jnp.where(res.hit, res.obj_idx, -1).reshape(h, w)

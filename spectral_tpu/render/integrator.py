@@ -43,6 +43,17 @@ import jax
 import jax.numpy as jnp
 
 from spectral_tpu.ops.geometry import surface_normal, trace, trace_shadow
+
+
+def checker_factor(ipx, ipy, ipz, scale, low):
+    """World-space checker albedo factor (schema.Checker): cells of side
+    ``scale`` alternate 1.0 / ``low`` by xyz floor-parity; ``scale == 0``
+    means untextured (factor 1). Op order mirrored by the megakernel and
+    the oracle so all backends agree bitwise."""
+    inv = 1.0 / scale  # scale==0 -> inf; masked by the outer where
+    p = jnp.floor(ipx * inv) + jnp.floor(ipy * inv) + jnp.floor(ipz * inv)
+    odd = (p - 2.0 * jnp.floor(p * 0.5)) != 0.0
+    return jnp.where(scale > 0.0, jnp.where(odd, low, 1.0), 1.0)
 from spectral_tpu.ops.rng import random_pcg3d
 from spectral_tpu.ops.sampling import (
     cosine_hemisphere_bounce,
@@ -159,6 +170,15 @@ def _bounce(
     m_trans = scene.transmission[res.obj_idx]
     m_ior = scene.ior[res.obj_idx]
     m_cauchy = scene.cauchy_b[res.obj_idx]
+    if scene.textured_static:
+        # beyond-reference: procedural checker modulating the albedo's
+        # magnitude by hit position (scalar — the spectral shape is
+        # untouched). Static gate: untextured scenes compile none of it.
+        texf = checker_factor(
+            ip.x, ip.y, ip.z,
+            scene.tex_scale[res.obj_idx], scene.tex_low[res.obj_idx],
+        )
+        m_albedo = m_albedo * texf[:, None]
 
     rx, ry, rz = random_pcg3d(px, py, frame_id + bounces_left)
     spec = rz < m_metal

@@ -33,6 +33,7 @@ def _kernel(
     has_emission: bool,
     object_loop: str = "auto",
     cluster_runs: tuple | None = None,
+    has_texture: bool = False,
 ):
     return mk.build_megakernel(
         obj_types,
@@ -43,6 +44,7 @@ def _kernel(
         has_emission=has_emission,
         object_loop=object_loop,
         cluster_runs=cluster_runs,
+        has_texture=has_texture,
     )
 
 
@@ -57,6 +59,7 @@ def _kernel_seg(
     bounce_start: int,
     bounce_stop: int | None,
     cluster_runs: tuple | None = None,
+    has_texture: bool = False,
 ):
     return mk.build_megakernel(
         obj_types,
@@ -69,6 +72,7 @@ def _kernel_seg(
         bounce_stop=bounce_stop,
         state_io=True,
         cluster_runs=cluster_runs,
+        has_texture=has_texture,
     )
 
 
@@ -85,6 +89,7 @@ def _kernel_regen(
     cluster_runs: tuple | None = None,
     member_unroll: int = 8,
     shadow_interval: bool = False,
+    has_texture: bool = False,
 ):
     return mk.build_megakernel(
         obj_types,
@@ -98,6 +103,7 @@ def _kernel_regen(
         cluster_runs=cluster_runs,
         member_unroll=member_unroll,
         shadow_interval=shadow_interval,
+        has_texture=has_texture,
     )
 
 
@@ -114,6 +120,7 @@ def _kernel_persist(
     cluster_runs: tuple | None = None,
     member_unroll: int = 8,
     lane_stop: bool = False,
+    has_texture: bool = False,
 ):
     return mk.build_megakernel(
         obj_types,
@@ -126,6 +133,7 @@ def _kernel_persist(
         member_unroll=member_unroll,
         persist=(ring_slots, budget),
         lane_stop=lane_stop,
+        has_texture=has_texture,
     )
 
 
@@ -139,6 +147,7 @@ def _kernel_cost(
     has_emission: bool,
     object_loop: str,
     cluster_runs: tuple | None = None,
+    has_texture: bool = False,
 ):
     return mk.build_megakernel(
         obj_types,
@@ -150,6 +159,7 @@ def _kernel_cost(
         object_loop=object_loop,
         cost_out=True,
         cluster_runs=cluster_runs,
+        has_texture=has_texture,
     )
 
 
@@ -312,6 +322,7 @@ def integrate_frame_pallas(
     run = _kernel(
         obj_types, config, tile, interpret, has_transmission, has_emission,
         object_loop, clusters[1] if clusters else None,
+        has_texture=scene.textured_static,
     )
     rad = run(
         lanes(origin.x), lanes(origin.y), lanes(origin.z),
@@ -366,6 +377,7 @@ def probe_path_cost(
     run = _kernel_cost(
         obj_types, config, tile, interpret, has_transmission, has_emission,
         object_loop, clusters[1] if clusters else None,
+        has_texture=scene.textured_static,
     )
     total = jnp.zeros((n_pad // mk.LANE, mk.LANE), jnp.float32)
     for j in range(n_probe_frames):
@@ -522,6 +534,7 @@ def integrate_frames_pallas_regen(
         obj_types, config, tile, interpret, has_transmission, has_emission,
         object_loop, int(k), clusters[1] if clusters else None,
         member_unroll, shadow_interval,
+        has_texture=scene.textured_static,
     )
     rad = run(
         lanes(origin.x), lanes(origin.y), lanes(origin.z),
@@ -582,6 +595,7 @@ def _persist_step_fn(
     cluster_runs: tuple | None,
     member_unroll: int,
     lane_stop: bool = False,
+    has_texture: bool = False,
 ):
     """One persistent launch: ``budget`` bounce iterations over donated
     carried state; returns the new state and the minimum per-lane count of
@@ -593,6 +607,7 @@ def _persist_step_fn(
     run = _kernel_persist(
         obj_types, config, tile, interpret, has_transmission, has_emission,
         ring_slots, budget, cluster_runs, member_unroll, lane_stop,
+        has_texture=has_texture,
     )
     n = config.width * config.height
 
@@ -1205,7 +1220,7 @@ def render_persistent(
     step = _persist_step_fn(
         obj_types, config, tile, interpret, has_transmission, has_emission,
         ring_slots, budget, clusters[1] if clusters else None, member_unroll,
-        adaptive is not None,
+        adaptive is not None, has_texture=scene.textured_static,
     )
 
     end_arr = jnp.uint32(n_frames)
@@ -1437,11 +1452,11 @@ def integrate_frame_pallas_split(
 
     k1 = _kernel_seg(
         obj_types, config, tile, interpret, has_transmission, has_emission,
-        0, split,
+        0, split, has_texture=scene.textured_static,
     )
     k2 = _kernel_seg(
         obj_types, config, tile, interpret, has_transmission, has_emission,
-        split, None,
+        split, None, has_texture=scene.textured_static,
     )
 
     gidx = jnp.arange(n_pad, dtype=jnp.int32).reshape(rows, mk.LANE)
@@ -1618,6 +1633,7 @@ def integrate_frame_pallas_cascade(
             obj_types, config, tile, interpret, has_transmission,
             has_emission, bounds[i], bounds[i + 1],
             clusters[1] if clusters else None,
+            has_texture=scene.textured_static,
         )
         for i in range(len(bounds) - 1)
     ]

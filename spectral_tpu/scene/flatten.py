@@ -95,6 +95,8 @@ class SceneArrays:
     transmission: jax.Array  # [O] refraction branch probability
     ior: jax.Array  # [O] Cauchy A coefficient
     cauchy_b: jax.Array  # [O] Cauchy B coefficient (um^2)
+    tex_scale: jax.Array  # [O] checker cell size (0 = untextured)
+    tex_low: jax.Array  # [O] checker dark-cell albedo factor
     emission: jax.Array  # [O, S] emitted spectrum (area lights)
     lambda_grid: jax.Array  # [S] sample wavelengths (nm)
     # material indirection (many-object kernels select per-material rather
@@ -102,7 +104,7 @@ class SceneArrays:
     mat_id: jax.Array  # [O] i32 index into the material tables
     mat_albedo: jax.Array  # [M, S]
     mat_emission: jax.Array  # [M, S]
-    mat_scalars: jax.Array  # [M, 8]: metal, rough, trans, ior, cauchy, pad
+    mat_scalars: jax.Array  # [M, 8]: metal rough trans ior cauchy tex_scale tex_low pad
     # lights
     light_pos: jax.Array  # [L, 3]
     light_spec: jax.Array  # [L, S] unclamped
@@ -126,6 +128,12 @@ class SceneArrays:
     # the Phong interpolation + renormalize in the shading-normal path
     # (all-flat scenes keep the exact stored winding normal, no extra ops)
     smooth_tri_static: bool = dataclasses.field(
+        metadata=dict(static=True), default=False
+    )
+    # static: any material carries a procedural texture — gates the
+    # checker-factor math in every shading path (untextured scenes pay
+    # nothing, like has_transmission/has_emission)
+    textured_static: bool = dataclasses.field(
         metadata=dict(static=True), default=False
     )
 
@@ -240,6 +248,8 @@ def flatten_scene(scene: Scene) -> tuple[SceneArrays, RenderConfig]:
     transmission = np.zeros(n_obj, dtype=F32)
     ior = np.full(n_obj, F32(1.5), dtype=F32)
     cauchy_b = np.zeros(n_obj, dtype=F32)
+    tex_scale = np.zeros(n_obj, dtype=F32)
+    tex_low = np.ones(n_obj, dtype=F32)
     emission = np.zeros((n_obj, n_samples), dtype=F32)
     mat_id = np.zeros(n_obj, dtype=np.int32)
     material_index: dict[int, int] = {}
@@ -334,6 +344,9 @@ def flatten_scene(scene: Scene) -> tuple[SceneArrays, RenderConfig]:
         transmission[i] = F32(mat.transmission)
         ior[i] = F32(mat.ior)
         cauchy_b[i] = F32(mat.cauchy_b_um2)
+        if mat.texture is not None:
+            tex_scale[i] = F32(mat.texture.scale)
+            tex_low[i] = F32(mat.texture.low)
         if mat.emission is not None:
             emission[i] = mat.emission.spectrum.values  # unclamped, like lights
         if id(mat) not in material_index:
@@ -377,6 +390,8 @@ def flatten_scene(scene: Scene) -> tuple[SceneArrays, RenderConfig]:
         transmission=jnp.asarray(transmission),
         ior=jnp.asarray(ior),
         cauchy_b=jnp.asarray(cauchy_b),
+        tex_scale=jnp.asarray(tex_scale),
+        tex_low=jnp.asarray(tex_low),
         emission=jnp.asarray(emission),
         lambda_grid=jnp.asarray(_lambda_grid(scene, n_samples)),
         mat_id=jnp.asarray(mat_id),
@@ -390,8 +405,8 @@ def flatten_scene(scene: Scene) -> tuple[SceneArrays, RenderConfig]:
                     transmission[material_list],
                     ior[material_list],
                     cauchy_b[material_list],
-                    np.zeros(len(material_list), F32),
-                    np.zeros(len(material_list), F32),
+                    tex_scale[material_list],
+                    tex_low[material_list],
                     np.zeros(len(material_list), F32),
                 ],
                 axis=1,
@@ -413,6 +428,9 @@ def flatten_scene(scene: Scene) -> tuple[SceneArrays, RenderConfig]:
         smooth_tri_static=any(
             isinstance(o.object_type, Mesh) and bool(o.object_type.normals)
             for o in objects
+        ),
+        textured_static=any(
+            o.material.texture is not None for o in objects
         ),
     )
     config = RenderConfig(

@@ -236,6 +236,21 @@ class SceneSpectrum:
         return out
 
 
+@dataclasses.dataclass(frozen=True)
+class Checker:
+    """World-space procedural checker texture (beyond-reference — the
+    reference's materials are spatially uniform, src/main.rs:2092).
+
+    Modulates the material's reflective spectrum by a scalar: cells of
+    side ``scale`` alternate between a factor of 1.0 and ``low``
+    (parity of ``floor(p/scale)`` summed over xyz). Scalar modulation
+    keeps the albedo physically plausible at every wavelength — the
+    spectral shape is untouched, only its magnitude varies."""
+
+    scale: float = 1.0
+    low: float = 0.25
+
+
 @dataclasses.dataclass
 class Material:
     """Reference ``UIMaterial`` (src/main.rs:2092-2111): stochastic
@@ -257,6 +272,8 @@ class Material:
     * ``emission``: emitted spectrum (area light) added when a path hits
       the surface — the only way refracted paths can reach light in a
       next-event-estimation tracer.
+    * ``texture``: optional :class:`Checker` modulating the reflective
+      spectrum's magnitude by hit position (emission is untouched).
     """
 
     metallicness: float
@@ -267,12 +284,14 @@ class Material:
     ior: float = 1.5
     cauchy_b_um2: float = 0.0
     emission: SceneSpectrum | None = None
+    texture: Checker | None = None
     id: int = dataclasses.field(default_factory=lambda: next(_id_counter))
 
     def copy(self) -> "Material":
         return Material(
             self.metallicness, self.roughness, self.spectrum, self.name,
             self.transmission, self.ior, self.cauchy_b_um2, self.emission,
+            self.texture,
         )
 
 
@@ -512,6 +531,16 @@ class Scene:
                 )
             if mat.transmission > 0.0 and mat.ior <= 0.0:
                 raise SceneError(f"material {mat.name!r} needs a positive ior")
+            if mat.texture is not None:
+                if mat.texture.scale <= 0.0:
+                    raise SceneError(
+                        f"material {mat.name!r} texture scale must be > 0"
+                    )
+                if not 0.0 <= mat.texture.low <= 1.0:
+                    raise SceneError(
+                        f"material {mat.name!r} texture low factor must "
+                        "be in [0, 1]"
+                    )
         n = self.spectrum_number_of_samples
         for s in self.spectra:
             if s.spectrum.get_nbr_of_samples() != n:

@@ -108,6 +108,13 @@ def scene_to_dict(scene: S.Scene) -> dict:
                     if m.emission is not None
                     else {}
                 ),
+                **(
+                    {"texture": {"kind": "checker",
+                                 "scale": m.texture.scale,
+                                 "low": m.texture.low}}
+                    if m.texture is not None
+                    else {}
+                ),
             }
             for m in scene.materials
         ],
@@ -177,6 +184,12 @@ def scene_from_dict(data: dict) -> S.Scene:
             cauchy_b_um2=float(m.get("cauchy_b_um2", 0.0)),
             emission=(
                 spectra[int(m["emission"])] if "emission" in m else None
+            ),
+            texture=(
+                S.Checker(float(m["texture"]["scale"]),
+                          float(m["texture"]["low"]))
+                if "texture" in m
+                else None
             ),
         )
         for m in data["materials"]

@@ -209,6 +209,8 @@ class OracleRenderer:
         self.metallicness = g(scene_arrays.metallicness)
         self.roughness = g(scene_arrays.roughness)
         self.albedo = g(scene_arrays.albedo)
+        self.tex_scale = g(scene_arrays.tex_scale)
+        self.tex_low = g(scene_arrays.tex_low)
         self.transmission = g(scene_arrays.transmission)
         self.ior = g(scene_arrays.ior)
         self.cauchy_b = g(scene_arrays.cauchy_b)
@@ -425,8 +427,19 @@ class OracleRenderer:
                 received = (received + np.maximum(spec, F(0.0))).astype(F)
 
         # emission (beyond-reference area lights) rides above the albedo
+        albedo = self.albedo[i]
+        if self.tex_scale[i] > 0.0:
+            # checker texture factor, op order of integrator.checker_factor
+            inv = F(F(1.0) / self.tex_scale[i])
+            pp = F(
+                F(np.floor(F(ip[0] * inv)) + np.floor(F(ip[1] * inv)))
+                + np.floor(F(ip[2] * inv))
+            )
+            odd = F(pp - F(2.0) * F(np.floor(F(pp * F(0.5))))) != 0.0
+            factor = self.tex_low[i] if odd else F(1.0)
+            albedo = (albedo * factor).astype(F)
         return (
-            (self.emission[i] + self.albedo[i] * received).astype(F),
+            (self.emission[i] + albedo * received).astype(F),
             True,
             F(t),
         )
