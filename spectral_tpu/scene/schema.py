@@ -152,6 +152,42 @@ class SceneSpectrum:
             spectrum = _regenerate(spectrum_type, None, lo, hi, n)
         return SceneSpectrum(name, spectrum_type, effect_type, spectrum)
 
+    @staticmethod
+    def from_rgb(
+        name: str,
+        rgb,
+        effect_type: SpectrumEffectType = SpectrumEffectType.REFLECTIVE,
+        lo: float = VISIBLE_LIGHT_WAVELENGTH_LOWER_BOUND,
+        hi: float = VISIBLE_LIGHT_WAVELENGTH_UPPER_BOUND,
+        n: int = NBR_OF_SPECTRUM_SAMPLES_DEFAULT,
+        factor: float = 1.0,
+    ) -> "SceneSpectrum":
+        """Author a spectrum from an RGB color (capability beyond the
+        reference, whose spectra are built only from physical constructors
+        or per-sample sliders, src/main.rs:1869-1878).
+
+        The result is a Custom spectrum holding the smoothest reflectance
+        in [0, 1] that is an exact metamer of ``rgb`` under this
+        framework's own color pipeline (``spectral_tpu.spectral.uplift``);
+        ``(1, 1, 1)`` is the flat white reflector. Colors outside the
+        smooth-reflectance gamut (e.g. pure sRGB primaries) land on the
+        closest achievable color. For EMISSIVE spectra the curve is scaled
+        by ``factor`` (reflectance-shaped emission; use a large factor for
+        bright lights)."""
+        from spectral_tpu.spectral.uplift import uplift_rgb
+
+        values = uplift_rgb(rgb, lo, hi, n)
+        if effect_type == SpectrumEffectType.EMISSIVE:
+            if factor < 0.0:
+                raise SceneError("emissive factor must be >= 0")
+            values = values * np.float32(factor)
+        elif factor != 1.0:
+            raise SceneError(
+                "factor only applies to EMISSIVE uplifts; reflective "
+                "spectra are already bounded by [0, 1]"
+            )
+        return SceneSpectrum.new(name, Custom(), effect_type, lo, hi, n, values)
+
     def regenerate(self, lo: float, hi: float, n: int) -> None:
         self.spectrum = _regenerate(self.spectrum_type, self.spectrum, lo, hi, n)
 

@@ -76,6 +76,12 @@ HELP = {
         "Free-form per-sample values; resampled (lossily) when the sample "
         "count changes."
     ),
+    "spectrum.from_rgb": (
+        "Author a spectrum from an RGB color (SceneSpectrum.from_rgb): the "
+        "smoothest reflectance matching that color exactly under the "
+        "renderer's color pipeline. (1,1,1) is flat white; very saturated "
+        "colors land on the closest achievable color."
+    ),
     "object.type": (
         "Shape of the object; the type sets the intersection cost. Many "
         "expensive types in one scene slow rendering down."
