@@ -191,6 +191,7 @@ def build_megakernel(
     lane_stop: bool = False,
     shadow_interval: bool = False,
     has_texture: bool = False,
+    has_sky: bool = False,
 ):
     """Compile-time specialization on the scene structure.
 
@@ -202,6 +203,11 @@ def build_megakernel(
         has_transmission/has_emission: enable the dielectric branch /
             emissive-surface accumulation (static so reference-style
             scenes pay nothing for the extra physics).
+        has_sky: enable environment emission on the alive->miss
+            transition (beyond-reference; the upstream miss shader is
+            zero, src/shader.rs:460-463). The sky spectrum ships as ONE
+            EXTRA ROW appended to the light-spectrum SMEM table at static
+            index ``max(n_lights, 1)`` — zero new kernel operands.
         regen_frames: K > 1 enables *in-kernel path regeneration*: when a
             lane's path terminates it immediately starts the SAME pixel's
             next progressive frame (selecting its host-precomputed primary
@@ -333,6 +339,9 @@ def build_megakernel(
         )
     n_obj = len(obj_types)
     n_lights = config.n_lights
+    # sky spectrum row: appended after the real lights (a zero-light scene
+    # ships a one-row placeholder table, hence the max)
+    sky_row = max(n_lights, 1)
     s_dim = config.n_samples
     max_bounces = config.max_bounces
     n_valid = config.width * config.height
@@ -1149,6 +1158,12 @@ def build_megakernel(
                 )
 
             gate_ok = (gate == 0.0) | (t > _SPEC_MIN)
+            if has_sky:
+                # environment emission fires on the alive->miss
+                # transition. gate_ok is always true on a miss (t ==
+                # _INF), so gated-out short HITS collect no sky — the
+                # same mask as integrator.py's sky_mask.
+                missf = jnp.where((alive > 0.0) & (~hit), 1.0, 0.0)
             alive = alive * hit.astype(jnp.float32) * gate_ok.astype(jnp.float32)
             live = alive > 0.0
 
@@ -1255,6 +1270,13 @@ def build_megakernel(
                             )
                     emis_term = live_f * thr_s * emis_s
                     rad_ref[s] = rad_ref[s] + emis_term
+                if has_sky:
+                    # sky row rides the light-spectrum table (see the
+                    # builder docstring); miss lanes are disjoint from
+                    # every other radiance term, so placement among
+                    # them is f32-order-free.
+                    sky_term = missf * thr_s * lspec_ref[sky_row, s]
+                    rad_ref[s] = rad_ref[s] + sky_term
                 if has_transmission:
                     # collapse throughput onto the hero bin (S-fold weight)
                     pick = jnp.where(

@@ -95,6 +95,7 @@ def build_sharded_persist_step(
     has_transmission: bool = False, has_emission: bool = False,
     cluster_runs: tuple | None = None, member_unroll: int = 8,
     lane_stop: bool = False, has_texture: bool = False,
+    has_sky: bool = False,
 ):
     """Row-sharded persistent launch: each device runs ``budget`` bounce
     iterations of the free-running persist kernel over ITS row slab's
@@ -115,6 +116,7 @@ def build_sharded_persist_step(
         obj_types, local_config, tile, interpret, has_transmission,
         has_emission, 0, budget, cluster_runs, member_unroll, lane_stop,
         has_texture=has_texture,
+        has_sky=has_sky,
     )
     local_n = local_config.width * local_config.height
 
@@ -468,6 +470,7 @@ def render_persistent_sharded(
         clusters[1] if clusters else None, member_unroll,
         lane_stop=adaptive is not None,
         has_texture=scene.textured_static,
+        has_sky=scene.sky is not None,
     )
 
     end_arr = jnp.uint32(n_frames)

@@ -158,6 +158,17 @@ def _bounce(
     res = tracer(o, d)
     # specular child-distance gate from the parent bounce
     gate_ok = (~pending_gate) | (res.t > SPECULAR_MIN_RAY_DISTANCE)
+    if scene.sky is not None:
+        # beyond-reference: environment emission — a traced ray that
+        # escapes the scene collects ``throughput * sky`` (the reference's
+        # miss shader returns zero, src/shader.rs:460-463). Gated by the
+        # pytree structure itself: sky-less scenes compile none of this.
+        # (res.t is +inf on miss, so gate_ok is always true there; the
+        # conjunction documents that gated-out short HITS get no sky.)
+        sky_mask = alive & gate_ok & ~res.hit
+        radiance = radiance + jnp.where(
+            sky_mask[:, None], throughput * scene.sky[None, :], 0.0
+        )
     alive = alive & res.hit & gate_ok
 
     t_safe = jnp.where(alive, res.t, 0.0)
@@ -297,7 +308,13 @@ def integrate_frame(
     )
 
     if config.n_objects == 0:
-        rgb = jnp.zeros((config.height, config.width, 3), dtype=jnp.float32)
+        if scene.sky is not None:
+            # every primary ray escapes: the whole frame is the sky color
+            rad = jnp.broadcast_to(scene.sky[None, :], (n, s))
+            rgb = spectra_to_rgb(rad, scene.xyz_weights, scene.xyz_to_rgb)
+            rgb = rgb.reshape(config.height, config.width, 3)
+        else:
+            rgb = jnp.zeros((config.height, config.width, 3), dtype=jnp.float32)
         out = (rgb,)
         if return_stats:
             out += (jnp.float32(0.0),)

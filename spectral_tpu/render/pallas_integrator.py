@@ -34,6 +34,7 @@ def _kernel(
     object_loop: str = "auto",
     cluster_runs: tuple | None = None,
     has_texture: bool = False,
+    has_sky: bool = False,
 ):
     return mk.build_megakernel(
         obj_types,
@@ -45,6 +46,7 @@ def _kernel(
         object_loop=object_loop,
         cluster_runs=cluster_runs,
         has_texture=has_texture,
+        has_sky=has_sky,
     )
 
 
@@ -60,6 +62,7 @@ def _kernel_seg(
     bounce_stop: int | None,
     cluster_runs: tuple | None = None,
     has_texture: bool = False,
+    has_sky: bool = False,
 ):
     return mk.build_megakernel(
         obj_types,
@@ -73,6 +76,7 @@ def _kernel_seg(
         state_io=True,
         cluster_runs=cluster_runs,
         has_texture=has_texture,
+        has_sky=has_sky,
     )
 
 
@@ -90,6 +94,7 @@ def _kernel_regen(
     member_unroll: int = 8,
     shadow_interval: bool = False,
     has_texture: bool = False,
+    has_sky: bool = False,
 ):
     return mk.build_megakernel(
         obj_types,
@@ -104,6 +109,7 @@ def _kernel_regen(
         member_unroll=member_unroll,
         shadow_interval=shadow_interval,
         has_texture=has_texture,
+        has_sky=has_sky,
     )
 
 
@@ -121,6 +127,7 @@ def _kernel_persist(
     member_unroll: int = 8,
     lane_stop: bool = False,
     has_texture: bool = False,
+    has_sky: bool = False,
 ):
     return mk.build_megakernel(
         obj_types,
@@ -134,6 +141,7 @@ def _kernel_persist(
         persist=(ring_slots, budget),
         lane_stop=lane_stop,
         has_texture=has_texture,
+        has_sky=has_sky,
     )
 
 
@@ -148,6 +156,7 @@ def _kernel_cost(
     object_loop: str,
     cluster_runs: tuple | None = None,
     has_texture: bool = False,
+    has_sky: bool = False,
 ):
     return mk.build_megakernel(
         obj_types,
@@ -160,6 +169,7 @@ def _kernel_cost(
         cost_out=True,
         cluster_runs=cluster_runs,
         has_texture=has_texture,
+        has_sky=has_sky,
     )
 
 
@@ -242,6 +252,10 @@ def _mat_light_tables(scene: SceneArrays, config, obj_types: tuple,
     if config.n_lights == 0:
         lpos = jnp.zeros((1, 4), jnp.float32)
         lspec = jnp.zeros((1, config.n_samples), jnp.float32)
+    if scene.sky is not None:
+        # environment emission rides the light-spectrum table as one extra
+        # row at static index max(n_lights, 1) — the kernel's sky_row
+        lspec = jnp.concatenate([lspec, scene.sky[None, :]], axis=0)
     return (
         scene.albedo[:1] if mat_rows else scene.albedo,
         scene.emission[:1] if mat_rows else scene.emission,
@@ -323,6 +337,7 @@ def integrate_frame_pallas(
         obj_types, config, tile, interpret, has_transmission, has_emission,
         object_loop, clusters[1] if clusters else None,
         has_texture=scene.textured_static,
+        has_sky=scene.sky is not None,
     )
     rad = run(
         lanes(origin.x), lanes(origin.y), lanes(origin.z),
@@ -378,6 +393,7 @@ def probe_path_cost(
         obj_types, config, tile, interpret, has_transmission, has_emission,
         object_loop, clusters[1] if clusters else None,
         has_texture=scene.textured_static,
+        has_sky=scene.sky is not None,
     )
     total = jnp.zeros((n_pad // mk.LANE, mk.LANE), jnp.float32)
     for j in range(n_probe_frames):
@@ -535,6 +551,7 @@ def integrate_frames_pallas_regen(
         object_loop, int(k), clusters[1] if clusters else None,
         member_unroll, shadow_interval,
         has_texture=scene.textured_static,
+        has_sky=scene.sky is not None,
     )
     rad = run(
         lanes(origin.x), lanes(origin.y), lanes(origin.z),
@@ -596,6 +613,7 @@ def _persist_step_fn(
     member_unroll: int,
     lane_stop: bool = False,
     has_texture: bool = False,
+    has_sky: bool = False,
 ):
     """One persistent launch: ``budget`` bounce iterations over donated
     carried state; returns the new state and the minimum per-lane count of
@@ -608,6 +626,7 @@ def _persist_step_fn(
         obj_types, config, tile, interpret, has_transmission, has_emission,
         ring_slots, budget, cluster_runs, member_unroll, lane_stop,
         has_texture=has_texture,
+        has_sky=has_sky,
     )
     n = config.width * config.height
 
@@ -1221,6 +1240,7 @@ def render_persistent(
         obj_types, config, tile, interpret, has_transmission, has_emission,
         ring_slots, budget, clusters[1] if clusters else None, member_unroll,
         adaptive is not None, has_texture=scene.textured_static,
+        has_sky=scene.sky is not None,
     )
 
     end_arr = jnp.uint32(n_frames)
@@ -1449,14 +1469,18 @@ def integrate_frame_pallas_split(
     if config.n_lights == 0:
         lpos = jnp.zeros((1, 4), jnp.float32)
         lspec = jnp.zeros((1, s_dim), jnp.float32)
+    if scene.sky is not None:
+        lspec = jnp.concatenate([lspec, scene.sky[None, :]], axis=0)
 
     k1 = _kernel_seg(
         obj_types, config, tile, interpret, has_transmission, has_emission,
         0, split, has_texture=scene.textured_static,
+        has_sky=scene.sky is not None,
     )
     k2 = _kernel_seg(
         obj_types, config, tile, interpret, has_transmission, has_emission,
         split, None, has_texture=scene.textured_static,
+        has_sky=scene.sky is not None,
     )
 
     gidx = jnp.arange(n_pad, dtype=jnp.int32).reshape(rows, mk.LANE)
@@ -1634,6 +1658,7 @@ def integrate_frame_pallas_cascade(
             has_emission, bounds[i], bounds[i + 1],
             clusters[1] if clusters else None,
             has_texture=scene.textured_static,
+            has_sky=scene.sky is not None,
         )
         for i in range(len(bounds) - 1)
     ]

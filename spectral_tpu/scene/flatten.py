@@ -118,6 +118,11 @@ class SceneArrays:
     # color pipeline
     xyz_weights: jax.Array  # [S, 3] per-sample XYZ integration weights
     xyz_to_rgb: jax.Array  # [3, 3]
+    # environment emission collected on miss (beyond-reference; the
+    # reference's miss shader is zero, src/shader.rs:460-463). None for
+    # sky-less scenes — the absent pytree leaf doubles as the static gate,
+    # so reference scenes compile none of the sky math.
+    sky: jax.Array | None = None  # [S] unclamped
     # static (non-traced) copy of obj_type: lets jitted code include a
     # primitive's intersection math only when the scene actually has it
     # (triangles would otherwise tax every boxes-and-spheres scene)
@@ -416,6 +421,12 @@ def flatten_scene(scene: Scene) -> tuple[SceneArrays, RenderConfig]:
         ),
         light_pos=jnp.asarray(light_pos),
         light_spec=jnp.asarray(light_spec),
+        sky=(
+            jnp.asarray(scene.sky.spectrum.values.astype(F32))
+            if scene.sky is not None
+            else None  # no-sky scenes keep the pytree leaf absent: every
+            # compiled program is bit-identical to the pre-sky framework
+        ),
         cam_pos=jnp.asarray(np.asarray(scene.camera.position, dtype=F32)),
         cam_dir=jnp.asarray(np.asarray(scene.camera.direction, dtype=F32)),
         cam_up=jnp.asarray(np.asarray(scene.camera.up, dtype=F32)),

@@ -486,6 +486,11 @@ class Scene:
     spectrum_upper_bound: float = VISIBLE_LIGHT_WAVELENGTH_UPPER_BOUND
     spectrum_number_of_samples: int = NBR_OF_SPECTRUM_SAMPLES_DEFAULT
     nbr_of_threads: int = 0  # compat only; parallelism is the device mesh
+    # beyond-reference: environment emission. A ray that escapes the scene
+    # collects ``throughput * sky`` instead of the reference's zero miss
+    # shader (src/shader.rs:460-463); ``None`` keeps the reference-exact
+    # black background. Must reference an EMISSIVE spectrum in ``spectra``.
+    sky: SceneSpectrum | None = None
 
     # ------------------------------------------------------------- updates
 
@@ -511,6 +516,16 @@ class Scene:
             if id(light.spectrum) not in spectra_ids:
                 raise SceneError(
                     f"light {light.name!r} references a spectrum not in the scene"
+                )
+        if self.sky is not None:
+            if id(self.sky) not in spectra_ids:
+                raise SceneError(
+                    "scene sky references a spectrum not in the scene"
+                )
+            if self.sky.effect_type != SpectrumEffectType.EMISSIVE:
+                raise SceneError(
+                    f"sky spectrum {self.sky.name!r} must be EMISSIVE "
+                    "(it is collected as environment emission on miss)"
                 )
         for obj in self.objects:
             if id(obj.material) not in material_ids:

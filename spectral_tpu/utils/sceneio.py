@@ -127,6 +127,13 @@ def scene_to_dict(scene: S.Scene) -> dict:
             }
             for l in scene.lights
         ],
+        # beyond-reference environment emission; absent = the reference's
+        # black background (pre-sky scene files load unchanged)
+        **(
+            {"sky": spectrum_index[id(scene.sky)]}
+            if scene.sky is not None
+            else {}
+        ),
         "objects": [
             {
                 "name": o.name,
@@ -241,6 +248,7 @@ def scene_from_dict(data: dict) -> S.Scene:
         spectrum_upper_bound=hi,
         spectrum_number_of_samples=n,
         nbr_of_threads=int(st.get("threads", 0)),
+        sky=(spectra[int(data["sky"])] if "sky" in data else None),
     )
 
 

@@ -224,6 +224,8 @@ class OracleRenderer:
         self.fov_y_deg = F(scene_arrays.fov_y_deg)
         self.xyz_weights = g(scene_arrays.xyz_weights)
         self.xyz_to_rgb = g(scene_arrays.xyz_to_rgb)
+        sky = getattr(scene_arrays, "sky", None)
+        self.sky = g(sky) if sky is not None else None
         self.config = config
         self.smooth_tri = bool(getattr(scene_arrays, "smooth_tri_static", False))
         self.n_obj = len(self.obj_type)
@@ -280,6 +282,9 @@ class OracleRenderer:
         hits.sort(key=lambda p: p[1])
 
         zero = np.zeros(self.n_samples, dtype=F)
+        # beyond-reference sky: environment emission replaces the zero
+        # miss shader for TRACED rays (never for shadow occlusion queries)
+        missed = self.sky if (self.sky is not None and not skip_hit) else zero
         if hits:
             i, t = hits[0]
             if t <= max_hit_distance:
@@ -288,8 +293,8 @@ class OracleRenderer:
                 return self.hit_shader(
                     o, d, i, t, max_bounces, px, py, frame_id, hero
                 )
-            return zero, False, F(0.0)
-        return zero, False, F(0.0)
+            return missed, False, F(0.0)
+        return missed, False, F(0.0)
 
     # ------------------------------------------------------------ normals
 
@@ -363,7 +368,10 @@ class OracleRenderer:
                     new_pos, norm(nd), max_bounces - 1, px, py, frame_id,
                     hero=hero,
                 )
-                if hd > SPEC_MIN:
+                # the short-child gate only discards HITS closer than the
+                # epsilon; a child that escaped to the sky contributes
+                # (matches the wavefront's gate_ok, true at t == +inf)
+                if hd > SPEC_MIN or not _hit:
                     received = (received + spec).astype(F)
         elif rz < self.metallicness[i] + self.transmission[i]:
             # beyond-reference dielectric branch (mirrors the wavefront
