@@ -298,6 +298,28 @@ def main(config_name: str = "cornell512", tile: int | None = None) -> None:
     signal.alarm(0)  # measurement done; disarm the watchdog
     total_ray_lambda = total_rays * config.n_samples
     mrays_lambda = total_ray_lambda / dt / 1e6
+
+    # analytic roofline: executed VPU ops per frame (exact for the dense
+    # loop; a dense upper bound for clustered configs since cluster skips
+    # only remove work) vs the v5e VPU peak — see utils/flops.py
+    from spectral_tpu.utils.flops import kernel_ops, roofline
+
+    ops_kw = dict(
+        n_materials=int(np.asarray(arrays.mat_scalars).shape[0]),
+        clusters=clusters, has_transmission=has_trans,
+        has_emission=has_emis, has_sky=arrays.sky is not None,
+        has_texture=arrays.textured_static,
+    )
+    # upper bound: the full bounce budget every frame (exact for the
+    # monolithic kernel; regen/persist skip all-done tile iterations)
+    ops = kernel_ops(config, obj_types, **ops_kw)
+    rl = roofline(ops.per_frame, dt / n_frames)
+    # zero-straggler lower bound for regen: executed iterations/frame =
+    # sum of per-bounce live-lane fractions (measured occupancy)
+    ops_lo = kernel_ops(
+        config, obj_types, bounce_iters=float(occ_frac.sum()), **ops_kw
+    )
+    rl_lo = roofline(ops_lo.per_frame, dt / n_frames)
     print(
         json.dumps(
             {
@@ -319,6 +341,29 @@ def main(config_name: str = "cornell512", tile: int | None = None) -> None:
                             _REGEN.get(config_name, (None, None)))
                     ),
                     "overflow_frames": overflow_frames,
+                    # analytic roofline (utils/flops.py): executed VPU ops
+                    # (dense-loop exact; clustered = upper bound) vs the
+                    # FMA-fused v5e VPU peak. *_useful scales by the live-
+                    # lane fraction: the share of peak doing useful work.
+                    "vpu_ops_per_frame": round(ops.per_frame),
+                    "vpu_ops_per_s": round(rl["vpu_ops_per_s"]),
+                    "pct_vpu_peak": round(rl["pct_vpu_peak"], 2),
+                    # == useful-work share of peak too: counting only
+                    # live-lane ops gives the same n_lanes*sum(occ) factor
+                    "pct_vpu_peak_regen_lower": round(
+                        rl_lo["pct_vpu_peak"], 2
+                    ),
+                    "ops_per_lane_bounce": ops.as_dict(),
+                    "roofline_note": (
+                        "pct_vpu_peak assumes the full bounce budget every "
+                        "frame (upper bound on executed work); _regen_lower "
+                        "assumes zero straggler iterations"
+                        + (
+                            "; clustered member loops counted dense "
+                            "(every cluster visited)"
+                            if clusters is not None else ""
+                        )
+                    ),
                     # mean live-lane fraction over the bounce loop: the
                     # megakernel executes every lane every bounce, so this
                     # is the fraction of executed work that is useful

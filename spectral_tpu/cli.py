@@ -299,12 +299,31 @@ def cmd_render(args) -> int:
             )
         if aborted and checkpoint:
             print(f"resume with --resume {checkpoint}", file=sys.stderr)
-    if args.aovs and primary:
-        from spectral_tpu.render.aov import compute_aovs, save_aovs
+    if args.aovs:
+        aov_exr = str(args.aovs).endswith(".exr")
+        if aov_exr:
+            fb_aov = renderer.framebuffer()  # collective: all procs join
+        if primary:
+            from spectral_tpu.render.aov import (
+                compute_aovs, save_aovs, save_aovs_exr,
+            )
 
-        save_aovs(compute_aovs(scene), args.aovs)
-        print(f"AOVs (depth/normal/albedo/obj_id) -> {args.aovs}",
-              file=sys.stderr)
+            if aov_exr:
+                # one multi-layer EXR: beauty (linear f32) + AOV layers
+                import numpy as np
+
+                save_aovs_exr(
+                    compute_aovs(scene), args.aovs,
+                    beauty=np.asarray(fb_aov, np.float32),
+                )
+                print(
+                    "multi-layer EXR (beauty+depth/normal/albedo/obj_id) "
+                    f"-> {args.aovs}", file=sys.stderr,
+                )
+            else:
+                save_aovs(compute_aovs(scene), args.aovs)
+                print(f"AOVs (depth/normal/albedo/obj_id) -> {args.aovs}",
+                      file=sys.stderr)
     if args.denoise is not None:
         fb = renderer.framebuffer()  # collective: all processes join
         if primary:
@@ -616,11 +635,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="opt-in display transform: encode with 1/gamma "
                     "(e.g. 2.2) before u8 conversion (default: the "
                     "reference's no-gamma output, a documented quirk)")
-    pr.add_argument("--aovs", metavar="DIR",
+    pr.add_argument("--aovs", metavar="DIR|FILE.exr",
                     help="also write first-hit feature buffers (depth, "
                     "shading normal, albedo, object id) as .npy + .png "
-                    "previews into DIR — denoiser/compositing inputs the "
-                    "reference cannot produce")
+                    "previews into DIR, or — when the argument ends in "
+                    ".exr — as ONE multi-layer ZIP-compressed EXR with "
+                    "the beauty pass (denoiser/compositing inputs the "
+                    "reference cannot produce)")
     pr.add_argument("--denoise", nargs="?", const=5, default=None,
                     type=int, metavar="LEVELS",
                     help="also write an AOV-guided a-trous denoised copy "

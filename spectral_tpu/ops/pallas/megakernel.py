@@ -1406,20 +1406,28 @@ def build_megakernel(
                 toy = ipy + noy_ * off_sgn
                 toz = ipz + noz_ * off_sgn
 
+            # diffuse continuation starts at the UN-offset hit point
+            # (reference quirk src/shader.rs:444) — EXCEPT for sky scenes,
+            # where the miss-vs-self-hit ULP coin-flip would pay
+            # throughput*sky nondeterministically; mirror
+            # integrator.py's static sky gate exactly.
+            dgx = offx if has_sky else ipx
+            dgy = offy if has_sky else ipy
+            dgz = offz if has_sky else ipz
+            if has_transmission:
                 newdx = jnp.where(spec, sdx, jnp.where(trans, tdx, ddx))
                 newdy = jnp.where(spec, sdy, jnp.where(trans, tdy, ddy))
                 newdz = jnp.where(spec, sdz, jnp.where(trans, tdz, ddz))
-                newox = jnp.where(spec, offx, jnp.where(trans, tox, ipx))
-                newoy = jnp.where(spec, offy, jnp.where(trans, toy, ipy))
-                newoz = jnp.where(spec, offz, jnp.where(trans, toz, ipz))
+                newox = jnp.where(spec, offx, jnp.where(trans, tox, dgx))
+                newoy = jnp.where(spec, offy, jnp.where(trans, toy, dgy))
+                newoz = jnp.where(spec, offz, jnp.where(trans, toz, dgz))
             else:
                 newdx = jnp.where(spec, sdx, ddx)
                 newdy = jnp.where(spec, sdy, ddy)
                 newdz = jnp.where(spec, sdz, ddz)
-                # diffuse continuation starts at the UN-offset hit point
-                newox = jnp.where(spec, offx, ipx)
-                newoy = jnp.where(spec, offy, ipy)
-                newoz = jnp.where(spec, offz, ipz)
+                newox = jnp.where(spec, offx, dgx)
+                newoy = jnp.where(spec, offy, dgy)
+                newoz = jnp.where(spec, offz, dgz)
             newdx, newdy, newdz = _normalize(newdx, newdy, newdz)
 
             cl = cont > 0.0

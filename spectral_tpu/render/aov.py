@@ -29,7 +29,7 @@ from spectral_tpu.ops.geometry import surface_normal, trace
 from spectral_tpu.render.camera import generate_primary_rays
 from spectral_tpu.render.color import spectra_to_rgb
 
-__all__ = ["compute_aovs", "save_aovs"]
+__all__ = ["compute_aovs", "save_aovs", "save_aovs_exr"]
 
 
 @partial(jax.jit, static_argnums=(1,))
@@ -157,3 +157,22 @@ def save_aovs(aovs: dict, out_dir) -> list:
     ids[oid < 0] = 0.0
     _png("obj_id", ids)
     return written
+
+
+def save_aovs_exr(aovs: dict, path, beauty: np.ndarray | None = None):
+    """Write the AOVs (plus an optional beauty pass) as ONE multi-layer
+    ZIP-compressed EXR — the interchange format denoise/comp pipelines
+    consume: base ``R/G/B/A`` = beauty, ``depth.Z``, ``normal.RGB``,
+    ``albedo.RGB``, ``obj_id.Z`` (ids as floats; -1 = miss). The beauty
+    and AOV layers are written as f32 so they round-trip bit-exactly."""
+    from spectral_tpu.render.exr import write_exr_layers
+
+    layers: dict = {
+        "depth": aovs["depth"],
+        "normal": aovs["normal"],
+        "albedo": aovs["albedo"],
+        "obj_id": aovs["obj_id"].astype(np.float32),
+    }
+    if beauty is not None:
+        layers[""] = np.asarray(beauty, np.float32)
+    return write_exr_layers(layers, path, pixel_type="float")

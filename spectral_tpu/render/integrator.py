@@ -251,8 +251,16 @@ def _bounce(
 
     new_dir = spec_dir.where(spec, trans_dir.where(trans, diff_dir))
     new_dir = new_dir.normalize()  # Ray::new normalizes
-    # diffuse continuation starts at the UN-offset hit point (quirk §2.5)
-    new_origin = offset_pos.where(spec, trans_origin.where(trans, ip))
+    # diffuse continuation starts at the UN-offset hit point (quirk §2.5).
+    # Sky scenes (beyond-reference) offset it like every other child ray:
+    # with environment emission a child that self-hits at t ~ 1e-7 vs one
+    # that escapes differ by throughput*sky, so the un-offset origin's
+    # float32 ULP coin-flip would render as ~60x salt-and-pepper noise and
+    # make the jnp / Pallas / oracle backends disagree per pixel. The
+    # static `scene.sky is not None` gate keeps sky-less scenes bit-equal
+    # to the reference quirk. (Documented parity deviation: sky only.)
+    diff_origin = offset_pos if scene.sky is not None else ip
+    new_origin = offset_pos.where(spec, trans_origin.where(trans, diff_origin))
 
     can_bounce = bounces_left > jnp.uint32(1)
     cont = alive & can_bounce

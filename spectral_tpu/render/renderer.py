@@ -292,15 +292,32 @@ def scene_digest(arrays: SceneArrays, config: RenderConfig) -> str:
     """Content hash of a flattened scene snapshot + render config.
 
     Stored in checkpoints: two scenes that flatten to the same arrays
-    render identically, so equal digests are exactly the resumable set."""
+    render identically, so equal digests are exactly the resumable set.
+
+    ``None`` and static (Python-scalar) fields hash a type-tagged repr,
+    never ``np.asarray``: ``np.asarray(None)`` is a 0-d object array whose
+    bytes are the interpreter's ``None`` pointer — different per process
+    under ASLR, which silently refused every cross-process ``--resume``.
+    (Digests produced by that scheme were process-unique and therefore
+    never resumable anyway, so no migration path exists: old checkpoints
+    get the explicit different-scene error.)"""
     import hashlib
 
     h = hashlib.sha256()
+    h.update(b"spectral_tpu-digest-v2:")
     h.update(repr(config).encode())
     for field in dataclasses.fields(arrays):
-        a = np.asarray(getattr(arrays, field.name))
+        v = getattr(arrays, field.name)
         h.update(field.name.encode())
+        if v is None:
+            h.update(b"<none>")
+            continue
+        if isinstance(v, (bool, int, float, str, tuple)):
+            h.update(repr(v).encode())
+            continue
+        a = np.asarray(v)
         h.update(str(a.shape).encode())
+        h.update(str(a.dtype).encode())
         h.update(a.tobytes())
     return h.hexdigest()
 

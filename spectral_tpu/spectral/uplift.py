@@ -43,8 +43,11 @@ def _color_matrix(lo: float, hi: float, n: int) -> np.ndarray:
     Samples past the float-walk's row count (K may be n-1, see
     ``xyz_integration_weights``) get zero columns — they are invisible to
     the color integral; the smoothness objective extrapolates them.
+    The walk can also emit K > n rows; rows beyond n read zero-padded
+    samples in the host path (``rgb_from_samples_host`` pads for exactly
+    this), so truncating the weight matrix to n is exact.
     """
-    weights = xyz_integration_weights(lo, hi, n)  # [K, 3], K <= n
+    weights = xyz_integration_weights(lo, hi, n)[:n]  # [K, 3], K <= n
     m = np.zeros((3, n), dtype=np.float64)
     m[:, : weights.shape[0]] = (
         XYZ_TO_RGB_MATRIX.astype(np.float64) @ weights.astype(np.float64).T

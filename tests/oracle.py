@@ -429,8 +429,14 @@ class OracleRenderer:
                     received = (received + adjusted).astype(F)
             if max_bounces > 1:
                 nd = global_space_random_bounce_direction(rx, ry, normal)
+                # diffuse child at the UN-offset hit point (reference quirk
+                # src/shader.rs:444) — except sky scenes, where the
+                # self-hit coin-flip must be deterministic (same static
+                # gate as integrator.py / megakernel.py)
+                d_origin = new_pos if self.sky is not None else ip
                 spec, _hit, _hd = self.submit_ray(
-                    ip, norm(nd), max_bounces - 1, px, py, frame_id, hero=hero
+                    d_origin, norm(nd), max_bounces - 1, px, py, frame_id,
+                    hero=hero,
                 )
                 received = (received + np.maximum(spec, F(0.0))).astype(F)
 

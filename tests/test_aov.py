@@ -98,3 +98,43 @@ def test_cli_render_aovs_flag(tmp_path):
     assert (tmp_path / "img.png").exists()
     assert (tmp_path / "aovs" / "normal.npy").exists()
     assert (tmp_path / "aovs" / "depth.png").exists()
+
+
+def test_save_aovs_exr_multilayer(tmp_path):
+    """All AOVs + beauty land in ONE multi-layer EXR, f32 bit-exact."""
+    from spectral_tpu.render.aov import save_aovs_exr
+    from tests.test_exr import _read_exr
+
+    aovs = compute_aovs(_scene())
+    beauty = np.random.default_rng(0).random(
+        aovs["normal"].shape[:2] + (4,)
+    ).astype(np.float32)
+    p = save_aovs_exr(aovs, tmp_path / "ml.exr", beauty=beauty)
+    planes, channels, _ = _read_exr(p)
+    names = {n for n, _ in channels}
+    assert {b"R", b"G", b"B", b"A", b"depth.Z", b"normal.R",
+            b"albedo.G", b"obj_id.Z"} <= names
+    np.testing.assert_array_equal(planes[b"depth.Z"], aovs["depth"])
+    np.testing.assert_array_equal(planes[b"normal.G"],
+                                  aovs["normal"][..., 1])
+    np.testing.assert_array_equal(planes[b"R"], beauty[..., 0])
+    np.testing.assert_array_equal(
+        planes[b"obj_id.Z"], aovs["obj_id"].astype(np.float32)
+    )
+
+
+def test_cli_render_aovs_exr_flag(tmp_path):
+    from spectral_tpu.cli import main
+    from tests.test_exr import _read_exr
+
+    rc = main([
+        "render", "--preset", "default", "--width", "16", "--height", "12",
+        "--iterations", "1", "--bounces", "2", "--quiet",
+        "--out", str(tmp_path / "img.png"),
+        "--aovs", str(tmp_path / "render.exr"),
+    ])
+    assert rc == 0
+    planes, channels, (w, h) = _read_exr(tmp_path / "render.exr")
+    assert (w, h) == (16, 12)
+    assert b"depth.Z" in dict(channels)
+    assert b"R" in dict(channels)  # beauty pass present

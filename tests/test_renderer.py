@@ -93,6 +93,33 @@ def test_checkpoint_rejects_different_scene(tmp_path):
     assert same.next_frame == 1
 
 
+def test_scene_digest_stable_across_processes():
+    """The digest must be a pure content hash: identical in fresh
+    interpreters. (Regression: ``np.asarray(None)`` hashed the ``None``
+    PyObject pointer — different per process under ASLR — so every
+    cross-process ``--resume`` of a sky-less scene was refused.)"""
+    import subprocess
+    import sys
+
+    prog = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "from spectral_tpu.scene.presets import default_scene\n"
+        "from spectral_tpu.scene.flatten import flatten_scene\n"
+        "from spectral_tpu.render.renderer import scene_digest\n"
+        "a, c = flatten_scene(default_scene())\n"
+        "assert a.sky is None\n"
+        "print(scene_digest(a, c))\n"
+    )
+    outs = [
+        subprocess.run(
+            [sys.executable, "-c", prog],
+            capture_output=True, text=True, check=True, cwd="/root/repo",
+        ).stdout.strip()
+        for _ in range(2)
+    ]
+    assert outs[0] == outs[1] and len(outs[0]) == 64
+
+
 def test_checkpoint_without_digest_warns(tmp_path):
     """Pre-fingerprint checkpoints load with a warning, not an error."""
     r = Renderer(_small_scene(iters=4))

@@ -242,6 +242,9 @@ def test_json_round_trip(tmp_path):
     sc_nosky = _open_scene(with_sky=False)
     p2 = tmp_path / "nosky.json"
     sceneio.save_scene(sc_nosky, p2)
-    d = p2.read_text()
-    assert '"sky"' not in d
+    import json
+
+    # top-level key absent (a SPECTRUM named "sky" is still in the file,
+    # so a substring check would false-positive)
+    assert "sky" not in json.loads(p2.read_text())
     assert sceneio.load_scene(p2).sky is None
