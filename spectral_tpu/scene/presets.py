@@ -318,10 +318,31 @@ def mesh_demo(n_samples: int = NBR_OF_SPECTRUM_SAMPLES_DEFAULT) -> Scene:
     return scene
 
 
+def measured_sun(n_samples: int = NBR_OF_SPECTRUM_SAMPLES_DEFAULT) -> Scene:
+    """The default scene relit by the MEASURED solar table instead of the
+    6500 K blackbody workaround — the reference's dead data
+    (``src/spectral_data.rs:31``, bypassed at ``src/spectrum.rs:73-96``)
+    un-deadened. Geometry and every other value match ``default_scene``;
+    only the two Solar light spectra switch type."""
+    from spectral_tpu.scene.schema import MeasuredSolar, Solar
+
+    scene = default_scene(n_samples)
+    for sp in scene.spectra:
+        if isinstance(sp.spectrum_type, Solar):
+            sp.spectrum_type = MeasuredSolar(sp.spectrum_type.factor)
+            sp.regenerate(
+                sp.spectrum.lowest_wavelength,
+                sp.spectrum.highest_wavelength,
+                sp.spectrum.nbr_of_samples,
+            )
+    return scene
+
+
 PRESETS = {
     "default": default_scene,
     "cornell": cornell_box,
     "prism": prism,
     "spheres": sphere_field,
     "mesh": mesh_demo,
+    "measured_sun": measured_sun,
 }

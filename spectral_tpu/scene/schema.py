@@ -63,6 +63,18 @@ class Solar:
 
 
 @dataclasses.dataclass(frozen=True)
+class MeasuredSolar:
+    """Measured solar spectrum from the shipped irradiance table — the
+    data the reference embeds but bypasses with a 6500 K blackbody
+    (``src/spectral_data.rs:31``; bypass ``src/spectrum.rs:73-96``).
+    ``Solar`` keeps the blackbody workaround for behavior compatibility;
+    this type is the un-deadened measured curve, radiance-normalized to
+    the workaround's brightness so the two are drop-in interchangeable."""
+
+    factor: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
 class PlainReflective:
     factor: float = 0.0
 
@@ -89,7 +101,7 @@ class ReflectiveBlue:
 
 
 SpectrumType = Union[
-    Custom, Solar, PlainReflective, Temperature,
+    Custom, Solar, MeasuredSolar, PlainReflective, Temperature,
     ReflectiveRed, ReflectiveGreen, ReflectiveBlue,
 ]
 
@@ -109,6 +121,10 @@ def _regenerate(
         return out
     if isinstance(spectrum_type, Solar):
         return Spectrum.new_sunlight_spectrum(lo, hi, n, spectrum_type.factor)
+    if isinstance(spectrum_type, MeasuredSolar):
+        return Spectrum.new_measured_solar_spectrum(
+            lo, hi, n, spectrum_type.factor
+        )
     if isinstance(spectrum_type, PlainReflective):
         return Spectrum.new_singular_reflectance_factor(lo, hi, n, spectrum_type.factor)
     if isinstance(spectrum_type, Temperature):

@@ -117,6 +117,50 @@ class Spectrum:
         )
 
     @staticmethod
+    def new_measured_solar_spectrum(
+        lowest_wavelength: float, highest_wavelength: float,
+        nbr_of_samples: int, multiplier: float = 1.0,
+        normalize: bool = True,
+    ) -> "Spectrum":
+        """MEASURED solar spectrum from the shipped 2,399-entry table —
+        the data the reference embeds but bypasses (table
+        ``src/spectral_data.rs:31``, bypass ``src/spectrum.rs:73-96``),
+        un-deadened here as a first-class constructor. Lookup uses the
+        table's reversed-lerp compat semantics
+        (:func:`spectral_tpu.spectral.solar.get_sunlight_intensity`).
+
+        The raw table is spectral irradiance (~2 W/m^2/nm at peak) while
+        the blackbody workaround the rest of the framework is calibrated
+        against sits ~2e4x higher, so with ``normalize=True`` (default)
+        the curve is scaled to match the 6500 K workaround's
+        ``get_radiance`` at the same sampling — a drop-in replacement
+        with measured SHAPE and compatible brightness. ``normalize=False``
+        returns raw table units. Padding slots beyond ``nbr_of_samples``
+        hold real values, mirroring ``new_temperature_spectrum``.
+        """
+        from spectral_tpu.spectral.solar import get_sunlight_intensity
+
+        lo, hi = F32(lowest_wavelength), F32(highest_wavelength)
+        step = F32(F32(hi - lo) / F32(nbr_of_samples - 1))
+        arr = np.zeros(NBR_OF_SAMPLES_MAX, dtype=F32)
+        for i in range(NBR_OF_SAMPLES_MAX):
+            w = F32(lo + F32(step * F32(i)))
+            arr[i] = F32(get_sunlight_intensity(float(w)))
+        out = Spectrum(nbr_of_samples, float(lo), float(hi), arr)
+        scale = F32(multiplier)
+        if normalize:
+            raw_radiance = F32(out.get_radiance())
+            if raw_radiance > 0.0:
+                workaround = Spectrum.new_sunlight_spectrum(
+                    float(lo), float(hi), nbr_of_samples, 1.0
+                )
+                scale = F32(
+                    scale * F32(F32(workaround.get_radiance()) / raw_radiance)
+                )
+        out.intensities = (out.intensities * scale).astype(F32)
+        return out
+
+    @staticmethod
     def new_normalized_white(
         lowest_wavelength: float, highest_wavelength: float, nbr_of_samples: int
     ) -> "Spectrum":

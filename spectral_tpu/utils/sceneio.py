@@ -20,6 +20,7 @@ from spectral_tpu.scene import schema as S
 _SPECTRUM_TYPES = {
     "custom": S.Custom,
     "solar": S.Solar,
+    "measured_solar": S.MeasuredSolar,
     "plain_reflective": S.PlainReflective,
     "temperature": S.Temperature,
     "reflective_red": S.ReflectiveRed,

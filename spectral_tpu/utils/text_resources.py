@@ -64,6 +64,12 @@ HELP = {
         "Matches the reference's 6500 K blackbody workaround (its measured "
         "solar table is shipped but bypassed, like upstream)."
     ),
+    "spectrum.measured_solar": (
+        "Emission spectrum sampled from the MEASURED solar irradiance "
+        "table (the data the reference ships but never uses), scaled by a "
+        "brightness factor and radiance-normalized to the Solar "
+        "workaround's output so the two swap cleanly."
+    ),
     "spectrum.temperature": (
         "Blackbody (Planck) emission spectrum for a temperature in Kelvin, "
         "scaled by a brightness factor."

@@ -296,3 +296,110 @@ def test_normalize_leaves_padding_untouched():
     pad_before = s.intensities[32:].copy()
     out = s.normalize()
     assert np.array_equal(out.intensities[32:], pad_before)
+
+
+class TestMeasuredSolar:
+    # golden values copied BY HAND from the reference source table
+    # (/root/reference/src/spectral_data.rs:31, entry i = (i+1) nm) —
+    # independent of the shipped .npy asset
+    RUST_GOLDENS = {
+        1: 0.000006,
+        380: 1.1771,
+        500: 1.9377999,
+        550: 1.8733001,
+        780: 1.1626,
+        2399: 0.061981,
+    }
+
+    def test_table_matches_rust_source_goldens(self):
+        t = solar.sunlight_spectrum_table()
+        for nm, want in self.RUST_GOLDENS.items():
+            assert t[nm - 1] == np.float32(want), nm
+
+    def test_lookup_midpoint_reversed_lerp_golden(self):
+        # midpoint between two hand-copied values with the reference's
+        # REVERSED weights: lower*fract + upper*(1-fract)
+        lo = np.float32(self.RUST_GOLDENS[500])
+        hi = np.float32(t501 := solar.sunlight_spectrum_table()[500])
+        got = solar.get_sunlight_intensity(500.25)
+        want = np.float32(lo * np.float32(0.25)) + np.float32(
+            hi * np.float32(0.75)
+        )
+        assert got == pytest.approx(float(want), rel=1e-6)
+        assert hi == t501  # lock the neighbor too
+
+    def test_constructor_shape_and_normalization(self):
+        s = Spectrum.new_measured_solar_spectrum(LO, HI, 32, 1.0)
+        w = Spectrum.new_sunlight_spectrum(LO, HI, 32, 1.0)
+        # radiance-normalized: drop-in brightness for the workaround
+        assert s.get_radiance() == pytest.approx(w.get_radiance(), rel=1e-4)
+        # but the SHAPE is the measured curve, not a blackbody: the
+        # measured spectrum dips where the blackbody is smooth
+        ratio = s.values / w.values
+        assert ratio.max() / ratio.min() > 1.2
+        # raw units: the table's own W/m^2/nm scale
+        raw = Spectrum.new_measured_solar_spectrum(
+            LO, HI, 32, 1.0, normalize=False
+        )
+        mid = solar.get_sunlight_intensity(float(raw.lowest_wavelength))
+        assert raw.values[0] == np.float32(mid)
+        assert raw.values.max() < 3.0
+
+    def test_factor_scales(self):
+        a = Spectrum.new_measured_solar_spectrum(LO, HI, 16, 1.0)
+        b = Spectrum.new_measured_solar_spectrum(LO, HI, 16, 2.0)
+        np.testing.assert_allclose(b.values, a.values * 2.0, rtol=1e-6)
+
+    def test_scene_spectrum_and_json_round_trip(self, tmp_path):
+        from spectral_tpu.scene.schema import (
+            Light, MeasuredSolar, Scene, SceneSpectrum, SpectrumEffectType,
+        )
+        from spectral_tpu.utils import sceneio
+
+        sun = SceneSpectrum.new(
+            "real sun", MeasuredSolar(1.5), SpectrumEffectType.EMISSIVE,
+            n=16,
+        )
+        sc = Scene(
+            width=8, height=8, nbr_of_iterations=1,
+            lights=[Light((0.0, 5.0, 0.0), sun, "sun")],
+            objects=[], spectra=[sun], materials=[],
+            spectrum_number_of_samples=16,
+        )
+        sc.validate()
+        p = tmp_path / "sun.json"
+        sceneio.save_scene(sc, p)
+        back = sceneio.load_scene(p)
+        assert isinstance(back.spectra[0].spectrum_type, MeasuredSolar)
+        assert back.spectra[0].spectrum_type.factor == 1.5
+        np.testing.assert_array_equal(
+            back.spectra[0].spectrum.values, sun.spectrum.values
+        )
+
+    def test_renders_under_measured_sun(self):
+        """End-to-end: the default scene relit by the measured sun renders
+        to a comparable (same order of magnitude) brightness."""
+        from spectral_tpu.render.integrator import integrate_frame
+        from spectral_tpu.scene import presets
+        from spectral_tpu.scene.flatten import flatten_scene
+        from spectral_tpu.scene.schema import MeasuredSolar
+
+        sc = presets.default_scene()
+        sc.width, sc.height = 16, 12
+        sc.nbr_of_ray_bounces = 2
+        base_arrays, cfg = flatten_scene(sc)
+        base = np.asarray(integrate_frame(base_arrays, cfg, np.uint32(0)))
+        for sp in sc.spectra:
+            from spectral_tpu.scene.schema import Solar
+
+            if isinstance(sp.spectrum_type, Solar):
+                sp.spectrum_type = MeasuredSolar(sp.spectrum_type.factor)
+                sp.regenerate(
+                    sp.spectrum.lowest_wavelength,
+                    sp.spectrum.highest_wavelength,
+                    sp.spectrum.nbr_of_samples,
+                )
+        arrays, cfg = flatten_scene(sc)
+        got = np.asarray(integrate_frame(arrays, cfg, np.uint32(0)))
+        assert got.max() > 0.0
+        assert 0.2 < got.max() / base.max() < 5.0
