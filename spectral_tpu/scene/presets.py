@@ -318,6 +318,26 @@ def mesh_demo(n_samples: int = NBR_OF_SPECTRUM_SAMPLES_DEFAULT) -> Scene:
     return scene
 
 
+def mesh5k(
+    n_samples: int = NBR_OF_SPECTRUM_SAMPLES_DEFAULT,
+    subdivisions: int = 4,
+) -> Scene:
+    """Production-scale mesh config: ``mesh_demo``'s Cornell room, but the
+    mirror icosphere subdivided to 20 * 4^subdivisions faces (default
+    5,120) and the icosahedron to 1,280 — ~6.4k triangle rows total, the
+    many-object stress case for the clustered object loop."""
+    from spectral_tpu.scene.mesh import icosphere
+
+    scene = mesh_demo(n_samples)
+    mirror = scene.objects[5]
+    assert mirror.name == "Mirror icosphere"
+    mirror.object_type = icosphere(0.55, subdivisions)
+    blue = scene.objects[6]
+    assert blue.name == "Blue icosahedron"
+    blue.object_type = icosphere(0.38, subdivisions - 1)
+    return scene
+
+
 def measured_sun(n_samples: int = NBR_OF_SPECTRUM_SAMPLES_DEFAULT) -> Scene:
     """The default scene relit by the MEASURED solar table instead of the
     6500 K blackbody workaround — the reference's dead data
@@ -344,5 +364,6 @@ PRESETS = {
     "prism": prism,
     "spheres": sphere_field,
     "mesh": mesh_demo,
+    "mesh5k": mesh5k,
     "measured_sun": measured_sun,
 }

@@ -21,6 +21,18 @@ lands, a progress bar + timing labels, and an Abort button
                        frame boundary: the render restarts progressive
                        accumulation with the new scene, exactly like
                        pressing Start after editing in the reference UI
+* ``GET /spectra``   — per-spectrum editor state: wavelengths, sample
+                       values, editability, preview colors and radiance
+                       (the reference's Spectra right panel,
+                       ``src/main.rs:894-1064``)
+* ``POST /spectrum/preview`` — live preview: candidate sample values in,
+                       observed/normalized/reflected colors out, WITHOUT
+                       touching the render (the reference recomputes its
+                       color squares every frame while sliders move)
+* ``POST /spectrum`` — apply edited samples to one Custom spectrum
+                       (validated like ``SceneSpectrum.edit``; restarts
+                       accumulation at the next frame boundary — the
+                       reference's Save button, ``src/main.rs:902``)
 
 The render thread pushes frames via :meth:`LiveViewer.update` and polls
 :meth:`LiveViewer.take_scene_edit` between frames; the server thread only
@@ -58,6 +70,32 @@ _PAGE = """<!doctype html>
  <button style="background:#444" onclick="loadScene()">Reload from server</button>
  <span id="editmsg"></span>
 </details>
+<details style="margin-top:1em"><summary>Spectrum editor (live previews)</summary>
+ <p>
+  <select id="spsel" onchange="pickSpectrum()"
+   style="background:#181818;color:#cdc;border:1px solid #444;font:inherit">
+  </select>
+  <span id="spkind"></span>
+ </p>
+ <div style="display:flex;gap:1em;margin:.5em 0">
+  <div><div id="sw_observed" class="swatch"></div>observed</div>
+  <div><div id="sw_normalized" class="swatch"></div>normalized</div>
+  <div id="reflbox" style="display:none">
+   <div id="sw_reflected" class="swatch"></div>reflected</div>
+ </div>
+ <div id="spradiance"></div>
+ <div id="sliders" style="max-height:40vh;overflow-y:auto;margin:.6em 0">
+ </div>
+ <button style="background:#272" onclick="applySpectrum()"
+  id="spapply">Save spectrum (restarts render)</button>
+ <span id="spmsg"></span>
+</details>
+<style>
+ .swatch { width: 90px; height: 40px; border: 1px solid #888;
+           text-align: center; line-height: 40px; }
+ .srow { display: flex; gap: .6em; align-items: center; }
+ .srow input[type=range] { width: 300px; }
+</style>
 <script>
  async function tick() {
    try {
@@ -85,7 +123,70 @@ _PAGE = """<!doctype html>
      method: 'POST', body: document.getElementById('scene').value});
    document.getElementById('editmsg').textContent = await r.text();
  }
- setInterval(tick, 1000); tick(); loadScene();
+ let SPECTRA = [], SPI = 0, previewTimer = null;
+ function hex(c) {
+   const b = v => Math.max(0, Math.min(255,
+     Math.round(Math.max(0, Math.min(1, v)) * 255)));
+   return '#' + [b(c[0]), b(c[1]), b(c[2])].map(
+     v => v.toString(16).padStart(2, '0')).join('');
+ }
+ function paint(p) {
+   for (const k of ['observed', 'normalized', 'reflected']) {
+     const el = document.getElementById('sw_' + k);
+     if (p[k]) { el.style.background = hex(p[k]);
+                 el.textContent = hex(p[k]); }
+   }
+   document.getElementById('reflbox').style.display =
+     p.reflected ? 'block' : 'none';
+ }
+ async function loadSpectra() {
+   SPECTRA = await (await fetch('/spectra')).json();
+   const sel = document.getElementById('spsel');
+   sel.innerHTML = SPECTRA.map((s, i) =>
+     `<option value="${i}">${s.name} (${s.kind}, ${s.effect})</option>`
+   ).join('');
+   sel.value = SPI = Math.min(SPI, SPECTRA.length - 1);
+   pickSpectrum();
+ }
+ function pickSpectrum() {
+   SPI = +document.getElementById('spsel').value;
+   const s = SPECTRA[SPI];
+   document.getElementById('spkind').textContent = s.editable ? ''
+     : '(generated type: sliders read-only, like upstream)';
+   document.getElementById('spapply').disabled = !s.editable;
+   document.getElementById('spradiance').textContent =
+     `radiance ${s.radiance.toFixed(4)} W/sr/m^2`;
+   document.getElementById('sliders').innerHTML = s.wavelengths.map(
+     (w, i) => `<div class="srow"><span>${w.toFixed(2)}nm</span>
+      <input type="range" min="0" max="${s.slider_max}" step="0.001"
+       value="${s.values[i]}" ${s.editable ? '' : 'disabled'}
+       oninput="slid(${i}, this.value)">
+      <span id="sv${i}">${s.values[i].toFixed(3)}</span></div>`
+   ).join('');
+   paint(s.previews);
+ }
+ function slid(i, v) {
+   SPECTRA[SPI].values[i] = +v;
+   document.getElementById('sv' + i).textContent = (+v).toFixed(3);
+   clearTimeout(previewTimer);
+   previewTimer = setTimeout(livePreview, 150);
+ }
+ async function livePreview() {
+   const r = await fetch('/spectrum/preview', {method: 'POST',
+     body: JSON.stringify({index: SPI, values: SPECTRA[SPI].values})});
+   if (r.ok) {
+     const p = await r.json();
+     paint(p.previews);
+     document.getElementById('spradiance').textContent =
+       `radiance ${p.radiance.toFixed(4)} W/sr/m^2`;
+   }
+ }
+ async function applySpectrum() {
+   const r = await fetch('/spectrum', {method: 'POST',
+     body: JSON.stringify({index: SPI, values: SPECTRA[SPI].values})});
+   document.getElementById('spmsg').textContent = await r.text();
+ }
+ setInterval(tick, 1000); tick(); loadScene(); loadSpectra();
 </script></body></html>"""
 
 
@@ -138,6 +239,14 @@ class LiveViewer:
                     else:
                         self._send(200, "application/json",
                                    json.dumps(scene).encode())
+                elif path == "/spectra":
+                    try:
+                        body = viewer._spectra_state()
+                    except Exception as e:
+                        self._send(404, "text/plain", str(e).encode())
+                        return
+                    self._send(200, "application/json",
+                               json.dumps(body).encode())
                 else:
                     self._send(404, "text/plain", b"not found")
 
@@ -159,6 +268,31 @@ class LiveViewer:
                     self._send(
                         200, "text/plain",
                         b"scene accepted; the render restarts with it at "
+                        b"the next frame boundary",
+                    )
+                elif self.path == "/spectrum/preview":
+                    length = int(self.headers.get("Content-Length", 0))
+                    raw = self.rfile.read(length)
+                    try:
+                        body = viewer._spectrum_preview(json.loads(raw))
+                    except Exception as e:
+                        self._send(400, "text/plain",
+                                   f"preview rejected: {e}".encode())
+                        return
+                    self._send(200, "application/json",
+                               json.dumps(body).encode())
+                elif self.path == "/spectrum":
+                    length = int(self.headers.get("Content-Length", 0))
+                    raw = self.rfile.read(length)
+                    try:
+                        viewer._apply_spectrum_edit(json.loads(raw))
+                    except Exception as e:  # bounds / legality -> 400
+                        self._send(400, "text/plain",
+                                   f"spectrum rejected: {e}".encode())
+                        return
+                    self._send(
+                        200, "text/plain",
+                        b"spectrum saved; the render restarts with it at "
                         b"the next frame boundary",
                     )
                 else:
@@ -200,6 +334,99 @@ class LiveViewer:
 
         d = sceneio.scene_to_dict(scene)
         with self._lock:
+            self._scene_dict = d
+
+    def _current_scene(self):
+        from spectral_tpu.utils import sceneio
+
+        with self._lock:
+            d = self._scene_dict
+        if d is None:
+            raise LookupError("no scene published")
+        return sceneio.scene_from_dict(d)
+
+    def _spectra_state(self) -> list:
+        """Per-spectrum editor state (the reference's Spectra right panel,
+        src/main.rs:894-1064): wavelengths + values for the sliders,
+        editability (Custom only), the reference's slider bound (2x the
+        max for emissive, 1.0 for reflective), preview colors, radiance."""
+        from spectral_tpu.scene.schema import Custom, SpectrumEffectType
+
+        scene = self._current_scene()
+        out = []
+        for sp in scene.spectra:
+            s = sp.spectrum
+            n = s.nbr_of_samples
+            vals = [float(v) for v in s.intensities[:n]]
+            emissive = sp.effect_type == SpectrumEffectType.EMISSIVE
+            out.append({
+                "name": sp.name,
+                "kind": type(sp.spectrum_type).__name__,
+                "effect": sp.effect_type.value,
+                "editable": isinstance(sp.spectrum_type, Custom),
+                "wavelengths": [float(w) for w in s.get_wavelengths()],
+                "values": vals,
+                "slider_max": (
+                    max(max(vals) * 2.0, 0.01) if emissive else 1.0
+                ),
+                "previews": {
+                    k: [float(c) for c in rgb]
+                    for k, rgb in sp.preview_colors().items()
+                },
+                "radiance": float(s.get_radiance()),
+            })
+        return out
+
+    def _spectrum_preview(self, body: dict) -> dict:
+        """Live preview for candidate sample values — computed on a scratch
+        copy, never touching the published scene or the render."""
+        import numpy as np
+
+        from spectral_tpu.scene.schema import SceneSpectrum
+        from spectral_tpu.spectral.spectrum import Spectrum
+
+        scene = self._current_scene()
+        sp = scene.spectra[int(body["index"])]
+        vals = np.asarray(body["values"], dtype=np.float32)
+        s = sp.spectrum
+        if vals.shape != (s.nbr_of_samples,):
+            raise ValueError(
+                f"expected {s.nbr_of_samples} samples, got {vals.shape}"
+            )
+        if not np.isfinite(vals).all() or (vals < 0.0).any():
+            raise ValueError("samples must be finite and non-negative")
+        scratch = SceneSpectrum(
+            sp.name, sp.spectrum_type, sp.effect_type,
+            Spectrum.new_from_list(
+                vals, s.lowest_wavelength, s.highest_wavelength,
+                s.nbr_of_samples,
+            ),
+        )
+        return {
+            "previews": {
+                k: [float(c) for c in rgb]
+                for k, rgb in scratch.preview_colors().items()
+            },
+            "radiance": float(scratch.spectrum.get_radiance()),
+        }
+
+    def _apply_spectrum_edit(self, body: dict) -> None:
+        """The reference's Save button (src/main.rs:902): validate the
+        sample edit (``SceneSpectrum.edit`` bounds), re-validate the whole
+        scene, queue it for the next frame boundary, and update the
+        published JSON so the editor reflects the accepted state."""
+        import numpy as np
+
+        from spectral_tpu.utils import sceneio
+
+        scene = self._current_scene()
+        scene.spectra[int(body["index"])].edit(
+            np.asarray(body["values"], dtype=np.float32)
+        )
+        scene.validate()
+        d = sceneio.scene_to_dict(scene)
+        with self._lock:
+            self._pending_scene = scene
             self._scene_dict = d
 
     def take_scene_edit(self):

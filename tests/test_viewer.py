@@ -246,3 +246,114 @@ def test_cli_serve_scene_edit_restarts(tmp_path):
     from PIL import Image
 
     assert np.asarray(Image.open(out)).shape[0] == 16  # edited height
+
+
+def test_viewer_spectrum_editor_endpoints():
+    """GET /spectra lists editor state; POST /spectrum/preview computes
+    live colors without touching the scene; POST /spectrum validates and
+    queues the edit (the reference's right panel, src/main.rs:894-1064)."""
+    from spectral_tpu.scene import presets
+    from spectral_tpu.scene.schema import (
+        Custom, SceneSpectrum, SpectrumEffectType,
+    )
+
+    v = LiveViewer(port=0)
+    try:
+        scene = presets.default_scene()
+        # add an editable Custom reflective spectrum
+        custom = SceneSpectrum.new(
+            "my custom", Custom(), SpectrumEffectType.REFLECTIVE,
+            n=scene.spectrum_number_of_samples,
+            values=np.full(scene.spectrum_number_of_samples, 0.25,
+                           np.float32),
+        )
+        scene.spectra.append(custom)
+        v.publish_scene(scene)
+
+        status, body = _get(v.url + "spectra")
+        assert status == 200
+        spectra = json.loads(body)
+        assert len(spectra) == len(scene.spectra)
+        mine = spectra[-1]
+        assert mine["name"] == "my custom" and mine["editable"]
+        assert len(mine["wavelengths"]) == len(mine["values"])
+        assert mine["slider_max"] == 1.0  # reflective bound
+        # reflective spectra get all three preview squares
+        assert set(mine["previews"]) == {
+            "observed", "normalized", "reflected"
+        }
+        # generated types are read-only, like upstream
+        solarish = spectra[0]
+        assert not solarish["editable"]
+        assert solarish["slider_max"] > 0.01  # emissive: 2x max
+
+        # live preview: doubled values brighten the reflected color and
+        # do NOT modify the published scene
+        cand = [min(1.0, 2 * x) for x in mine["values"]]
+        req = urllib.request.Request(
+            v.url + "spectrum/preview",
+            data=json.dumps(
+                {"index": len(spectra) - 1, "values": cand}
+            ).encode(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=10) as r:
+            p = json.loads(r.read())
+        assert p["previews"]["reflected"][1] > mine["previews"]["reflected"][1]
+        assert json.loads(_get(v.url + "spectra")[1])[-1]["values"] == mine[
+            "values"
+        ]
+
+        # invalid edit: reflective sample > 1 -> 400, nothing queued
+        bad = list(mine["values"])
+        bad[0] = 2.0
+        req = urllib.request.Request(
+            v.url + "spectrum",
+            data=json.dumps(
+                {"index": len(spectra) - 1, "values": bad}
+            ).encode(),
+            method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=10) as r:
+                status = r.status
+        except urllib.error.HTTPError as e:
+            status = e.code
+        assert status == 400
+        assert not v.scene_edit_pending()
+
+        # editing a generated spectrum is refused (reference disables
+        # those sliders)
+        req = urllib.request.Request(
+            v.url + "spectrum",
+            data=json.dumps({"index": 0, "values": cand}).encode(),
+            method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=10) as r:
+                status = r.status
+        except urllib.error.HTTPError as e:
+            status = e.code
+        assert status == 400
+
+        # valid edit: queued for the frame boundary + published state
+        # reflects it immediately
+        req = urllib.request.Request(
+            v.url + "spectrum",
+            data=json.dumps(
+                {"index": len(spectra) - 1, "values": cand}
+            ).encode(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=10) as r:
+            assert r.status == 200
+        assert v.scene_edit_pending()
+        edited = v.take_scene_edit()
+        np.testing.assert_allclose(
+            edited.spectra[-1].spectrum.values, np.asarray(cand, np.float32)
+        )
+        assert json.loads(_get(v.url + "spectra")[1])[-1]["values"] == [
+            float(np.float32(x)) for x in cand
+        ]
+    finally:
+        v.close()
