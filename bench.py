@@ -103,6 +103,19 @@ def _make_scene(name: str):
             "mesh preset 512x512 (340 triangle rows), 32 lambda, "
             "30 bounces, clustered fori megakernel"
         )
+    if name == "mesh5k":
+        # beyond-BASELINE config (opt-in): the production-scale mesh —
+        # ~6.4k triangle rows (5,120-face mirror icosphere + 1,280-face
+        # icosahedron) on the clustered fori loop; the [GEOM_COLS, O]
+        # SMEM transpose exists for this config (megakernel.pack_geometry)
+        scene = presets.PRESETS["mesh5k"]()
+        scene.width = scene.height = 512
+        scene.nbr_of_ray_bounces = 30
+        scene.nbr_of_iterations = 100
+        return scene, (
+            "mesh5k preset 512x512 (~6.4k triangle rows), 32 lambda, "
+            "30 bounces, clustered fori megakernel"
+        )
     raise SystemExit(f"unknown bench config {name!r}")
 
 
@@ -126,6 +139,7 @@ _REGEN = {
     "prism": (100, 4096),
     "spheres": (100, 4096),
     "mesh": (100, 4096),
+    "mesh5k": (100, 4096),
 }
 
 
@@ -304,6 +318,36 @@ def main(config_name: str = "cornell512", tile: int | None = None) -> None:
     # only remove work) vs the v5e VPU peak — see utils/flops.py
     from spectral_tpu.utils.flops import kernel_ops, roofline
 
+    # clustered configs: MEASURE the visit fractions by exact replay of
+    # the kernel's cluster walks (tools/visit_replay.py) on one counted
+    # frame — the dense assumption overstates executed member tests by
+    # 3-6x on the many-object configs. Tile subsampling keeps this to a
+    # few seconds; the replay models the per-frame walk (the regen
+    # kernel's realized fractions lie between this and dense).
+    visit_fracs = None
+    if clusters is not None:
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "tools"))
+        from visit_replay import replay_frame
+
+        rec = jax.device_get(
+            jax.jit(
+                lambda s, f: integrate_frame(
+                    s, config, f, return_bounce_rays=True
+                )[1]
+            )(arrays, jnp.uint32(sample_frames[0]))
+        )
+        vr, dtr, dsh = replay_frame(
+            arrays, clusters, rec, (4096,), config.n_lights, tile_stride=4
+        )
+        visit_fracs = {
+            "trace": vr[4096]["trace_exec"] / max(dtr, 1.0),
+            "shadow": vr[4096]["shadow_exec"] / max(dsh, 1.0),
+        }
+
     ops_kw = dict(
         n_materials=int(np.asarray(arrays.mat_scalars).shape[0]),
         clusters=clusters, has_transmission=has_trans,
@@ -320,6 +364,14 @@ def main(config_name: str = "cornell512", tile: int | None = None) -> None:
         config, obj_types, bounce_iters=float(occ_frac.sum()), **ops_kw
     )
     rl_lo = roofline(ops_lo.per_frame, dt / n_frames)
+    rl_meas = None
+    if visit_fracs is not None:
+        ops_meas = kernel_ops(
+            config, obj_types,
+            visited_fraction=visit_fracs["trace"],
+            visited_fraction_shadow=visit_fracs["shadow"], **ops_kw
+        )
+        rl_meas = roofline(ops_meas.per_frame, dt / n_frames)
     print(
         json.dumps(
             {
@@ -353,6 +405,21 @@ def main(config_name: str = "cornell512", tile: int | None = None) -> None:
                     "pct_vpu_peak_regen_lower": round(
                         rl_lo["pct_vpu_peak"], 2
                     ),
+                    # MEASURED roofline for clustered configs: member
+                    # loops scaled by the replayed visit fractions
+                    # (tools/visit_replay.py) instead of counted dense
+                    "pct_vpu_peak_measured": (
+                        round(rl_meas["pct_vpu_peak"], 2)
+                        if rl_meas is not None else None
+                    ),
+                    "visited_frac_trace": (
+                        round(visit_fracs["trace"], 4)
+                        if visit_fracs is not None else None
+                    ),
+                    "visited_frac_shadow": (
+                        round(visit_fracs["shadow"], 4)
+                        if visit_fracs is not None else None
+                    ),
                     "ops_per_lane_bounce": ops.as_dict(),
                     "roofline_note": (
                         "pct_vpu_peak assumes the full bounce budget every "
@@ -360,7 +427,10 @@ def main(config_name: str = "cornell512", tile: int | None = None) -> None:
                         "assumes zero straggler iterations"
                         + (
                             "; clustered member loops counted dense "
-                            "(every cluster visited)"
+                            "(every cluster visited); _measured scales "
+                            "them by the replayed per-frame visit "
+                            "fractions (regen realized work lies between "
+                            "_measured and the dense bound)"
                             if clusters is not None else ""
                         )
                     ),

@@ -67,7 +67,7 @@ _F32_DELTA = np.float32(1e-5)
 _PI = np.float32(np.pi)
 _INF = np.float32(np.inf)
 
-# geom table column layout ([O, GEOM_COLS] float32)
+# geom table row layout ([GEOM_COLS, O] float32 — transposed, see pack_geometry)
 _SLAB_MIN = 0  # 0-2
 _SLAB_MAX = 3  # 3-5
 _SHIFT = 6  # 6-8: rotbox center / sphere center
@@ -301,7 +301,7 @@ def build_megakernel(
         fn(ox, oy, oz, dx, dy, dz, px, py, frame_id, geom, cbounds,
            albedo, emission, mat_albedo, mat_emission, mat_scalars,
            light_pos, light_spec) -> radiance [S, NP//128, 128]
-        (``cbounds`` is the [n_runs, 8] cluster-bounds table; pass a
+        (``cbounds`` is the [8, n_runs] cluster-bounds table; pass a
         [1, 8] zero dummy when ``cluster_runs`` is None)
         (with ``state_io`` the fn also takes/returns the full wavefront
         state, see ``kernel_seg``; with ``regen_frames`` > 1 the fn takes
@@ -411,8 +411,8 @@ def build_megakernel(
         <=1-ulp divergence.)"""
         ot = obj_types[o]
         if ot == OBJ_SPHERE:
-            spx, spy, spz = geom[o, _SHIFT], geom[o, _SHIFT + 1], geom[o, _SHIFT + 2]
-            rad = geom[o, _RADIUS]
+            spx, spy, spz = geom[_SHIFT, o], geom[_SHIFT + 1, o], geom[_SHIFT + 2, o]
+            rad = geom[_RADIUS, o]
             ocx, ocy, ocz = ox - spx, oy - spy, oz - spz
             a = _dot(dx, dy, dz, dx, dy, dz)
             b = 2.0 * _dot(ocx, ocy, ocz, dx, dy, dz)
@@ -428,10 +428,10 @@ def build_megakernel(
         else:
             if ot == OBJ_ROTATED_BOX:
                 shx, shy, shz = (
-                    geom[o, _SHIFT], geom[o, _SHIFT + 1], geom[o, _SHIFT + 2]
+                    geom[_SHIFT, o], geom[_SHIFT + 1, o], geom[_SHIFT + 2, o]
                 )
                 rx, ry, rz = ox - shx, oy - shy, oz - shz
-                ir = [geom[o, _INV_ROT + k] for k in range(9)]
+                ir = [geom[_INV_ROT + k, o] for k in range(9)]
                 lox = ir[0] * rx + ir[1] * ry + ir[2] * rz
                 loy = ir[3] * rx + ir[4] * ry + ir[5] * rz
                 loz = ir[6] * rx + ir[7] * ry + ir[8] * rz
@@ -443,8 +443,8 @@ def build_megakernel(
                 ldx, ldy, ldz = dx, dy, dz
             t_min, t_max, hit = _slab_t(
                 lox, loy, loz, ldx, ldy, ldz,
-                geom[o, _SLAB_MIN], geom[o, _SLAB_MIN + 1], geom[o, _SLAB_MIN + 2],
-                geom[o, _SLAB_MAX], geom[o, _SLAB_MAX + 1], geom[o, _SLAB_MAX + 2],
+                geom[_SLAB_MIN, o], geom[_SLAB_MIN + 1, o], geom[_SLAB_MIN + 2, o],
+                geom[_SLAB_MAX, o], geom[_SLAB_MAX + 1, o], geom[_SLAB_MAX + 2, o],
             )
             t = jnp.where(t_min >= 0.0, t_min, t_max)
             valid = hit
@@ -487,8 +487,8 @@ def build_megakernel(
             ot = obj_types[o]
             if ot == OBJ_SPHERE:
                 cnx, cny, cnz = _normalize(
-                    ipx - geom[o, _SHIFT], ipy - geom[o, _SHIFT + 1],
-                    ipz - geom[o, _SHIFT + 2],
+                    ipx - geom[_SHIFT, o], ipy - geom[_SHIFT + 1, o],
+                    ipz - geom[_SHIFT + 2, o],
                 )
             elif ot == OBJ_PLAIN_BOX:
                 def axis(p, lo, hi):
@@ -497,9 +497,9 @@ def build_megakernel(
                         jnp.where(jnp.abs(p - hi) < _F32_DELTA,
                                   jnp.float32(1.0), jnp.float32(0.0)),
                     )
-                ux = axis(ipx, geom[o, _SLAB_MIN], geom[o, _SLAB_MAX])
-                uy = axis(ipy, geom[o, _SLAB_MIN + 1], geom[o, _SLAB_MAX + 1])
-                uz = axis(ipz, geom[o, _SLAB_MIN + 2], geom[o, _SLAB_MAX + 2])
+                ux = axis(ipx, geom[_SLAB_MIN, o], geom[_SLAB_MAX, o])
+                uy = axis(ipy, geom[_SLAB_MIN + 1, o], geom[_SLAB_MAX + 1, o])
+                uz = axis(ipz, geom[_SLAB_MIN + 2, o], geom[_SLAB_MAX + 2, o])
                 cnx, cny, cnz = _normalize(ux, uy, uz)
             elif ot == OBJ_TRIANGLE:
                 # shading normal at the hit's barycentrics (winding
@@ -508,16 +508,16 @@ def build_megakernel(
                 cnx, cny, cnz = _tri_normal(geom, o, u_, v_)
             else:  # rotated box: closest local face, strict < scan order
                 shx, shy, shz = (
-                    geom[o, _SHIFT], geom[o, _SHIFT + 1], geom[o, _SHIFT + 2]
+                    geom[_SHIFT, o], geom[_SHIFT + 1, o], geom[_SHIFT + 2, o]
                 )
                 rx_, ry_, rz_ = ipx - shx, ipy - shy, ipz - shz
-                ir = [geom[o, _INV_ROT + k] for k in range(9)]
+                ir = [geom[_INV_ROT + k, o] for k in range(9)]
                 lx = ir[0] * rx_ + ir[1] * ry_ + ir[2] * rz_
                 ly = ir[3] * rx_ + ir[4] * ry_ + ir[5] * rz_
                 lz = ir[6] * rx_ + ir[7] * ry_ + ir[8] * rz_
-                hx = geom[o, _SLAB_MAX]
-                hy = geom[o, _SLAB_MAX + 1]
-                hz = geom[o, _SLAB_MAX + 2]
+                hx = geom[_SLAB_MAX, o]
+                hy = geom[_SLAB_MAX + 1, o]
+                hz = geom[_SLAB_MAX + 2, o]
                 one = jnp.float32(1.0)
                 zero = jnp.float32(0.0)
                 min_d = jnp.abs(hx - lx)
@@ -536,19 +536,19 @@ def build_megakernel(
                     lny = jnp.where(closer, cand[1], lny)
                     lnz = jnp.where(closer, cand[2], lnz)
                     min_d = jnp.fmin(min_d, dist)
-                r = [geom[o, _ROT + k] for k in range(9)]
+                r = [geom[_ROT + k, o] for k in range(9)]
                 cnx = r[0] * lnx + r[1] * lny + r[2] * lnz
                 cny = r[3] * lnx + r[4] * lny + r[5] * lnz
                 cnz = r[6] * lnx + r[7] * lny + r[8] * lnz
             nx = jnp.where(is_win, cnx, nx)
             ny = jnp.where(is_win, cny, ny)
             nz = jnp.where(is_win, cnz, nz)
-            metal = jnp.where(is_win, geom[o, _METAL], metal)
-            rough = jnp.where(is_win, geom[o, _ROUGH], rough)
+            metal = jnp.where(is_win, geom[_METAL, o], metal)
+            rough = jnp.where(is_win, geom[_ROUGH, o], rough)
             if has_transmission:
-                transw = jnp.where(is_win, geom[o, _TRANS], transw)
-                ior = jnp.where(is_win, geom[o, _IOR], ior)
-                cauchy = jnp.where(is_win, geom[o, _CAUCHY], cauchy)
+                transw = jnp.where(is_win, geom[_TRANS, o], transw)
+                ior = jnp.where(is_win, geom[_IOR, o], ior)
+                cauchy = jnp.where(is_win, geom[_CAUCHY, o], cauchy)
         return (
             t_best, hit, ipx, ipy, ipz, nx, ny, nz,
             metal, rough, transw, ior, cauchy, masks,
@@ -584,10 +584,10 @@ def build_megakernel(
         reciprocal instead of dividing per object diverges from the
         reference by <=1 ulp in t — inside the documented chaos envelope
         (the jnp path keeps reference-exact division)."""
-        cx_ = geom[o, _SHIFT]
-        cy_ = geom[o, _SHIFT + 1]
-        cz_ = geom[o, _SHIFT + 2]
-        rad = geom[o, _RADIUS]
+        cx_ = geom[_SHIFT, o]
+        cy_ = geom[_SHIFT + 1, o]
+        cz_ = geom[_SHIFT + 2, o]
+        rad = geom[_RADIUS, o]
         rx_, ry_, rz_ = ox - cx_, oy - cy_, oz - cz_
         b = 2.0 * _dot(rx_, ry_, rz_, dx, dy, dz)
         c = _dot(rx_, ry_, rz_, rx_, ry_, rz_) - rad * rad
@@ -610,13 +610,13 @@ def build_megakernel(
         agree bitwise on deterministic rays. Returns (t, valid, u, v);
         the barycentrics feed Phong normal interpolation."""
         e1x, e1y, e1z = (
-            geom[o, _SLAB_MIN], geom[o, _SLAB_MIN + 1], geom[o, _SLAB_MIN + 2]
+            geom[_SLAB_MIN, o], geom[_SLAB_MIN + 1, o], geom[_SLAB_MIN + 2, o]
         )
         e2x, e2y, e2z = (
-            geom[o, _SLAB_MAX], geom[o, _SLAB_MAX + 1], geom[o, _SLAB_MAX + 2]
+            geom[_SLAB_MAX, o], geom[_SLAB_MAX + 1, o], geom[_SLAB_MAX + 2, o]
         )
         v0x, v0y, v0z = (
-            geom[o, _SHIFT], geom[o, _SHIFT + 1], geom[o, _SHIFT + 2]
+            geom[_SHIFT, o], geom[_SHIFT + 1, o], geom[_SHIFT + 2, o]
         )
         px = dy * e2z - dz * e2y
         py = dz * e2x - dx * e2z
@@ -638,12 +638,12 @@ def build_megakernel(
         v*dn2) — Phong interpolation for smooth meshes, the flat winding
         normal (zero deltas, normalize of a unit vector) otherwise."""
         return _normalize(
-            geom[o, _INV_ROT] + u * geom[o, _INV_ROT + 3]
-            + v * geom[o, _INV_ROT + 6],
-            geom[o, _INV_ROT + 1] + u * geom[o, _INV_ROT + 4]
-            + v * geom[o, _INV_ROT + 7],
-            geom[o, _INV_ROT + 2] + u * geom[o, _INV_ROT + 5]
-            + v * geom[o, _INV_ROT + 8],
+            geom[_INV_ROT, o] + u * geom[_INV_ROT + 3, o]
+            + v * geom[_INV_ROT + 6, o],
+            geom[_INV_ROT + 1, o] + u * geom[_INV_ROT + 4, o]
+            + v * geom[_INV_ROT + 7, o],
+            geom[_INV_ROT + 2, o] + u * geom[_INV_ROT + 5, o]
+            + v * geom[_INV_ROT + 8, o],
         )
 
     def _plain_box_t(geom, o, ox, oy, oz, dx, dy, dz):
@@ -651,19 +651,19 @@ def build_megakernel(
         and zero shift, so the local frame IS the world frame."""
         t_min, t_max, hit = _slab_t(
             ox, oy, oz, dx, dy, dz,
-            geom[o, _SLAB_MIN], geom[o, _SLAB_MIN + 1], geom[o, _SLAB_MIN + 2],
-            geom[o, _SLAB_MAX], geom[o, _SLAB_MAX + 1], geom[o, _SLAB_MAX + 2],
+            geom[_SLAB_MIN, o], geom[_SLAB_MIN + 1, o], geom[_SLAB_MIN + 2, o],
+            geom[_SLAB_MAX, o], geom[_SLAB_MAX + 1, o], geom[_SLAB_MAX + 2, o],
         )
         t = jnp.where(t_min >= 0.0, t_min, t_max)
         return t, hit & (t > 0.0)
 
     def _rot_box_t(geom, o, ox, oy, oz, dx, dy, dz):
         """Local-frame slab test for rotated boxes."""
-        shx = geom[o, _SHIFT]
-        shy = geom[o, _SHIFT + 1]
-        shz = geom[o, _SHIFT + 2]
+        shx = geom[_SHIFT, o]
+        shy = geom[_SHIFT + 1, o]
+        shz = geom[_SHIFT + 2, o]
         rx_, ry_, rz_ = ox - shx, oy - shy, oz - shz
-        ir = [geom[o, _INV_ROT + k] for k in range(9)]
+        ir = [geom[_INV_ROT + k, o] for k in range(9)]
         lox = ir[0] * rx_ + ir[1] * ry_ + ir[2] * rz_
         loy = ir[3] * rx_ + ir[4] * ry_ + ir[5] * rz_
         loz = ir[6] * rx_ + ir[7] * ry_ + ir[8] * rz_
@@ -672,8 +672,8 @@ def build_megakernel(
         ldz = ir[6] * dx + ir[7] * dy + ir[8] * dz
         t_min, t_max, hit = _slab_t(
             lox, loy, loz, ldx, ldy, ldz,
-            geom[o, _SLAB_MIN], geom[o, _SLAB_MIN + 1], geom[o, _SLAB_MIN + 2],
-            geom[o, _SLAB_MAX], geom[o, _SLAB_MAX + 1], geom[o, _SLAB_MAX + 2],
+            geom[_SLAB_MIN, o], geom[_SLAB_MIN + 1, o], geom[_SLAB_MIN + 2, o],
+            geom[_SLAB_MAX, o], geom[_SLAB_MAX + 1, o], geom[_SLAB_MAX + 2, o],
         )
         t = jnp.where(t_min >= 0.0, t_min, t_max)
         return t, hit & (t > 0.0), ir
@@ -738,7 +738,7 @@ def build_megakernel(
             t_best, win_mat, c1, c2, c3, winsph = carry[:6]
             if clustered:
                 worig = carry[6]
-                o_orig = geom[o, _ORIG]
+                o_orig = geom[_ORIG, o]
                 closer = valid & (
                     (t_o < t_best) | ((t_o == t_best) & (o_orig < worig))
                 )
@@ -746,7 +746,7 @@ def build_megakernel(
                 closer = valid & (t_o < t_best)
             out = (
                 jnp.where(closer, t_o, t_best),
-                jnp.where(closer, geom[o, _MATID], win_mat),
+                jnp.where(closer, geom[_MATID, o], win_mat),
                 jnp.where(closer, s1, c1),
                 jnp.where(closer, s2, c2),
                 jnp.where(closer, s3, c3),
@@ -774,9 +774,9 @@ def build_megakernel(
             ipx = ox + dx * t_o
             ipy = oy + dy * t_o
             ipz = oz + dz * t_o
-            ux = axis(ipx, geom[o, _SLAB_MIN], geom[o, _SLAB_MAX])
-            uy = axis(ipy, geom[o, _SLAB_MIN + 1], geom[o, _SLAB_MAX + 1])
-            uz = axis(ipz, geom[o, _SLAB_MIN + 2], geom[o, _SLAB_MAX + 2])
+            ux = axis(ipx, geom[_SLAB_MIN, o], geom[_SLAB_MAX, o])
+            uy = axis(ipy, geom[_SLAB_MIN + 1, o], geom[_SLAB_MAX + 1, o])
+            uz = axis(ipz, geom[_SLAB_MIN + 2, o], geom[_SLAB_MAX + 2, o])
             pnx, pny, pnz = _normalize(ux, uy, uz)
             return accum(carry, o, t_o, valid, pnx, pny, pnz, 0.0)
 
@@ -786,15 +786,15 @@ def build_megakernel(
             ipy = oy + dy * t_o
             ipz = oz + dz * t_o
             # rotated box normal: closest local face, strict < scan order
-            rx_ = ipx - geom[o, _SHIFT]
-            ry_ = ipy - geom[o, _SHIFT + 1]
-            rz_ = ipz - geom[o, _SHIFT + 2]
+            rx_ = ipx - geom[_SHIFT, o]
+            ry_ = ipy - geom[_SHIFT + 1, o]
+            rz_ = ipz - geom[_SHIFT + 2, o]
             lx = ir[0] * rx_ + ir[1] * ry_ + ir[2] * rz_
             ly = ir[3] * rx_ + ir[4] * ry_ + ir[5] * rz_
             lz = ir[6] * rx_ + ir[7] * ry_ + ir[8] * rz_
-            hx = geom[o, _SLAB_MAX]
-            hy = geom[o, _SLAB_MAX + 1]
-            hz = geom[o, _SLAB_MAX + 2]
+            hx = geom[_SLAB_MAX, o]
+            hy = geom[_SLAB_MAX + 1, o]
+            hz = geom[_SLAB_MAX + 2, o]
             one = jnp.float32(1.0)
             zero = jnp.float32(0.0)
             min_d = jnp.abs(hx - lx)
@@ -813,7 +813,7 @@ def build_megakernel(
                 lny = jnp.where(c2, cand[1], lny)
                 lnz = jnp.where(c2, cand[2], lnz)
                 min_d = jnp.fmin(min_d, dist)
-            r = [geom[o, _ROT + k] for k in range(9)]
+            r = [geom[_ROT + k, o] for k in range(9)]
             rnx = r[0] * lnx + r[1] * lny + r[2] * lnz
             rny = r[3] * lnx + r[4] * lny + r[5] * lnz
             rnz = r[6] * lnx + r[7] * lny + r[8] * lnz
@@ -847,8 +847,8 @@ def build_megakernel(
                 # conservative
                 ct_min, _ct_max, c_hit = _slab_t(
                     ox, oy, oz, dx, dy, dz,
-                    cbounds[cidx, 0], cbounds[cidx, 1], cbounds[cidx, 2],
-                    cbounds[cidx, 3], cbounds[cidx, 4], cbounds[cidx, 5],
+                    cbounds[0, cidx], cbounds[1, cidx], cbounds[2, cidx],
+                    cbounds[3, cidx], cbounds[4, cidx], cbounds[5, cidx],
                 )
                 # <= not <: a member hit can equal the current best
                 # bitwise (t >= ct_min, and ties are resolved by lowest
@@ -936,10 +936,10 @@ def build_megakernel(
                 pre.append((1.0 / (2.0 * a), 4.0 * a))
 
         def sphere_body(o, carry):
-            cx_ = geom[o, _SHIFT]
-            cy_ = geom[o, _SHIFT + 1]
-            cz_ = geom[o, _SHIFT + 2]
-            rad = geom[o, _RADIUS]
+            cx_ = geom[_SHIFT, o]
+            cy_ = geom[_SHIFT + 1, o]
+            cz_ = geom[_SHIFT + 2, o]
+            rad = geom[_RADIUS, o]
             r2 = rad * rad
             out = []
             if shadow_interval:
@@ -1025,8 +1025,8 @@ def build_megakernel(
                 ):
                     ct_min, _ct_max, c_hit = _slab_t(
                         sox, soy, soz, sdx, sdy, sdz,
-                        cbounds[cidx, 0], cbounds[cidx, 1], cbounds[cidx, 2],
-                        cbounds[cidx, 3], cbounds[cidx, 4], cbounds[cidx, 5],
+                        cbounds[0, cidx], cbounds[1, cidx], cbounds[2, cidx],
+                        cbounds[3, cidx], cbounds[4, cidx], cbounds[5, cidx],
                     )
                     # a lane already blocked (some earlier cluster hit
                     # within the light distance) needs no more tests —
@@ -1122,7 +1122,7 @@ def build_megakernel(
                     win_mat = jnp.zeros((r8, LANE), jnp.float32)
                     for o in range(n_obj):
                         win_mat = jnp.where(
-                            masks[o], geom[o, _MATID], win_mat
+                            masks[o], geom[_MATID, o], win_mat
                         )
                     _masks = [
                         win_mat == jnp.float32(m) for m in range(n_materials)
@@ -1140,8 +1140,8 @@ def build_megakernel(
                 texl = jnp.ones((r8, LANE), jnp.float32)
                 if masks is not None:
                     for o in range(n_obj):
-                        texs = jnp.where(masks[o], geom[o, _TEXS], texs)
-                        texl = jnp.where(masks[o], geom[o, _TEXL], texl)
+                        texs = jnp.where(masks[o], geom[_TEXS, o], texs)
+                        texl = jnp.where(masks[o], geom[_TEXL, o], texl)
                 else:
                     for m in range(n_materials):
                         is_m = mat_mask(m)
@@ -1615,8 +1615,8 @@ def build_megakernel(
         frame_ref,  # SMEM (1,1) uint32
         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # [R8,128] f32
         px_ref, py_ref,  # [R8,128] uint32
-        geom_ref,  # [O, GEOM_COLS] f32 (SMEM)
-        cb_ref,  # [n_runs, 8] f32 (SMEM) cluster bounds (dummy unclustered)
+        geom_ref,  # [GEOM_COLS, O] f32 (SMEM; lane-padded minor dim = O)
+        cb_ref,  # [8, n_runs] f32 (SMEM) cluster bounds (dummy unclustered)
         albedo_ref,  # [O, S] f32 (SMEM)
         emis_ref,  # [O, S] f32 (SMEM)
         m_alb_ref,  # [M, S] f32 (SMEM)
@@ -2244,10 +2244,11 @@ def plan_clusters(
 
 
 def pack_cluster_bounds(scene: SceneArrays, sigma: tuple, runs: tuple):
-    """[n_runs, 8] world-AABB union per run (min xyz, max xyz, pad) for the
-    in-kernel cluster slab test. Unclustered runs get rows too (never
-    read). Computed in-jit — cluster membership is static, bounds follow
-    the runtime scene values."""
+    """[8, n_runs] world-AABB union per run (min xyz, max xyz, pad) for
+    the in-kernel cluster slab test — transposed like ``pack_geometry``
+    so run count rides the lane-padded SMEM minor dim. Unclustered runs
+    get columns too (never read). Computed in-jit — cluster membership is
+    static, bounds follow the runtime scene values."""
     sig = jnp.asarray(np.asarray(sigma, np.int32))
     amin = scene.aabb_min[sig]
     amax = scene.aabb_max[sig]
@@ -2259,7 +2260,7 @@ def pack_cluster_bounds(scene: SceneArrays, sigma: tuple, runs: tuple):
                 [amin[start:stop].min(axis=0), amax[start:stop].max(axis=0), z]
             )
         )
-    return jnp.stack(rows).astype(jnp.float32)
+    return jnp.stack(rows).astype(jnp.float32).T
 
 
 def pack_camera(scene: SceneArrays) -> jax.Array:
@@ -2341,10 +2342,14 @@ def pack_camera_basis(scene: SceneArrays, config: RenderConfig) -> jax.Array:
 
 
 def pack_geometry(scene: SceneArrays, sigma: tuple | None = None) -> jax.Array:
-    """Pack per-object geometry/material scalars into the [O, GEOM_COLS]
-    table. ``sigma`` (a static visit-order permutation from
-    ``plan_clusters``) reorders the rows; the _ORIG column always carries
-    the ORIGINAL object index so the clustered loop can keep the
+    """Pack per-object geometry/material scalars into the [GEOM_COLS, O]
+    table — TRANSPOSED so the object count rides the (lane-padded) minor
+    dimension: Mosaic pads an SMEM window's minor dim to 128 lanes, so an
+    [O, 38] layout would cost O x 128 x 4 bytes of the 1 MiB SMEM (3.3 MB
+    at mesh5k's 6,405 rows) while [38, O] costs 38 x pad128(O) x 4
+    (~993 KB). ``sigma`` (a static visit-order permutation from
+    ``plan_clusters``) reorders the object columns; the _ORIG row always
+    carries the ORIGINAL object index so the clustered loop can keep the
     reference's lowest-original-index tie rule."""
     o = scene.obj_type.shape[0]
     geom = jnp.zeros((o, GEOM_COLS), dtype=jnp.float32)
@@ -2371,4 +2376,4 @@ def pack_geometry(scene: SceneArrays, sigma: tuple | None = None) -> jax.Array:
     )
     if sigma is not None:
         geom = geom[jnp.asarray(np.asarray(sigma, np.int32))]
-    return geom
+    return geom.T

@@ -147,6 +147,7 @@ def _bounce(
     scene: SceneArrays,
     config: RenderConfig,
     tracers=None,
+    return_shadow_info: bool = False,
 ) -> _BounceState:
     o, d, throughput, radiance, alive, pending_gate, ray_count, hero_idx = state
     tracer, shadow_tracer = tracers or make_tracers(scene)
@@ -269,9 +270,18 @@ def _bounce(
     throughput = jnp.where(cont[:, None], throughput * m_albedo, throughput)
     pending_gate = jnp.where(cont, spec, pending_gate)
 
-    return _BounceState(
+    new_state = _BounceState(
         o, d, throughput, radiance, cont, pending_gate, ray_count, hero_idx
     )
+    if return_shadow_info:
+        # the megakernel's NEE shadow rays: origin = the offset hit point,
+        # relevance = live diffuse lanes (megakernel.py `relevant=` at its
+        # shadow_blocked_fori_multi call). Consumed by the cluster-visit
+        # replay (tools/visit_replay.py) — diagnostics only.
+        return new_state, (
+            offset_pos.x, offset_pos.y, offset_pos.z, contributes[:, 0]
+        )
+    return new_state
 
 
 def integrate_frame(
@@ -282,13 +292,19 @@ def integrate_frame(
     grid=None,
     grid_static=None,
     return_occupancy: bool = False,
+    return_bounce_rays: bool = False,
 ):
     """Trace one progressive frame; returns linear RGB ``[H, W, 3]``
     (plus the reference-equivalent submitted-ray count if requested).
     Passing a ``UniformGrid`` switches intersection to DDA traversal.
     ``return_occupancy`` additionally returns the per-bounce live-lane
     counts ``[max_bounces]`` (lanes entering each bounce) — the wavefront
-    occupancy diagnostic the Pallas megakernel's economics depend on."""
+    occupancy diagnostic the Pallas megakernel's economics depend on.
+    ``return_bounce_rays`` additionally returns the per-bounce ray record
+    consumed by the cluster-visit replay (tools/visit_replay.py): a dict
+    of ``[max_bounces, N]`` arrays — trace rays (``ox..dz``, ``alive`` at
+    bounce entry) and NEE shadow-ray origins + diffuse relevance masks
+    (``sx/sy/sz``, ``smask``)."""
     frame_id = jnp.asarray(frame_id, dtype=jnp.uint32)
     tracers = make_tracers(scene, grid, grid_static)
     origin, direction, px, py = generate_primary_rays(
@@ -329,6 +345,49 @@ def integrate_frame(
         if return_occupancy:
             out += (jnp.zeros((config.max_bounces,), jnp.float32),)
         return out if len(out) > 1 else rgb
+
+    if return_bounce_rays:
+        b = config.max_bounces
+        rays_rec = {
+            k: jnp.zeros((b, n), jnp.float32)
+            for k in ("ox", "oy", "oz", "dx", "dy", "dz", "sx", "sy", "sz")
+        }
+        rays_rec["alive"] = jnp.zeros((b, n), bool)
+        rays_rec["smask"] = jnp.zeros((b, n), bool)
+
+        def body_rec(i, carry):
+            st, hist, rec = carry
+            hist = hist.at[i].set(jnp.sum(st.alive.astype(jnp.float32)))
+            for k, v in (
+                ("ox", st.origin.x), ("oy", st.origin.y), ("oz", st.origin.z),
+                ("dx", st.direction.x), ("dy", st.direction.y),
+                ("dz", st.direction.z), ("alive", st.alive),
+            ):
+                rec[k] = rec[k].at[i].set(v)
+            bounces_left = (
+                jnp.uint32(config.max_bounces) - i.astype(jnp.uint32)
+            )
+            st, (sx, sy, sz, smask) = _bounce(
+                st, bounces_left, frame_id, px, py, scene, config, tracers,
+                return_shadow_info=True,
+            )
+            for k, v in (("sx", sx), ("sy", sy), ("sz", sz), ("smask", smask)):
+                rec[k] = rec[k].at[i].set(v)
+            return st, hist, rec
+
+        state, alive_hist, rays_rec = jax.lax.fori_loop(
+            0, config.max_bounces, body_rec,
+            (state, jnp.zeros((config.max_bounces,), jnp.float32), rays_rec),
+        )
+        rgb = spectra_to_rgb(
+            state.radiance, scene.xyz_weights, scene.xyz_to_rgb
+        ).reshape(config.height, config.width, 3)
+        out = (rgb,)
+        if return_stats:
+            out += (state.ray_count,)
+        if return_occupancy:
+            out += (alive_hist,)
+        return out + (rays_rec,)
 
     def body(i, carry):
         st, hist = carry

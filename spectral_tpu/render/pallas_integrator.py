@@ -178,7 +178,7 @@ def _pack_geom_clusters(scene: SceneArrays, clusters: tuple | None):
     clusters, ships a never-read one-row dummy bounds table (the kernel
     signature is uniform)."""
     if clusters is None:
-        return mk.pack_geometry(scene), jnp.zeros((1, 8), jnp.float32)
+        return mk.pack_geometry(scene), jnp.zeros((8, 1), jnp.float32)
     sigma, runs = clusters
     return (
         mk.pack_geometry(scene, sigma),

@@ -88,12 +88,17 @@ def kernel_ops(
     has_sky: bool = False,
     has_texture: bool = False,
     visited_fraction: float = 1.0,
+    visited_fraction_shadow: float | None = None,
     bounce_iters: float | None = None,
 ) -> OpsBreakdown:
     """Executed VPU ops for ONE progressive frame of the regen/persist
     megakernel. ``clusters`` is the ``plan_clusters`` result (or None for
     the dense loop); ``visited_fraction`` scales clustered member loops
     (1.0 = every cluster visited every bounce = dense upper bound).
+    ``visited_fraction_shadow`` scales the NEE occlusion member loops
+    separately (the shadow walk's segment culling + blocked-latch dropout
+    visit far fewer clusters than the nearest-hit walk — measured by
+    tools/visit_replay.py); defaults to ``visited_fraction``.
 
     ``bounce_iters`` overrides the per-frame executed iteration count:
     the monolithic kernel executes exactly ``max_bounces`` iterations per
@@ -103,6 +108,8 @@ def kernel_ops(
     whole tiles running). Pass the occupancy sum for the zero-straggler
     lower bound."""
     s = config.n_samples
+    if visited_fraction_shadow is None:
+        visited_fraction_shadow = visited_fraction
     n_lights = max(config.n_lights, 1)
     n_lanes = config.width * config.height
     bounces = config.max_bounces if bounce_iters is None else bounce_iters
@@ -141,7 +148,7 @@ def kernel_ops(
             if is_cl:
                 shadow += (
                     SHADOW_CLUSTER_PRETEST_OPS * n_lights
-                    + members * visited_fraction
+                    + members * visited_fraction_shadow
                 )
             else:
                 shadow += members

@@ -47,7 +47,7 @@ def main() -> None:
     geom = mk.pack_geometry(arrays)
     lpos = jnp.pad(arrays.light_pos, ((0, 0), (0, 1)))
     tables = (
-        geom, jnp.zeros((1, 8), jnp.float32),  # dummy cluster bounds
+        geom, jnp.zeros((8, 1), jnp.float32),  # dummy cluster bounds
         arrays.albedo[:1], arrays.emission[:1], arrays.mat_albedo,
         arrays.mat_emission, arrays.mat_scalars, lpos, arrays.light_spec,
     )
