@@ -86,6 +86,71 @@ _TEXS = 36  # checker texture cell size (0 = untextured)
 _TEXL = 37  # checker dark-cell albedo factor
 GEOM_COLS = 38
 
+# poison base for row groups absent from a scene's compact layout: any
+# unexpectedly-traced read of an absent group is a loud static IndexError
+# instead of a silent wrong-row read
+_ABSENT = -(1 << 20)
+
+
+def geom_layout(
+    obj_types: tuple[int, ...],
+    has_transmission: bool,
+    has_texture: bool,
+) -> tuple[tuple[int, ...], tuple[int, ...]]:
+    """Static geometry-table ROW layout for a scene's feature set.
+
+    The full 38-row table wastes SMEM on scenes that never read whole row
+    groups (no rotated boxes -> the 9 _ROT rows are dead; no transmission
+    -> 3 dead rows; the _TYPE row is never read at all — ``obj_types`` is
+    static). SMEM is the binding resource for many-object scenes: the
+    mesh5k config's full table is 40 x pad128(6405) x 4 = 1020 KB, 15.6 KB
+    OVER the 1 MiB budget, while its live rows fit in 612 KB.
+
+    Returns ``(bases, rows)``:
+
+    * ``bases``: compact-table base indices for ``(_SLAB_MIN, _SLAB_MAX,
+      _SHIFT, _INV_ROT, _ROT, _RADIUS, _METAL, _ROUGH, _TRANS, _IOR,
+      _CAUCHY, _MATID, _ORIG, _TEXS, _TEXL)`` — absent groups get the
+      ``_ABSENT`` poison.
+    * ``rows``: the full-table row indices kept, in compact order —
+      exactly what ``pack_geometry``'s ``layout=`` selects.
+
+    ``build_megakernel`` derives the layout from its own static args and
+    shadows the module-level index constants, so every ``geom[_X, o]``
+    read site is unchanged; the packing call MUST pass the layout built
+    from the same ``(obj_types, has_transmission, has_texture)`` (the
+    kernel asserts the row count at trace time)."""
+    present = set(obj_types)
+    rows: list[int] = []
+
+    def grp(base: int, n: int, need: bool) -> int:
+        if not need:
+            return _ABSENT
+        start = len(rows)
+        rows.extend(range(base, base + n))
+        return start
+
+    slab = grp(_SLAB_MIN, 6, bool(present - {OBJ_SPHERE}))
+    shift = grp(_SHIFT, 3, bool(
+        present & {OBJ_SPHERE, OBJ_ROTATED_BOX, OBJ_TRIANGLE}
+    ))
+    inv_rot = grp(_INV_ROT, 9, bool(
+        present & {OBJ_ROTATED_BOX, OBJ_TRIANGLE}
+    ))
+    rot = grp(_ROT, 9, OBJ_ROTATED_BOX in present)
+    radius = grp(_RADIUS, 1, OBJ_SPHERE in present)
+    metal = grp(_METAL, 2, True)  # metal + rough
+    trans = grp(_TRANS, 3, has_transmission)  # trans + ior + cauchy
+    matid = grp(_MATID, 1, True)
+    orig = grp(_ORIG, 1, True)
+    tex = grp(_TEXS, 2, has_texture)  # texs + texl
+    bases = (
+        slab, slab + 3, shift, inv_rot, rot, radius,
+        metal, metal + 1, trans, trans + 1, trans + 2,
+        matid, orig, tex, tex + 1,
+    )
+    return bases, tuple(rows)
+
 
 def _u32_to_f32(u):
     """Exact uint32 -> float32 (round-to-nearest), Mosaic-safe."""
@@ -337,6 +402,19 @@ def build_megakernel(
             "lane_stop needs the free-running persist kernel "
             "(persist=(0, budget))"
         )
+    # compact geometry-table layout: shadow the module-level row-index
+    # constants with this scene's static layout (see geom_layout) — every
+    # geom[_X, o] read below resolves to these locals. The packed table
+    # must use the same layout; _n_geom_rows is asserted where the table
+    # enters the trace.
+    (_SLAB_MIN, _SLAB_MAX, _SHIFT, _INV_ROT, _ROT, _RADIUS, _METAL,
+     _ROUGH, _TRANS, _IOR, _CAUCHY, _MATID, _ORIG, _TEXS, _TEXL) = (
+        geom_layout(obj_types, has_transmission, has_texture)[0]
+    )
+    _n_geom_rows = len(
+        geom_layout(obj_types, has_transmission, has_texture)[1]
+    )
+
     n_obj = len(obj_types)
     n_lights = config.n_lights
     # sky spectrum row: appended after the real lights (a zero-light scene
@@ -453,6 +531,11 @@ def build_megakernel(
     def trace_tile(geom, ox, oy, oz, dx, dy, dz):
         """Nearest-hit over all objects. Returns per-lane winner
         (t, hit, normal, metal, rough, one-hot winner masks)."""
+        assert geom.shape[0] == _n_geom_rows, (
+            f"geom table has {geom.shape[0]} rows, kernel layout expects "
+            f"{_n_geom_rows} — pack_geometry called with a different "
+            "geom_layout than build_megakernel derived"
+        )
         t_best = jnp.full_like(ox, _INF)
         masks = []
         # pass 1: nearest t
@@ -714,6 +797,11 @@ def build_megakernel(
         relevant lane can hit (tile-uniform ``lax.cond``), and exact ties
         resolve by ORIGINAL object index (carried in geom's _ORIG column)
         so results stay identical to the unclustered loop."""
+        assert geom.shape[0] == _n_geom_rows, (
+            f"geom table has {geom.shape[0]} rows, kernel layout expects "
+            f"{_n_geom_rows} — pack_geometry called with a different "
+            "geom_layout than build_megakernel derived"
+        )
         a = _dot(dx, dy, dz, dx, dy, dz)  # loop-invariant per trace
         inv2a = 1.0 / (2.0 * a)
         foura = 4.0 * a
@@ -2341,8 +2429,12 @@ def pack_camera_basis(scene: SceneArrays, config: RenderConfig) -> jax.Array:
     return jnp.stack([jnp.asarray(c, jnp.float32) for c in cols]).reshape(1, 20)
 
 
-def pack_geometry(scene: SceneArrays, sigma: tuple | None = None) -> jax.Array:
-    """Pack per-object geometry/material scalars into the [GEOM_COLS, O]
+def pack_geometry(
+    scene: SceneArrays,
+    sigma: tuple | None = None,
+    layout: tuple | None = None,
+) -> jax.Array:
+    """Pack per-object geometry/material scalars into the [n_rows, O]
     table — TRANSPOSED so the object count rides the (lane-padded) minor
     dimension: Mosaic pads an SMEM window's minor dim to 128 lanes, so an
     [O, 38] layout would cost O x 128 x 4 bytes of the 1 MiB SMEM (3.3 MB
@@ -2350,7 +2442,14 @@ def pack_geometry(scene: SceneArrays, sigma: tuple | None = None) -> jax.Array:
     (~993 KB). ``sigma`` (a static visit-order permutation from
     ``plan_clusters``) reorders the object columns; the _ORIG row always
     carries the ORIGINAL object index so the clustered loop can keep the
-    reference's lowest-original-index tie rule."""
+    reference's lowest-original-index tie rule.
+
+    ``layout`` is the ``geom_layout(...)`` result for the scene's static
+    feature set: only its ``rows`` are kept (compact table — the kernel
+    shadows its row-index constants to match). It must be built from the
+    SAME ``(obj_types, has_transmission, has_texture)`` the kernel is
+    compiled with; ``None`` packs the legacy full 38-row table (standalone
+    tools only — ``build_megakernel`` now always expects compact)."""
     o = scene.obj_type.shape[0]
     geom = jnp.zeros((o, GEOM_COLS), dtype=jnp.float32)
     geom = geom.at[:, _SLAB_MIN:_SLAB_MIN + 3].set(scene.slab_min)
@@ -2376,4 +2475,6 @@ def pack_geometry(scene: SceneArrays, sigma: tuple | None = None) -> jax.Array:
     )
     if sigma is not None:
         geom = geom[jnp.asarray(np.asarray(sigma, np.int32))]
+    if layout is not None:
+        geom = geom[:, jnp.asarray(np.asarray(layout[1], np.int32))]
     return geom.T

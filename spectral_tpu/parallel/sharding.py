@@ -387,7 +387,9 @@ def render_persistent_sharded(
     valid_l = jax.device_put(valid_np.reshape(rows_g, mk.LANE), plane_sh)
 
     # --- tables, replicated (fori trimming mirrors render_persistent)
-    geom, cbounds = _pack_geom_clusters(scene, clusters)
+    geom, cbounds = _pack_geom_clusters(
+        scene, clusters, obj_types, has_transmission
+    )
     cam = mk.pack_camera_basis(scene, config)
     (albedo_in, emission_in, m_alb, m_emis, m_scal,
      lpos, lspec) = _mat_light_tables(scene, config, obj_types, clusters)

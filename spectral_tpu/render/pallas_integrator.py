@@ -173,15 +173,29 @@ def _kernel_cost(
     )
 
 
-def _pack_geom_clusters(scene: SceneArrays, clusters: tuple | None):
+def _pack_geom_clusters(
+    scene: SceneArrays,
+    clusters: tuple | None,
+    obj_types: tuple,
+    has_transmission: bool,
+):
     """Geometry table + cluster-bounds table for the kernel. Without
     clusters, ships a never-read one-row dummy bounds table (the kernel
-    signature is uniform)."""
+    signature is uniform). ``obj_types``/``has_transmission`` MUST be the
+    same static values the kernel is built with — they pick the compact
+    geometry-row layout (``mk.geom_layout``; the kernel asserts the row
+    count at trace time)."""
+    layout = mk.geom_layout(
+        obj_types, has_transmission, scene.textured_static
+    )
     if clusters is None:
-        return mk.pack_geometry(scene), jnp.zeros((8, 1), jnp.float32)
+        return (
+            mk.pack_geometry(scene, layout=layout),
+            jnp.zeros((8, 1), jnp.float32),
+        )
     sigma, runs = clusters
     return (
-        mk.pack_geometry(scene, sigma),
+        mk.pack_geometry(scene, sigma, layout=layout),
         mk.pack_cluster_bounds(scene, sigma, runs),
     )
 
@@ -328,7 +342,9 @@ def integrate_frame_pallas(
         a = jnp.asarray(a, dtype)
         return jnp.pad(a, (0, n_pad - n)).reshape(n_pad // mk.LANE, mk.LANE)
 
-    geom, cbounds = _pack_geom_clusters(scene, clusters)
+    geom, cbounds = _pack_geom_clusters(
+        scene, clusters, obj_types, has_transmission
+    )
     (albedo_in, emission_in, m_alb, m_emis, m_scal,
      lpos, lspec) = _mat_light_tables(
         scene, config, obj_types, clusters, object_loop)
@@ -384,7 +400,9 @@ def probe_path_cost(
         a = jnp.asarray(a, dtype)
         return jnp.pad(a, (0, n_pad - n)).reshape(n_pad // mk.LANE, mk.LANE)
 
-    geom, cbounds = _pack_geom_clusters(scene, clusters)
+    geom, cbounds = _pack_geom_clusters(
+        scene, clusters, obj_types, has_transmission
+    )
     (albedo_in, emission_in, m_alb, m_emis, m_scal,
      lpos, lspec) = _mat_light_tables(
         scene, config, obj_types, clusters, object_loop)
@@ -537,7 +555,9 @@ def integrate_frames_pallas_regen(
     diry = jnp.stack([lanes(d.y) for d in later])
     dirz = jnp.stack([lanes(d.z) for d in later])
 
-    geom, cbounds = _pack_geom_clusters(scene, clusters)
+    geom, cbounds = _pack_geom_clusters(
+        scene, clusters, obj_types, has_transmission
+    )
     cam = (
         mk.pack_camera_frames(scene, config, first_frame_id, int(k))
         if config.has_dof else mk.pack_camera(scene)
@@ -1146,7 +1166,9 @@ def render_persistent(
         if want_sort:
             lane_perm, lane_inv = _cost_sort_perm(cost)
 
-    geom, cbounds = _pack_geom_clusters(scene, clusters)
+    geom, cbounds = _pack_geom_clusters(
+        scene, clusters, obj_types, has_transmission
+    )
     cam = (mk.pack_camera(scene) if ring_slots
            else mk.pack_camera_basis(scene, config))
     (albedo_in, emission_in, m_alb, m_emis, m_scal,
@@ -1463,7 +1485,9 @@ def integrate_frame_pallas_split(
         a = jnp.asarray(a, dtype)
         return jnp.pad(a, (0, n_pad - n)).reshape(rows, mk.LANE)
 
-    geom, cbounds = _pack_geom_clusters(scene, None)
+    geom, cbounds = _pack_geom_clusters(
+        scene, None, obj_types, has_transmission
+    )
     lpos = jnp.pad(scene.light_pos, ((0, 0), (0, 1)))
     lspec = scene.light_spec
     if config.n_lights == 0:
@@ -1643,7 +1667,9 @@ def integrate_frame_pallas_cascade(
         a = jnp.asarray(a, dtype)
         return jnp.pad(a, (0, n_pad - n)).reshape(rows, mk.LANE)
 
-    geom, cbounds = _pack_geom_clusters(scene, clusters)
+    geom, cbounds = _pack_geom_clusters(
+        scene, clusters, obj_types, has_transmission
+    )
     (albedo_in, emission_in, m_alb, m_emis, m_scal,
      lpos, lspec) = _mat_light_tables(scene, config, obj_types, clusters)
     tables = (

@@ -44,7 +44,11 @@ def main() -> None:
     cap = n_pad // 8
     crows = cap // mk.LANE
 
-    geom = mk.pack_geometry(arrays)
+    # compact layout: same statics as the _kernel_seg calls below
+    # (has_transmission=False, has_texture defaults False)
+    geom = mk.pack_geometry(
+        arrays, layout=mk.geom_layout(ots, False, False)
+    )
     lpos = jnp.pad(arrays.light_pos, ((0, 0), (0, 1)))
     tables = (
         geom, jnp.zeros((8, 1), jnp.float32),  # dummy cluster bounds
