@@ -636,7 +636,10 @@ if __name__ == "__main__":
         # one JSON line per BASELINE config, driver-capturable in one run;
         # the headline cornell512 config prints LAST (the driver's tail)
         _ok = True
-        for _c in ("default_rmse", "hero", "prism", "spheres", "cornell512"):
+        for _c in (
+            "default_rmse", "hero", "prism", "spheres", "mesh5k",
+            "adaptive:prism", "cornell512",
+        ):
             _ok = _run_config(_c, None) and _ok
         raise SystemExit(0 if _ok else 2)
     raise SystemExit(0 if _run_config(_cfg, _tile) else 2)

@@ -91,6 +91,16 @@ GEOM_COLS = 38
 # instead of a silent wrong-row read
 _ABSENT = -(1 << 20)
 
+# cluster-loop auto policy (see build_megakernel's cluster_loop arg): at
+# >= this many clustered runs the per-cluster Python-unrolled emission is
+# replaced by one lax.fori_loop per uniform streak — the unrolled program
+# grows ~linearly in cluster count and faults the scalar core's
+# instruction memory near ~100 clusters (mesh5k on v5e), while 16 runs
+# (the tuned 1000-sphere config) measured fine. Benchmark tools may pin
+# CLUSTER_LOOP_AUTO_OVERRIDE to "static"/"dynamic" for A/B runs.
+CLUSTER_LOOP_DYNAMIC_MIN = 24
+CLUSTER_LOOP_AUTO_OVERRIDE: str | None = None
+
 
 def geom_layout(
     obj_types: tuple[int, ...],
@@ -222,6 +232,42 @@ def _slab_t(ox, oy, oz, dx, dy, dz, mnx, mny, mnz, mxx, mxy, mxz):
     return t_min, t_max, hit
 
 
+def _cluster_segments(cluster_runs: tuple, dyn_min: int) -> list:
+    """Partition ``cluster_runs`` into code-emission segments for the
+    clustered object loop.
+
+    A *uniform streak* — consecutive CLUSTERED runs with the same type
+    tag, the same member count, and contiguous packed-table columns
+    (``start == first_start + k * size``) — of length >= ``dyn_min``
+    becomes one ``("dyn", tag, cidx_lo, cidx_hi, base_start, size)``
+    segment, compiled as a single ``lax.fori_loop`` over the cluster
+    index (program size constant in streak length). Everything else is
+    emitted run-by-run as ``("run", cidx, run_tuple)`` exactly like the
+    historical static path. ``plan_clusters`` output is uniform by
+    construction except at most one ragged tail chunk per type, so a
+    scene compiles to O(object types) segments."""
+    segs: list = []
+    i, n = 0, len(cluster_runs)
+    while i < n:
+        tag, start, stop, is_cl = cluster_runs[i]
+        size = stop - start
+        if is_cl and size > 0:
+            j = i + 1
+            while j < n:
+                t2, s2, e2, c2 = cluster_runs[j]
+                if not (c2 and t2 == tag and e2 - s2 == size
+                        and s2 == start + (j - i) * size):
+                    break
+                j += 1
+            if j - i >= dyn_min:
+                segs.append(("dyn", tag, i, j, start, size))
+                i = j
+                continue
+        segs.append(("run", i, cluster_runs[i]))
+        i += 1
+    return segs
+
+
 def _grid_tiles(np_lanes: int, tile: int) -> int:
     """Grid size for ``tile``-lane tiles over ``np_lanes`` padded lanes.
 
@@ -257,6 +303,7 @@ def build_megakernel(
     shadow_interval: bool = False,
     has_texture: bool = False,
     has_sky: bool = False,
+    cluster_loop: str = "auto",
 ):
     """Compile-time specialization on the scene structure.
 
@@ -440,6 +487,33 @@ def build_megakernel(
         )
         if covered != list(range(n_obj)):
             raise ValueError("cluster_runs must cover every object exactly once")
+        # cluster-LOOP strategy: the static path emits one slab-test +
+        # cond + member loop PER CLUSTER (Python-unrolled) — measured
+        # fastest on small cluster counts but the Mosaic program grows
+        # linearly in cluster count and faults the scalar core's
+        # instruction memory at many-cluster scale (mesh5k, ~101 runs:
+        # reproducible "TPU device error — kernel fault" on v5e, while
+        # the 16-run spheres config runs clean). The dynamic path folds
+        # every uniform streak of clusters (same type tag, same member
+        # count, contiguous table columns — plan_clusters emits exactly
+        # this shape, one ragged tail chunk per type at most) into ONE
+        # lax.fori_loop over the cluster index: the member start is
+        # affine in the cluster index and the bounds table is read at
+        # the traced column, so program size is O(types), not
+        # O(clusters). Visit order, cull test and tie rule are
+        # unchanged -> results stay bit-identical to the static path
+        # (pinned by tests/test_many_objects.py in interpret mode).
+        n_cl_runs = sum(1 for r in cluster_runs if r[3])
+        if cluster_loop == "auto":
+            cluster_loop = CLUSTER_LOOP_AUTO_OVERRIDE or (
+                "dynamic" if n_cl_runs >= CLUSTER_LOOP_DYNAMIC_MIN
+                else "static"
+            )
+        if cluster_loop not in ("static", "dynamic"):
+            raise ValueError(f"unknown cluster_loop {cluster_loop!r}")
+        cl_segments = _cluster_segments(
+            cluster_runs, 2 if cluster_loop == "dynamic" else n_cl_runs + 1
+        )
     use_fori = object_loop == "fori"
     if shadow_interval and not use_fori:
         raise ValueError(
@@ -787,6 +861,30 @@ def build_megakernel(
             carry = body(o, carry)
         return carry
 
+    def _member_loop_fixed(body, start, size, carry):
+        """``_member_loop`` for a DYNAMIC base index with a STATIC member
+        count (the dynamic cluster loop): every trip count stays static
+        (Mosaic-friendly), only the object index is traced. Same visit
+        order and unroll width as ``_member_loop``, so results are
+        bit-identical to the static per-cluster emission."""
+        u = member_unroll
+        if u <= 1 or size < u:
+            return jax.lax.fori_loop(
+                0, size, lambda i, c: body(start + i, c), carry
+            )
+        main = size - size % u
+
+        def body_u(i, c):
+            o0 = start + i * u
+            for j in range(u):
+                c = body(o0 + j, c)
+            return c
+
+        carry = jax.lax.fori_loop(0, main // u, body_u, carry)
+        for r in range(main, size):  # static-count tail, dynamic base
+            carry = body(start + r, carry)
+        return carry
+
     def trace_tile_fori(geom, m_scal, ox, oy, oz, dx, dy, dz,
                         alive=None, cbounds=None):
         """Per-type-run fori nearest hit: constant compile size in n_obj.
@@ -920,7 +1018,50 @@ def build_megakernel(
         }
         carry = init
         if clustered:
-            for cidx, (run_tag, start, stop, is_cl) in enumerate(cluster_runs):
+            # cluster AABB pre-test: skip the whole member loop when no
+            # RELEVANT lane (alive, and not already holding a nearer
+            # hit) can intersect the cluster's union AABB — a member
+            # hit t obeys t >= max(cluster t_min, 0), so the test is
+            # conservative.
+            # <= not <: a member hit can equal the current best
+            # bitwise (t >= ct_min, and ties are resolved by lowest
+            # ORIGINAL index) — a cluster whose entry t equals t_best
+            # may still hold the tie-winning member, so it must be
+            # visited. The shadow loop uses <= for the same reason.
+            def _cl_relevant(cidx, t_best_c):
+                ct_min, _ct_max, c_hit = _slab_t(
+                    ox, oy, oz, dx, dy, dz,
+                    cbounds[0, cidx], cbounds[1, cidx], cbounds[2, cidx],
+                    cbounds[3, cidx], cbounds[4, cidx], cbounds[5, cidx],
+                )
+                rel = c_hit & (ct_min <= t_best_c)
+                if alive is not None:
+                    rel = rel & (alive > 0.0)
+                return jnp.max(rel.astype(jnp.float32)) > 0.0
+
+            for seg in cl_segments:
+                if seg[0] == "dyn":
+                    # one fori over the streak's cluster indices: member
+                    # start is affine in the index, bounds read at the
+                    # traced cbounds column (see _cluster_segments)
+                    _dtag, _lo, _hi, _base, _csz = seg[1:]
+                    dbody = bodies[_dtag]
+
+                    def _cl_body(ci, c, _b=_base, _l=_lo, _s=_csz,
+                                 _bd=dbody):
+                        start = _b + (ci - _l) * _s
+                        return jax.lax.cond(
+                            _cl_relevant(ci, c[0]),
+                            lambda cc: _member_loop_fixed(
+                                _bd, start, _s, cc
+                            ),
+                            lambda cc: cc,
+                            c,
+                        )
+
+                    carry = jax.lax.fori_loop(_lo, _hi, _cl_body, carry)
+                    continue
+                cidx, (run_tag, start, stop, is_cl) = seg[1], seg[2]
                 body = bodies[run_tag]
                 if not is_cl:
                     if stop - start == 1:
@@ -928,27 +1069,8 @@ def build_megakernel(
                     else:
                         carry = jax.lax.fori_loop(start, stop, body, carry)
                     continue
-                # cluster AABB pre-test: skip the whole member loop when no
-                # RELEVANT lane (alive, and not already holding a nearer
-                # hit) can intersect the cluster's union AABB — a member
-                # hit t obeys t >= max(cluster t_min, 0), so the test is
-                # conservative
-                ct_min, _ct_max, c_hit = _slab_t(
-                    ox, oy, oz, dx, dy, dz,
-                    cbounds[0, cidx], cbounds[1, cidx], cbounds[2, cidx],
-                    cbounds[3, cidx], cbounds[4, cidx], cbounds[5, cidx],
-                )
-                # <= not <: a member hit can equal the current best
-                # bitwise (t >= ct_min, and ties are resolved by lowest
-                # ORIGINAL index) — a cluster whose entry t equals t_best
-                # may still hold the tie-winning member, so it must be
-                # visited. The shadow loop uses <= for the same reason.
-                rel = c_hit & (ct_min <= carry[0])
-                if alive is not None:
-                    rel = rel & (alive > 0.0)
-                any_rel = jnp.max(rel.astype(jnp.float32)) > 0.0
                 carry = jax.lax.cond(
-                    any_rel,
+                    _cl_relevant(cidx, carry[0]),
                     lambda c, s=start, e=stop, b=body: _member_loop(
                         b, s, e, c
                     ),
@@ -1099,14 +1221,11 @@ def build_megakernel(
         else:
             t_bests = tuple(jnp.full((r8, LANE), _INF) for _ in rays)
         if clustered:
-            for cidx, (run_tag, start, stop, is_cl) in enumerate(cluster_runs):
-                body = bodies[run_tag]
-                if not is_cl:
-                    if stop - start == 1:
-                        t_bests = body(start, t_bests)
-                    else:
-                        t_bests = jax.lax.fori_loop(start, stop, body, t_bests)
-                    continue
+            # a lane already blocked (some earlier cluster hit within the
+            # light distance) needs no more tests — occlusion is any-hit,
+            # so 'blocked' can only latch, never unlatch: skipping keeps
+            # the output identical
+            def _sh_relevant(cidx, t_bests_c):
                 rel = None
                 for ri, (sox, soy, soz, sdx, sdy, sdz, maxd) in enumerate(
                     rays
@@ -1116,21 +1235,45 @@ def build_megakernel(
                         cbounds[0, cidx], cbounds[1, cidx], cbounds[2, cidx],
                         cbounds[3, cidx], cbounds[4, cidx], cbounds[5, cidx],
                     )
-                    # a lane already blocked (some earlier cluster hit
-                    # within the light distance) needs no more tests —
-                    # occlusion is any-hit, so 'blocked' can only latch,
-                    # never unlatch: skipping keeps the output identical
                     unblocked = (
-                        (t_bests[ri] <= 0.0) if shadow_interval
-                        else ~(t_bests[ri] <= maxd)
+                        (t_bests_c[ri] <= 0.0) if shadow_interval
+                        else ~(t_bests_c[ri] <= maxd)
                     )
                     r = c_hit & (ct_min <= maxd) & unblocked
                     rel = r if rel is None else (rel | r)
                 if relevant is not None:
                     rel = rel & relevant
-                any_rel = jnp.max(rel.astype(jnp.float32)) > 0.0
+                return jnp.max(rel.astype(jnp.float32)) > 0.0
+
+            for seg in cl_segments:
+                if seg[0] == "dyn":
+                    _dtag, _lo, _hi, _base, _csz = seg[1:]
+                    dbody = bodies[_dtag]
+
+                    def _sh_body(ci, ts, _b=_base, _l=_lo, _s=_csz,
+                                 _bd=dbody):
+                        start = _b + (ci - _l) * _s
+                        return jax.lax.cond(
+                            _sh_relevant(ci, ts),
+                            lambda tss: _member_loop_fixed(
+                                _bd, start, _s, tss
+                            ),
+                            lambda tss: tss,
+                            ts,
+                        )
+
+                    t_bests = jax.lax.fori_loop(_lo, _hi, _sh_body, t_bests)
+                    continue
+                cidx, (run_tag, start, stop, is_cl) = seg[1], seg[2]
+                body = bodies[run_tag]
+                if not is_cl:
+                    if stop - start == 1:
+                        t_bests = body(start, t_bests)
+                    else:
+                        t_bests = jax.lax.fori_loop(start, stop, body, t_bests)
+                    continue
                 t_bests = jax.lax.cond(
-                    any_rel,
+                    _sh_relevant(cidx, t_bests),
                     lambda ts, s=start, e=stop, b=body: _member_loop(
                         b, s, e, ts
                     ),

@@ -33,6 +33,18 @@ lands, a progress bar + timing labels, and an Abort button
                        (validated like ``SceneSpectrum.edit``; restarts
                        accumulation at the next frame boundary — the
                        reference's Save button, ``src/main.rs:902``)
+* ``GET /objects``   — per-object editor state: every object, light and
+                       material with its editable fields (the
+                       reference's Objects tab forms,
+                       ``src/main.rs:101-1259``)
+* ``POST /object``   — per-object edit: ``{kind, index, action,
+                       fields}`` with action ``update`` / ``copy`` /
+                       ``delete`` / ``toggle_hidden`` — the reference's
+                       per-object widgets and copy/hide/delete context
+                       menu (deferred via ``AfterUIActions``,
+                       ``src/main.rs:2619-2666``; here the edit is
+                       validated immediately and applied at the next
+                       frame boundary like every other edit)
 
 The render thread pushes frames via :meth:`LiveViewer.update` and polls
 :meth:`LiveViewer.take_scene_edit` between frames; the server thread only
@@ -90,11 +102,19 @@ _PAGE = """<!doctype html>
   id="spapply">Save spectrum (restarts render)</button>
  <span id="spmsg"></span>
 </details>
+<details style="margin-top:1em"><summary>Objects, lights &amp; materials
+ (per-item editor)</summary>
+ <div id="objpanel"></div>
+ <span id="objmsg"></span>
+</details>
 <style>
  .swatch { width: 90px; height: 40px; border: 1px solid #888;
            text-align: center; line-height: 40px; }
  .srow { display: flex; gap: .6em; align-items: center; }
  .srow input[type=range] { width: 300px; }
+ .orow { margin: .25em 0; padding: .2em; border-bottom: 1px solid #2a2a2a; }
+ .orow.hid { opacity: .45; }
+ .orow button { padding: .15em .5em; }
 </style>
 <script>
  async function tick() {
@@ -186,7 +206,113 @@ _PAGE = """<!doctype html>
      body: JSON.stringify({index: SPI, values: SPECTRA[SPI].values})});
    document.getElementById('spmsg').textContent = await r.text();
  }
- setInterval(tick, 1000); tick(); loadScene(); loadSpectra();
+ let OBJ = null;
+ const inp = (id, v, w) => `<input id="${id}" value="${v}" ` +
+   `style="background:#181818;color:#cdc;border:1px solid #444;` +
+   `font:inherit;width:${w || 56}px">`;
+ const selopt = (id, names, cur) => `<select id="${id}" ` +
+   `style="background:#181818;color:#cdc;border:1px solid #444;` +
+   `font:inherit">` + names.map(n =>
+     `<option ${n === cur ? 'selected' : ''}>${n}</option>`).join('') +
+   '</select>';
+ function objRow(o) {
+   const p = `o${o.index}`;
+   const params = o.editable_params.map(k =>
+     `${k} ${inp(p + '_' + k, o.params[k])}`).join(' ');
+   const ro = Object.keys(o.params).filter(
+     k => !o.editable_params.includes(k)).map(
+     k => `${k}=${o.params[k]}`).join(' ');
+   return `<div class="orow${o.hidden ? ' hid' : ''}">
+    <b>#${o.index}</b> ${inp(p + '_name', o.name, 110)}
+    <i>${o.kind}</i> ${ro}
+    pos ${inp(p + '_x', o.position[0])}${inp(p + '_y', o.position[1])}` +
+    `${inp(p + '_z', o.position[2])} ${params}
+    mat ${selopt(p + '_mat', OBJ.material_names, o.material)}
+    <button style="background:#272"
+     onclick="objApply('object',${o.index})">Apply</button>
+    <button style="background:#555"
+     onclick="objAct('object',${o.index},'copy')">Copy</button>
+    <button style="background:#555"
+     onclick="objAct('object',${o.index},'toggle_hidden')">` +
+    `${o.hidden ? 'Show' : 'Hide'}</button>
+    <button onclick="objAct('object',${o.index},'delete')">Del</button>
+   </div>`;
+ }
+ function lightRow(l) {
+   const p = `l${l.index}`;
+   return `<div class="orow${l.hidden ? ' hid' : ''}">
+    <b>#${l.index}</b> ${inp(p + '_name', l.name, 110)}
+    pos ${inp(p + '_x', l.position[0])}${inp(p + '_y', l.position[1])}` +
+    `${inp(p + '_z', l.position[2])}
+    spectrum ${selopt(p + '_sp', OBJ.spectrum_names, l.spectrum)}
+    <button style="background:#272"
+     onclick="objApply('light',${l.index})">Apply</button>
+    <button style="background:#555"
+     onclick="objAct('light',${l.index},'copy')">Copy</button>
+    <button style="background:#555"
+     onclick="objAct('light',${l.index},'toggle_hidden')">` +
+    `${l.hidden ? 'Show' : 'Hide'}</button>
+    <button onclick="objAct('light',${l.index},'delete')">Del</button>
+   </div>`;
+ }
+ function matRow(m) {
+   const p = `m${m.index}`;
+   const f = ['metallicness', 'roughness', 'transmission', 'ior',
+              'cauchy_b_um2'].map(k =>
+     `${k} ${inp(p + '_' + k, m[k])}`).join(' ');
+   return `<div class="orow">
+    <b>#${m.index}</b> ${inp(p + '_name', m.name, 110)} ${f}
+    spectrum ${selopt(p + '_sp', OBJ.spectrum_names, m.spectrum)}
+    ${m.emission ? 'emission=' + m.emission : ''}
+    <button style="background:#272"
+     onclick="objApply('material',${m.index})">Apply</button>
+    <button style="background:#555"
+     onclick="objAct('material',${m.index},'copy')">Copy</button>
+   </div>`;
+ }
+ async function loadObjects() {
+   OBJ = await (await fetch('/objects')).json();
+   document.getElementById('objpanel').innerHTML =
+     '<h4>Objects</h4>' + OBJ.objects.map(objRow).join('') +
+     '<h4>Lights</h4>' + OBJ.lights.map(lightRow).join('') +
+     '<h4>Materials</h4>' + OBJ.materials.map(matRow).join('');
+ }
+ const val = id => document.getElementById(id).value;
+ async function objPost(body) {
+   const r = await fetch('/object', {method: 'POST',
+     body: JSON.stringify(body)});
+   document.getElementById('objmsg').textContent = await r.text();
+   if (r.ok) { loadObjects(); loadScene(); }
+ }
+ function objAct(kind, index, action) {
+   objPost({kind: kind, index: index, action: action});
+ }
+ function objApply(kind, index) {
+   const fields = {};
+   if (kind === 'object') {
+     const o = OBJ.objects[index], p = `o${index}`;
+     fields.name = val(p + '_name');
+     fields.position = [+val(p + '_x'), +val(p + '_y'), +val(p + '_z')];
+     fields.material = val(p + '_mat');
+     fields.params = {};
+     for (const k of o.editable_params)
+       fields.params[k] = +val(p + '_' + k);
+   } else if (kind === 'light') {
+     const p = `l${index}`;
+     fields.name = val(p + '_name');
+     fields.position = [+val(p + '_x'), +val(p + '_y'), +val(p + '_z')];
+     fields.spectrum = val(p + '_sp');
+   } else {
+     const p = `m${index}`;
+     fields.name = val(p + '_name');
+     fields.spectrum = val(p + '_sp');
+     for (const k of ['metallicness', 'roughness', 'transmission',
+                      'ior', 'cauchy_b_um2'])
+       fields[k] = +val(p + '_' + k);
+   }
+   objPost({kind: kind, index: index, action: 'update', fields: fields});
+ }
+ setInterval(tick, 1000); tick(); loadScene(); loadSpectra(); loadObjects();
 </script></body></html>"""
 
 
@@ -247,6 +373,14 @@ class LiveViewer:
                         return
                     self._send(200, "application/json",
                                json.dumps(body).encode())
+                elif path == "/objects":
+                    try:
+                        body = viewer._objects_state()
+                    except Exception as e:
+                        self._send(404, "text/plain", str(e).encode())
+                        return
+                    self._send(200, "application/json",
+                               json.dumps(body).encode())
                 else:
                     self._send(404, "text/plain", b"not found")
 
@@ -295,6 +429,16 @@ class LiveViewer:
                         b"spectrum saved; the render restarts with it at "
                         b"the next frame boundary",
                     )
+                elif self.path == "/object":
+                    length = int(self.headers.get("Content-Length", 0))
+                    raw = self.rfile.read(length)
+                    try:
+                        msg = viewer._apply_object_edit(json.loads(raw))
+                    except Exception as e:  # legality / bounds -> 400
+                        self._send(400, "text/plain",
+                                   f"edit rejected: {e}".encode())
+                        return
+                    self._send(200, "text/plain", msg.encode())
                 else:
                     self._send(404, "text/plain", b"not found")
 
@@ -428,6 +572,160 @@ class LiveViewer:
         with self._lock:
             self._pending_scene = scene
             self._scene_dict = d
+
+    def _objects_state(self) -> dict:
+        """Per-object editor state (the reference's Objects tab forms,
+        src/main.rs:101-1259): every object, light and material with the
+        fields its dedicated widget edits, referenced spectra/materials
+        by name."""
+        import dataclasses
+
+        from spectral_tpu.scene.schema import Mesh
+
+        scene = self._current_scene()
+        objs = []
+        for i, o in enumerate(scene.objects):
+            t = o.object_type
+            if isinstance(t, Mesh):
+                params = {"n_vertices": len(t.vertices),
+                          "n_faces": t.n_triangles}
+                editable = []  # mesh geometry edits go through POST /scene
+            else:
+                params = dataclasses.asdict(t)
+                editable = list(params)
+            objs.append({
+                "index": i, "name": o.name, "hidden": o.hidden,
+                "position": [float(c) for c in o.position],
+                "kind": type(t).__name__, "params": params,
+                "editable_params": editable,
+                "material": o.material.name,
+            })
+        lights = [{
+            "index": i, "name": li.name, "hidden": li.hidden,
+            "position": [float(c) for c in li.position],
+            "spectrum": li.spectrum.name,
+        } for i, li in enumerate(scene.lights)]
+        mats = [{
+            "index": i, "name": m.name,
+            "metallicness": float(m.metallicness),
+            "roughness": float(m.roughness),
+            "transmission": float(m.transmission),
+            "ior": float(m.ior),
+            "cauchy_b_um2": float(m.cauchy_b_um2),
+            "spectrum": m.spectrum.name,
+            "emission": m.emission.name if m.emission else None,
+        } for i, m in enumerate(scene.materials)]
+        return {
+            "objects": objs, "lights": lights, "materials": mats,
+            "material_names": [m.name for m in scene.materials],
+            "spectrum_names": [s.name for s in scene.spectra],
+        }
+
+    def _apply_object_edit(self, body: dict) -> str:
+        """One per-object edit (the reference's per-object widgets and
+        copy/hide/delete context menu, src/main.rs:101-1259 applied via
+        AfterUIActions src/main.rs:2619-2666): mutate a scratch copy of
+        the current scene, re-validate the whole scene (HTTP 400 on any
+        legality error), then queue it for the next frame boundary and
+        republish the accepted JSON."""
+        import dataclasses
+
+        from spectral_tpu.utils import sceneio
+
+        scene = self._current_scene()
+        kind = body.get("kind", "object")
+        action = body.get("action", "update")
+        idx = int(body["index"])
+        fields = body.get("fields", {})
+
+        def _pos(v):
+            x, y, z = (float(c) for c in v)
+            return (x, y, z)
+
+        if kind == "object":
+            lst = scene.objects
+        elif kind == "light":
+            lst = scene.lights
+        elif kind == "material":
+            lst = scene.materials
+        else:
+            raise ValueError(f"unknown kind {kind!r}")
+        if not 0 <= idx < len(lst):
+            raise IndexError(f"{kind} index {idx} out of range")
+        item = lst[idx]
+
+        if action == "delete":
+            if kind == "material":
+                raise ValueError(
+                    "materials cannot be deleted while objects may "
+                    "reference them; edit the scene JSON instead"
+                )
+            del lst[idx]
+            msg = f"{kind} {item.name!r} deleted"
+        elif action == "copy":
+            if kind == "material":
+                dup = item.copy()
+                dup.name = item.name + " copy"
+            else:
+                dup = dataclasses.replace(item, name=item.name + " copy")
+            lst.append(dup)
+            msg = f"{kind} {item.name!r} copied"
+        elif action == "toggle_hidden":
+            if kind == "material":
+                raise ValueError("materials have no hidden flag")
+            item.hidden = not item.hidden
+            msg = f"{kind} {item.name!r} " + (
+                "hidden" if item.hidden else "shown"
+            )
+        elif action == "update":
+            if "name" in fields:
+                item.name = str(fields["name"])
+            if "position" in fields and kind != "material":
+                item.position = _pos(fields["position"])
+            if kind == "object":
+                if "material" in fields:
+                    by_name = {m.name: m for m in scene.materials}
+                    if fields["material"] not in by_name:
+                        raise ValueError(
+                            f"unknown material {fields['material']!r}"
+                        )
+                    item.material = by_name[fields["material"]]
+                if "params" in fields and fields["params"]:
+                    item.object_type = dataclasses.replace(
+                        item.object_type,
+                        **{k: float(v)
+                           for k, v in fields["params"].items()},
+                    )
+            elif kind == "light":
+                if "spectrum" in fields:
+                    by_name = {s.name: s for s in scene.spectra}
+                    if fields["spectrum"] not in by_name:
+                        raise ValueError(
+                            f"unknown spectrum {fields['spectrum']!r}"
+                        )
+                    item.spectrum = by_name[fields["spectrum"]]
+            else:  # material scalars
+                for k in ("metallicness", "roughness", "transmission",
+                          "ior", "cauchy_b_um2"):
+                    if k in fields:
+                        setattr(item, k, float(fields[k]))
+                if "spectrum" in fields:
+                    by_name = {s.name: s for s in scene.spectra}
+                    if fields["spectrum"] not in by_name:
+                        raise ValueError(
+                            f"unknown spectrum {fields['spectrum']!r}"
+                        )
+                    item.spectrum = by_name[fields["spectrum"]]
+            msg = f"{kind} {item.name!r} updated"
+        else:
+            raise ValueError(f"unknown action {action!r}")
+
+        scene.validate()
+        d = sceneio.scene_to_dict(scene)
+        with self._lock:
+            self._pending_scene = scene
+            self._scene_dict = d
+        return msg + "; the render restarts at the next frame boundary"
 
     def take_scene_edit(self):
         """Pop a pending validated scene edit (None if none). Called by

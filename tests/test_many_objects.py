@@ -397,3 +397,85 @@ def test_shadow_interval_predicate_algebra():
     blocked_interval = (disc >= 0.0) & (near | far)
 
     assert np.array_equal(blocked_root, blocked_interval)
+
+
+def test_dynamic_cluster_loop_bit_exact_and_auto_selected():
+    """The DYNAMIC cluster loop (one lax.fori_loop per uniform streak of
+    clusters — program size O(types), the many-cluster fix for the
+    mesh5k scalar-core instruction-memory fault) must be bit-identical
+    to both the brute-force fori loop and the static per-cluster
+    emission, and the `auto` policy must actually select it at
+    many-cluster scale."""
+    import numpy as np
+
+    from spectral_tpu.ops.pallas import megakernel as mk
+    from spectral_tpu.render.pallas_integrator import (
+        integrate_frame_pallas,
+        integrate_frames_pallas_regen,
+    )
+
+    # 220 spheres + floor at cluster_size=8 -> ~28 clustered sphere runs:
+    # over CLUSTER_LOOP_DYNAMIC_MIN, so `auto` picks the dynamic loop
+    scene = _cluster_scene(n_spheres=220, bounces=3)
+    arrays, config = flatten_scene(scene)
+    obj_types = tuple(np.asarray(arrays.obj_type).tolist())
+    sigma, runs = mk.plan_clusters(
+        np.asarray(arrays.aabb_min), np.asarray(arrays.aabb_max),
+        obj_types, cluster_size=8,
+    )
+    n_cl = sum(1 for r in runs if r[3])
+    assert n_cl >= mk.CLUSTER_LOOP_DYNAMIC_MIN
+    # the segmentation folds the uniform sphere streak into O(1) dynamic
+    # segments (ragged tail chunk may split it; unclustered floor run
+    # stays static)
+    segs = mk._cluster_segments(runs, 2)
+    dyn = [s for s in segs if s[0] == "dyn"]
+    assert dyn, "uniform cluster streak should fold into a dyn segment"
+    assert len(segs) <= 6
+    covered = sum(hi - lo for _k, _t, lo, hi, _b, _s in dyn)
+    assert covered >= n_cl - 2  # at most the ragged tail stays static
+
+    clusters = (sigma, runs)
+    plain = np.asarray(
+        integrate_frame_pallas(
+            arrays, config, np.uint32(1), obj_types, interpret=True
+        )
+    )
+    auto_dyn = np.asarray(
+        integrate_frame_pallas(
+            arrays, config, np.uint32(1), obj_types, interpret=True,
+            clusters=clusters,
+        )
+    )
+    assert np.array_equal(plain, auto_dyn)
+
+    # force the static emission for the same plan and compare: the two
+    # cluster-loop compilations must agree bitwise
+    mk.CLUSTER_LOOP_AUTO_OVERRIDE = "static"
+    try:
+        from spectral_tpu.render import pallas_integrator as pi
+        pi._kernel.cache_clear()
+        forced_static = np.asarray(
+            integrate_frame_pallas(
+                arrays, config, np.uint32(1), obj_types, interpret=True,
+                clusters=clusters,
+            )
+        )
+    finally:
+        mk.CLUSTER_LOOP_AUTO_OVERRIDE = None
+        pi._kernel.cache_clear()
+    assert np.array_equal(auto_dyn, forced_static)
+
+    # the regen (multi-frame) kernel goes through the same loops
+    plain_r = np.asarray(
+        integrate_frames_pallas_regen(
+            arrays, config, np.uint32(0), obj_types, 3, interpret=True
+        )
+    )
+    clustered_r = np.asarray(
+        integrate_frames_pallas_regen(
+            arrays, config, np.uint32(0), obj_types, 3, interpret=True,
+            clusters=clusters,
+        )
+    )
+    assert np.array_equal(plain_r, clustered_r)

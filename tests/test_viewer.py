@@ -357,3 +357,132 @@ def test_viewer_spectrum_editor_endpoints():
         ]
     finally:
         v.close()
+
+
+def test_viewer_per_object_editor_endpoints():
+    """The per-object editor (the reference's Objects tab forms and
+    copy/hide/delete context menu, src/main.rs:101-1259 /
+    src/main.rs:2619-2666): GET /objects state, and POST /object
+    update/copy/toggle_hidden/delete for objects, lights and materials —
+    every accepted edit is validated and queued for the next frame
+    boundary; illegal edits are refused with HTTP 400 and change
+    nothing."""
+    from spectral_tpu.scene import presets
+
+    v = LiveViewer(port=0)
+    try:
+        scene = presets.cornell_box()
+        v.publish_scene(scene)
+
+        status, body = _get(v.url + "objects")
+        state = json.loads(body)
+        assert status == 200
+        n_obj = len(state["objects"])
+        n_lights = len(state["lights"])
+        assert n_obj == len(scene.objects)
+        assert state["materials"] and state["material_names"]
+        first = state["objects"][0]
+        assert first["kind"] in (
+            "PlainBox", "Sphere", "RotatedBox", "Mesh"
+        )
+        assert first["material"] in state["material_names"]
+
+        def post(body_dict, expect_ok=True):
+            req = urllib.request.Request(
+                v.url + "object", method="POST",
+                data=json.dumps(body_dict).encode(),
+            )
+            try:
+                with urllib.request.urlopen(req, timeout=10) as r:
+                    return r.status, r.read()
+            except urllib.error.HTTPError as e:
+                assert not expect_ok, e.read()
+                return e.code, b""
+
+        # update: move + rename + resize the first object
+        new_pos = [p + 0.25 for p in first["position"]]
+        params = {k: float(first["params"][k]) * 1.5
+                  for k in first["editable_params"]}
+        status, msg = post({
+            "kind": "object", "index": 0, "action": "update",
+            "fields": {"name": "edited-obj", "position": new_pos,
+                       "params": params, "material": first["material"]},
+        })
+        assert status == 200 and b"edited-obj" in msg
+        edited = v.take_scene_edit()
+        assert edited is not None
+        assert edited.objects[0].name == "edited-obj"
+        assert edited.objects[0].position[0] == new_pos[0]
+
+        # the published JSON reflects the accepted edit
+        state2 = json.loads(_get(v.url + "objects")[1])
+        assert state2["objects"][0]["name"] == "edited-obj"
+
+        # copy then delete an object (reference context menu)
+        status, _ = post({"kind": "object", "index": 1, "action": "copy"})
+        assert status == 200
+        state3 = json.loads(_get(v.url + "objects")[1])
+        assert len(state3["objects"]) == n_obj + 1
+        assert state3["objects"][-1]["name"].endswith(" copy")
+        status, _ = post({
+            "kind": "object", "index": n_obj, "action": "delete",
+        })
+        assert status == 200
+        assert len(json.loads(_get(v.url + "objects")[1])["objects"]) \
+            == n_obj
+
+        # hide / show round-trip
+        status, _ = post({
+            "kind": "object", "index": 0, "action": "toggle_hidden",
+        })
+        assert status == 200
+        assert json.loads(_get(v.url + "objects")[1])["objects"][0]["hidden"]
+        post({"kind": "object", "index": 0, "action": "toggle_hidden"})
+        assert not json.loads(
+            _get(v.url + "objects")[1]
+        )["objects"][0]["hidden"]
+
+        # light edit: move + respectrum
+        li = json.loads(_get(v.url + "objects")[1])["lights"][0]
+        status, _ = post({
+            "kind": "light", "index": 0, "action": "update",
+            "fields": {"position": [0.0, 0.9, 0.5],
+                       "spectrum": li["spectrum"]},
+        })
+        assert status == 200
+        assert json.loads(
+            _get(v.url + "objects")[1]
+        )["lights"][0]["position"][1] == 0.9
+        assert len(json.loads(_get(v.url + "objects")[1])["lights"]) \
+            == n_lights
+
+        # material scalar edit
+        status, _ = post({
+            "kind": "material", "index": 0, "action": "update",
+            "fields": {"metallicness": 0.75, "roughness": 0.3},
+        })
+        assert status == 200
+        m0 = json.loads(_get(v.url + "objects")[1])["materials"][0]
+        assert m0["metallicness"] == 0.75 and m0["roughness"] == 0.3
+
+        # rejected edits: unknown material, out-of-range index, illegal
+        # scalar (validate() refuses) — all 400, nothing queued
+        v.take_scene_edit()
+        status, _ = post({
+            "kind": "object", "index": 0, "action": "update",
+            "fields": {"material": "no-such-material"},
+        }, expect_ok=False)
+        assert status == 400
+        status, _ = post(
+            {"kind": "object", "index": 99, "action": "delete"},
+            expect_ok=False,
+        )
+        assert status == 400
+        status, _ = post({
+            "kind": "material", "index": 0, "action": "update",
+            "fields": {"transmission": 2.0},
+        }, expect_ok=False)
+        assert status == 400
+        assert not v.scene_edit_pending()
+    finally:
+        v.close()
