@@ -16,6 +16,7 @@ Mrays/s*lambda per chip (BASELINE.md; the reference publishes no numbers).
 from __future__ import annotations
 
 import json
+import sys
 import time
 from functools import partial
 
@@ -154,13 +155,22 @@ def main(config_name: str = "cornell512", tile: int | None = None) -> None:
     from spectral_tpu.render.integrator import accumulate_frame, integrate_frame
     from spectral_tpu.render.pallas_integrator import render_frame_step_pallas
     from spectral_tpu.scene import presets
-    from spectral_tpu.scene.flatten import flatten_scene
+    from spectral_tpu.scene.flatten import flatten_scene, host_meta
+
+    def _stage(msg: str) -> None:
+        # progress breadcrumbs on stderr (stdout stays one JSON line);
+        # the tunnel can stall for minutes after an aborted client, and
+        # these make the stuck stage visible
+        print(f"# bench[{config_name}]: {msg}", file=sys.stderr, flush=True)
 
     scene, desc = _make_scene(config_name)
+    _stage("scene built; flattening (device placement)")
     arrays, config = flatten_scene(scene)
-    obj_types = tuple(np.asarray(arrays.obj_type).tolist())
-    has_trans = bool(np.asarray(arrays.transmission).any())
-    has_emis = bool(np.asarray(arrays.emission).any())
+    host = host_meta(arrays)  # no device readback before the first kernel
+    obj_types = tuple(host.obj_type.tolist())
+    _stage("flattened")
+    has_trans = host.has_transmission
+    has_emis = host.has_emission
     # many-object configs: Morton-clustered, AABB-culled object loop with
     # 8-wide member unroll (bit-identical to brute force; v5e spheres
     # regen 78.4 -> 37.1 ms/frame, tools/cluster_bench.py +
@@ -170,9 +180,9 @@ def main(config_name: str = "cornell512", tile: int | None = None) -> None:
         from spectral_tpu.ops.pallas.megakernel import plan_clusters
 
         clusters = plan_clusters(
-            np.asarray(arrays.aabb_min), np.asarray(arrays.aabb_max),
+            host.aabb_min, host.aabb_max,
             obj_types, cluster_size=64,
-            camera_pos=np.asarray(arrays.cam_pos)[:3],
+            camera_pos=host.cam_pos[:3],
         )
 
     # reference-equivalent ray counts + per-bounce live-lane occupancy,
@@ -239,9 +249,6 @@ def main(config_name: str = "cornell512", tile: int | None = None) -> None:
         )
 
         k, regen_tile = _REGEN[config_name]
-        n_frames = max(n_frames, k)  # at least one timed launch
-        assert n_frames % k == 0
-        timed_frames = range(k, k + n_frames)
 
         @partial(
             jax.jit, static_argnums=(1, 4, 5, 6, 7, 8, 9),
@@ -253,12 +260,50 @@ def main(config_name: str = "cornell512", tile: int | None = None) -> None:
                 has_transmission=ht, has_emission=he, tile=tl, clusters=cl,
             )
 
+        # single-launch device-time budget: the TPU serving path kills any
+        # one kernel launch past ~60s (measured on v5e through the axon
+        # relay: mesh5k 512^2 K=100 ~= 80s faults reproducibly; K=25 ~= 22s
+        # and 256^2 K=100 ~= 19s run clean), surfacing as "UNAVAILABLE: TPU
+        # device error".  Calibrate with a one-frame launch and shrink K so
+        # a launch stays well under the deadline; fast configs keep their
+        # tuned K untouched.
+        launch_budget_s = 15.0
+        # K=4, not the minimum K=2: the K=2 mesh5k program reproducibly
+        # wedges the axon remote compiler (3/3 hangs at 512^2 on v5e,
+        # 2026-08-21) while K>=4 compiles in seconds
+        _stage("compiling K=4 calibration step")
+        accum = jnp.zeros((config.height, config.width, 4), dtype=jnp.float32)
+        accum = step_regen(
+            arrays, config, accum, jnp.uint32(0), 4, obj_types, has_trans,
+            has_emis, regen_tile, clusters,
+        )
+        jax.block_until_ready(accum)
+        _stage("calibrating (one K=4 launch)")
+        t0 = time.perf_counter()
+        accum = step_regen(
+            arrays, config, accum, jnp.uint32(4), 4, obj_types, has_trans,
+            has_emis, regen_tile, clusters,
+        )
+        jax.block_until_ready(accum)
+        s_frame_est = (time.perf_counter() - t0) / 4.0
+        if s_frame_est * k > launch_budget_s:
+            k = max(1, int(launch_budget_s / s_frame_est))
+            print(
+                f"# launch budget: K capped to {k} "
+                f"({s_frame_est * 1e3:.1f} ms/frame calibration)",
+                file=sys.stderr,
+            )
+        n_frames = k * max(1, -(-n_frames // k))  # >= 50, multiple of k
+        timed_frames = range(k, k + n_frames)
+
+        _stage(f"compiling K={k} step")
         accum = jnp.zeros((config.height, config.width, 4), dtype=jnp.float32)
         accum = step_regen(
             arrays, config, accum, jnp.uint32(0), k, obj_types, has_trans,
             has_emis, regen_tile, clusters,
         )  # compile (renders frames 0..k-1, outside the timed window)
         jax.block_until_ready(accum)
+        _stage(f"timing {n_frames} frames in launches of {k}")
 
         t0 = time.perf_counter()
         for base in range(k, k + n_frames, k):
@@ -327,7 +372,6 @@ def main(config_name: str = "cornell512", tile: int | None = None) -> None:
     visit_fracs = None
     if clusters is not None:
         import os
-        import sys
 
         sys.path.insert(0, os.path.join(os.path.dirname(
             os.path.abspath(__file__)), "tools"))
@@ -388,9 +432,10 @@ def main(config_name: str = "cornell512", tile: int | None = None) -> None:
                     "device": str(jax.devices()[0]),
                     "tile": tile or "auto",
                     "phased": phased,
-                    "regen": dict(
-                        zip(("frames_per_launch", "tile"),
-                            _REGEN.get(config_name, (None, None)))
+                    "regen": (
+                        {"frames_per_launch": k, "tile": regen_tile}
+                        if config_name in _REGEN
+                        else {"frames_per_launch": None, "tile": None}
                     ),
                     "overflow_frames": overflow_frames,
                     # analytic roofline (utils/flops.py): executed VPU ops
@@ -532,23 +577,24 @@ def main_adaptive(config_name: str = "prism", n_frames: int = 1000,
     _enable_compile_cache()
     _arm_watchdog()
     from spectral_tpu.render.pallas_integrator import render_persistent
-    from spectral_tpu.scene.flatten import flatten_scene
+    from spectral_tpu.scene.flatten import flatten_scene, host_meta
 
     scene, desc = _make_scene(config_name)
     arrays, config = flatten_scene(scene)
-    obj_types = tuple(np.asarray(arrays.obj_type).tolist())
+    host = host_meta(arrays)
+    obj_types = tuple(host.obj_type.tolist())
     kw = dict(
-        has_transmission=bool(np.asarray(arrays.transmission).any()),
-        has_emission=bool(np.asarray(arrays.emission).any()),
+        has_transmission=host.has_transmission,
+        has_emission=host.has_emission,
         ring_slots=0,
     )
     if config.n_objects > 64:
         from spectral_tpu.ops.pallas.megakernel import plan_clusters
 
         kw["clusters"] = plan_clusters(
-            np.asarray(arrays.aabb_min), np.asarray(arrays.aabb_max),
+            host.aabb_min, host.aabb_max,
             obj_types, cluster_size=64,
-            camera_pos=np.asarray(arrays.cam_pos)[:3],
+            camera_pos=host.cam_pos[:3],
         )
 
     rgb_fix, _ = render_persistent(

@@ -22,7 +22,12 @@ import numpy as np
 
 from spectral_tpu.render import image as image_mod
 from spectral_tpu.render.integrator import render_frame_step
-from spectral_tpu.scene.flatten import RenderConfig, SceneArrays, flatten_scene
+from spectral_tpu.scene.flatten import (
+    RenderConfig,
+    SceneArrays,
+    flatten_scene,
+    host_meta as _host_meta,
+)
 from spectral_tpu.scene.schema import Scene
 
 
@@ -303,6 +308,11 @@ def scene_digest(arrays: SceneArrays, config: RenderConfig) -> str:
     get the explicit different-scene error.)"""
     import hashlib
 
+    # fresh flatten_scene outputs carry bit-identical host numpy copies
+    # (arrays.host.np_fields) — digesting those avoids one D2H readback
+    # per field (the tunneled TPU platform can stall minutes on readback)
+    np_fields = getattr(getattr(arrays, "host", None), "np_fields", {})
+
     h = hashlib.sha256()
     h.update(b"spectral_tpu-digest-v2:")
     h.update(repr(config).encode())
@@ -315,7 +325,7 @@ def scene_digest(arrays: SceneArrays, config: RenderConfig) -> str:
         if isinstance(v, (bool, int, float, str, tuple)):
             h.update(repr(v).encode())
             continue
-        a = np.asarray(v)
+        a = np.asarray(np_fields.get(field.name, v))
         h.update(str(a.shape).encode())
         h.update(str(a.dtype).encode())
         h.update(a.tobytes())
@@ -442,10 +452,9 @@ class Renderer:
             from spectral_tpu.scene.accel import build_grid
 
             self.grid, self.grid_static = build_grid(self.scene_arrays)
-        self.has_transmission = bool(
-            _np.asarray(self.scene_arrays.transmission).any()
-        )
-        self.has_emission = bool(_np.asarray(self.scene_arrays.emission).any())
+        _host = _host_meta(self.scene_arrays)
+        self.has_transmission = _host.has_transmission
+        self.has_emission = _host.has_emission
         if (
             self.backend == "pallas"
             and self.config.n_objects > 64
@@ -472,7 +481,7 @@ class Renderer:
                 stacklevel=3,
             )
             self.backend = "jnp"
-        self.obj_types = tuple(_np.asarray(self.scene_arrays.obj_type).tolist())
+        self.obj_types = tuple(_host.obj_type.tolist())
         # cluster-culled object loop for many-object scenes: Morton-sort
         # objects into 64-object clusters whose union AABB is pre-tested
         # per tile, skipping whole clusters no live ray can hit. Measured
@@ -495,11 +504,11 @@ class Renderer:
             # clusters (48.6 -> 48.2 ms/frame on the 1000-sphere config —
             # small but free; visit order never changes results)
             self.clusters = plan_clusters(
-                _np.asarray(self.scene_arrays.aabb_min),
-                _np.asarray(self.scene_arrays.aabb_max),
+                _host.aabb_min,
+                _host.aabb_max,
                 self.obj_types,
                 cluster_size=64,
-                camera_pos=_np.asarray(self.scene_arrays.cam_pos)[:3],
+                camera_pos=_host.cam_pos[:3],
             )
         self.sharding = sharding
         if sharding is not None:
@@ -647,6 +656,26 @@ class Renderer:
                     cap,
                     1 + hbm_budget // (12 * self.config.width * self.config.height),
                 )
+                # single-launch device-time budget: the serving path kills
+                # any ONE kernel launch past ~60s (measured on v5e: mesh5k
+                # 512^2 K=100 ~= 80s faults with "UNAVAILABLE: TPU device
+                # error"; ~22s launches run clean). Bound the DEFAULT K by
+                # the analytic dense roofline (utils/flops.py) with a 2x
+                # realized/dense margin (measured range 0.6-2.2x across the
+                # bench configs) so heavy scenes stay well under the
+                # deadline out of the box; explicit regen_frames=K remains
+                # the user's call.
+                from spectral_tpu.utils import flops as _flops
+
+                _dense_s = (
+                    _flops.kernel_ops(
+                        self.config, self.obj_types, self.config.n_materials,
+                        clusters=self.clusters,
+                        has_transmission=self.has_transmission,
+                        has_emission=self.has_emission,
+                    ).per_frame / _flops.V5E_VPU_PEAK_OPS
+                )
+                cap = min(cap, max(1, int(20.0 / (2.0 * _dense_s))))
                 if auto_cap is not None:
                     cap = min(cap, auto_cap)
                 regen_frames = max(1, min(self.config.intended_frames, cap))

@@ -16,6 +16,7 @@ reference bit-for-bit.
 from __future__ import annotations
 
 import dataclasses
+import types
 
 import jax
 import jax.numpy as jnp
@@ -153,6 +154,26 @@ class SceneArrays:
     @property
     def n_samples(self) -> int:
         return self.albedo.shape[1]
+
+
+def host_meta(arrays: "SceneArrays") -> types.SimpleNamespace:
+    """Host-side metadata for cluster planning / kernel specialization.
+
+    ``flatten_scene`` attaches numpy copies as ``arrays.host`` (free);
+    arrays that crossed a jit/tree boundary lose the attribute, and this
+    falls back to one device readback per field (the pre-round-5 path).
+    """
+    host = getattr(arrays, "host", None)
+    if host is not None:
+        return host
+    return types.SimpleNamespace(
+        obj_type=np.asarray(arrays.obj_type),
+        aabb_min=np.asarray(arrays.aabb_min),
+        aabb_max=np.asarray(arrays.aabb_max),
+        cam_pos=np.asarray(arrays.cam_pos)[:3],
+        has_transmission=bool(np.asarray(arrays.transmission).any()),
+        has_emission=bool(np.asarray(arrays.emission).any()),
+    )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -376,33 +397,33 @@ def flatten_scene(scene: Scene) -> tuple[SceneArrays, RenderConfig]:
     k = min(len(w), n_samples)
     xyz_weights[:k] = w[:k]
 
-    arrays = SceneArrays(
-        obj_type=jnp.asarray(obj_type),
-        slab_min=jnp.asarray(slab_min),
-        slab_max=jnp.asarray(slab_max),
-        shift=jnp.asarray(shift),
-        inv_rot=jnp.asarray(inv_rot),
-        rot=jnp.asarray(rot),
-        aabb_min=jnp.asarray(aabb_min),
-        aabb_max=jnp.asarray(aabb_max),
-        center=jnp.asarray(center),
-        half_dim=jnp.asarray(half_dim),
-        sphere_pos=jnp.asarray(sphere_pos),
-        radius=jnp.asarray(radius),
-        metallicness=jnp.asarray(metallicness),
-        roughness=jnp.asarray(roughness),
-        albedo=jnp.asarray(albedo),
-        transmission=jnp.asarray(transmission),
-        ior=jnp.asarray(ior),
-        cauchy_b=jnp.asarray(cauchy_b),
-        tex_scale=jnp.asarray(tex_scale),
-        tex_low=jnp.asarray(tex_low),
-        emission=jnp.asarray(emission),
-        lambda_grid=jnp.asarray(_lambda_grid(scene, n_samples)),
-        mat_id=jnp.asarray(mat_id),
-        mat_albedo=jnp.asarray(albedo[material_list].reshape(-1, n_samples)),
-        mat_emission=jnp.asarray(emission[material_list].reshape(-1, n_samples)),
-        mat_scalars=jnp.asarray(
+    np_fields = dict(
+        obj_type=obj_type,
+        slab_min=slab_min,
+        slab_max=slab_max,
+        shift=shift,
+        inv_rot=inv_rot,
+        rot=rot,
+        aabb_min=aabb_min,
+        aabb_max=aabb_max,
+        center=center,
+        half_dim=half_dim,
+        sphere_pos=sphere_pos,
+        radius=radius,
+        metallicness=metallicness,
+        roughness=roughness,
+        albedo=albedo,
+        transmission=transmission,
+        ior=ior,
+        cauchy_b=cauchy_b,
+        tex_scale=tex_scale,
+        tex_low=tex_low,
+        emission=emission,
+        lambda_grid=_lambda_grid(scene, n_samples),
+        mat_id=mat_id,
+        mat_albedo=albedo[material_list].reshape(-1, n_samples),
+        mat_emission=emission[material_list].reshape(-1, n_samples),
+        mat_scalars=(
             np.stack(
                 [
                     metallicness[material_list],
@@ -419,22 +440,25 @@ def flatten_scene(scene: Scene) -> tuple[SceneArrays, RenderConfig]:
             if material_list
             else np.zeros((0, 8), F32)
         ),
-        light_pos=jnp.asarray(light_pos),
-        light_spec=jnp.asarray(light_spec),
+        light_pos=light_pos,
+        light_spec=light_spec,
         sky=(
-            jnp.asarray(scene.sky.spectrum.values.astype(F32))
+            scene.sky.spectrum.values.astype(F32)
             if scene.sky is not None
             else None  # no-sky scenes keep the pytree leaf absent: every
             # compiled program is bit-identical to the pre-sky framework
         ),
-        cam_pos=jnp.asarray(np.asarray(scene.camera.position, dtype=F32)),
-        cam_dir=jnp.asarray(np.asarray(scene.camera.direction, dtype=F32)),
-        cam_up=jnp.asarray(np.asarray(scene.camera.up, dtype=F32)),
-        fov_y_deg=jnp.asarray(F32(scene.camera.fov_y_deg)),
-        cam_aperture=jnp.asarray(F32(scene.camera.aperture_radius)),
-        cam_focus=jnp.asarray(F32(scene.camera.focus_distance)),
-        xyz_weights=jnp.asarray(xyz_weights),
-        xyz_to_rgb=jnp.asarray(cie.XYZ_TO_RGB_MATRIX),
+        cam_pos=np.asarray(scene.camera.position, dtype=F32),
+        cam_dir=np.asarray(scene.camera.direction, dtype=F32),
+        cam_up=np.asarray(scene.camera.up, dtype=F32),
+        fov_y_deg=F32(scene.camera.fov_y_deg),
+        cam_aperture=F32(scene.camera.aperture_radius),
+        cam_focus=F32(scene.camera.focus_distance),
+        xyz_weights=xyz_weights,
+        xyz_to_rgb=cie.XYZ_TO_RGB_MATRIX,
+    )
+    arrays = SceneArrays(
+        **{k: None if v is None else jnp.asarray(v) for k, v in np_fields.items()},
         obj_types_static=tuple(int(x) for x in obj_type),
         smooth_tri_static=any(
             isinstance(o.object_type, Mesh) and bool(o.object_type.normals)
@@ -443,6 +467,22 @@ def flatten_scene(scene: Scene) -> tuple[SceneArrays, RenderConfig]:
         textured_static=any(
             o.material.texture is not None for o in objects
         ),
+    )
+    # host-side copies of everything callers read back before the first
+    # kernel (cluster planning, kernel-specialization flags, the checkpoint
+    # scene digest): a D2H readback of data this function JUST uploaded is
+    # pure waste, and on the tunneled TPU platform readbacks can stall for
+    # minutes when the relay is congested. Plain attribute, NOT a pytree
+    # field — it does not survive jit/tree transforms; consumers fall back
+    # to D2H via ``host_meta()`` when absent.
+    arrays.host = types.SimpleNamespace(
+        obj_type=obj_type,
+        aabb_min=aabb_min,
+        aabb_max=aabb_max,
+        cam_pos=np_fields["cam_pos"],
+        has_transmission=bool(transmission.any()),
+        has_emission=bool(emission.any()),
+        np_fields=np_fields,
     )
     config = RenderConfig(
         width=scene.width,

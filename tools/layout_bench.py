@@ -30,20 +30,21 @@ def main(config_name: str = "spheres", k: int = 100, n_frames: int = 200):
     from spectral_tpu.render.pallas_integrator import (
         render_frames_step_pallas_regen,
     )
-    from spectral_tpu.scene.flatten import flatten_scene
+    from spectral_tpu.scene.flatten import flatten_scene, host_meta
 
     bench._enable_compile_cache()
     scene, desc = bench._make_scene(config_name)
     arrays, config = flatten_scene(scene)
-    obj_types = tuple(np.asarray(arrays.obj_type).tolist())
-    has_trans = bool(np.asarray(arrays.transmission).any())
-    has_emis = bool(np.asarray(arrays.emission).any())
+    host = host_meta(arrays)
+    obj_types = tuple(host.obj_type.tolist())
+    has_trans = host.has_transmission
+    has_emis = host.has_emission
     clusters = None
     if config.n_objects > 64:
         clusters = plan_clusters(
-            np.asarray(arrays.aabb_min), np.asarray(arrays.aabb_max),
+            host.aabb_min, host.aabb_max,
             obj_types, cluster_size=64,
-            camera_pos=np.asarray(arrays.cam_pos)[:3],
+            camera_pos=host.cam_pos[:3],
         )
 
     @partial(jax.jit, static_argnums=(1, 4, 5, 6, 7), donate_argnums=(2,))
