@@ -129,18 +129,21 @@ _PHASED: dict = {}
 # in-kernel path regeneration (tools/regen_bench.py, v5e): (K, tile) per
 # config — K frames per megakernel launch, terminating lanes immediately
 # start the pixel's next frame. 4096-lane tiles are the measured
-# straggler sweet spot everywhere (cornell512 K=50: 8192/4096/2048/1024 =
-# 3.63/3.48/3.58/4.36 ms/frame), and shrinking the tile also frees scoped
-# VMEM for bigger K (the K-1 direction arrays; 16 MiB cap). ms/frame
+# straggler sweet spot on the few-object configs (cornell512 K=50:
+# 8192/4096/2048/1024 = 3.63/3.48/3.58/4.36 ms/frame); CLUSTERED configs
+# run 2048-lane tiles + the Morton pixel->lane layout (round-5 sweep,
+# tools/layout_bench.py: spheres 37.3 -> 35.1 ms/frame, mesh5k 980 ->
+# 894.7 — the tile-uniform cluster pre-test culls better over a compact
+# 2048-lane Morton block; 1024 pays per-grid-step overheads). ms/frame
 # mono -> chosen: cornell512 5.17 -> 3.10 (K=100), hero 47.3 -> 27.05
 # (K=100), prism 4.0 -> 2.33 (K=100), spheres 126.5 -> 78.4 (K=100).
 _REGEN = {
     "cornell512": (100, 4096),
     "hero": (100, 4096),
     "prism": (100, 4096),
-    "spheres": (100, 4096),
-    "mesh": (100, 4096),
-    "mesh5k": (100, 4096),
+    "spheres": (100, 2048),
+    "mesh": (100, 2048),
+    "mesh5k": (100, 2048),
 }
 
 
@@ -250,6 +253,14 @@ def main(config_name: str = "cornell512", tile: int | None = None) -> None:
 
         k, regen_tile = _REGEN[config_name]
 
+        # clustered configs ride the Morton pixel->lane layout (pure
+        # relabeling, bit-identical per pixel — tools/layout_bench.py)
+        lane_perm = lane_inv = None
+        if clusters is not None:
+            from spectral_tpu.render.layout import morton_layout
+
+            lane_perm, lane_inv = morton_layout(config.width, config.height)
+
         @partial(
             jax.jit, static_argnums=(1, 4, 5, 6, 7, 8, 9),
             donate_argnums=(2,),
@@ -258,6 +269,7 @@ def main(config_name: str = "cornell512", tile: int | None = None) -> None:
             return render_frames_step_pallas_regen(
                 scn, cfg, accum, first_fid, ots, kk,
                 has_transmission=ht, has_emission=he, tile=tl, clusters=cl,
+                lane_perm=lane_perm, lane_inv=lane_inv,
             )
 
         # single-launch device-time budget: the TPU serving path kills any
@@ -339,11 +351,19 @@ def main(config_name: str = "cornell512", tile: int | None = None) -> None:
     # <1% (only via RNG path survival), so the extrapolation error is well
     # under the run-to-run timing noise
     sample_frames = list(timed_frames)
-    if len(sample_frames) > 12:
-        picks = np.linspace(0, len(sample_frames) - 1, 12).round().astype(int)
+    # the instrumented jnp path runs the chunked many-object trace — at
+    # 6.4k objects one counted frame costs ~a minute of sequential chunk
+    # steps, so huge scenes sample 4 frames instead of 12 (per-frame ray
+    # counts vary <1%, far under run-to-run timing noise)
+    n_count = 4 if config.n_objects > 2000 else 12
+    if len(sample_frames) > n_count:
+        picks = np.linspace(
+            0, len(sample_frames) - 1, n_count
+        ).round().astype(int)
         sample_frames = [sample_frames[i] for i in sorted(set(picks.tolist()))]
     total_rays = 0.0
     occupancy = np.zeros((config.max_bounces,), np.float64)
+    _stage(f"ray accounting over {len(sample_frames)} frames (jnp path)")
     for f in sample_frames:
         rays, hist = count(arrays, config, jnp.uint32(f))
         total_rays += float(rays)
@@ -377,20 +397,50 @@ def main(config_name: str = "cornell512", tile: int | None = None) -> None:
             os.path.abspath(__file__)), "tools"))
         from visit_replay import replay_frame
 
+        # lane budget: the host-numpy replay costs ~lanes x clustered
+        # members x bounces x (1 + lights) element-ops; at mesh5k scale the
+        # round-4 fixed stride (4) was a multi-HOUR replay. Keep whole
+        # production tiles (each tile's walk is independent, so any tile
+        # subset is exact for its lanes) and pick the stride so total work
+        # stays ~4e9 element-ops (a couple of minutes of numpy).
+        _members_cl = sum(
+            (s1 - s0) for _t, s0, s1, is_cl in clusters[1] if is_cl
+        )
+        n_lanes0 = config.width * config.height
+        _replay_cost = (
+            float(n_lanes0) * _members_cl * config.max_bounces
+            * (1 + config.n_lights)
+        )
+        _tile0 = 4096
+        _n_tiles = -(-n_lanes0 // _tile0)
+        stride = max(1, min(_n_tiles, int(_replay_cost // 4e9) + 1))
+        keep = np.arange(0, _n_tiles, stride)
+        lane_idx = jnp.asarray(
+            (keep[:, None] * _tile0 + np.arange(_tile0)[None, :])
+            .ravel().clip(max=n_lanes0 - 1).astype(np.int32)
+        )
+        _stage(
+            f"visit replay: {len(keep)}/{_n_tiles} tiles (stride {stride})"
+        )
         rec = jax.device_get(
             jax.jit(
-                lambda s, f: integrate_frame(
-                    s, config, f, return_bounce_rays=True
-                )[1]
+                lambda s, f: jax.tree.map(
+                    lambda a: a[:, lane_idx],
+                    integrate_frame(s, config, f, return_bounce_rays=True)[1],
+                )
             )(arrays, jnp.uint32(sample_frames[0]))
-        )
+        )  # slice to kept tiles ON DEVICE: the full bounce-ray record is
+        #    ~350 MB at 512^2 x 30 bounces and the tunnel D2H is the
+        #    bench's slowest link
         vr, dtr, dsh = replay_frame(
-            arrays, clusters, rec, (4096,), config.n_lights, tile_stride=4
+            arrays, clusters, rec, (4096,), config.n_lights, tile_stride=1
         )
         visit_fracs = {
             "trace": vr[4096]["trace_exec"] / max(dtr, 1.0),
             "shadow": vr[4096]["shadow_exec"] / max(dsh, 1.0),
+            "replay_tiles": f"{len(keep)}/{_n_tiles}",
         }
+        _stage("visit replay done")
 
     ops_kw = dict(
         n_materials=int(np.asarray(arrays.mat_scalars).shape[0]),
@@ -463,6 +513,10 @@ def main(config_name: str = "cornell512", tile: int | None = None) -> None:
                     ),
                     "visited_frac_shadow": (
                         round(visit_fracs["shadow"], 4)
+                        if visit_fracs is not None else None
+                    ),
+                    "visit_replay_tiles": (
+                        visit_fracs["replay_tiles"]
                         if visit_fracs is not None else None
                     ),
                     "ops_per_lane_bounce": ops.as_dict(),

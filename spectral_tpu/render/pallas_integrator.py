@@ -494,8 +494,14 @@ def integrate_frames_pallas_regen(
     # spot for regeneration on every BASELINE config (cornell512 K=50:
     # 8192/4096/2048/1024 lanes = 3.63/3.48/3.58/4.36 ms/frame on v5e —
     # smaller tiles isolate expensive pixel clusters so cheap tiles
-    # retire early; 1024 pays per-grid-step overheads)
-    tile = tile or min(_pick_tile(n), 4096)
+    # retire early; 1024 pays per-grid-step overheads). CLUSTERED scenes
+    # default to 2048: the cluster pre-test is tile-uniform, and halving
+    # the any() pool culls more than the extra grid steps cost (round-5
+    # sweep, tools/layout_bench.py: spheres morton 4096/2048/1024 =
+    # 39.1/35.1/42.5 ms/frame, mesh5k 900/894.7/1027)
+    tile = tile or (
+        2048 if clusters is not None else min(_pick_tile(n), 4096)
+    )
     # v5e scoped VMEM is 16 MiB; the K-1 per-frame direction arrays live
     # there alongside rad/thr. Shrink the tile until the working set fits
     # (measured: S=64, K=50, 8192-lane tiles = 17.18M > 16M; model

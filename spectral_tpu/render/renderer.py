@@ -381,6 +381,7 @@ class Renderer:
         frames_per_dispatch: int = 1,
         regen_frames: "int | str" = "auto",
         regen_sort: bool | str = "auto",
+        lane_layout: str = "auto",
         persist: bool = False,
         persist_budget: int | None = None,
         persist_frames_per_launch: int | None = None,
@@ -715,6 +716,29 @@ class Renderer:
                 "single-device path"
             )
         self.regen_sort = bool(regen_sort)
+        # pixel->lane layout for the regeneration kernel (render/layout.py):
+        # 'morton' makes every 4096-lane tile a compact 64x64 pixel block
+        # so the tile-uniform cluster pre-test culls far clusters for the
+        # whole tile. Pure relabeling — bit-identical per pixel. 'auto'
+        # resolves by the measured policy: morton for clustered scenes
+        # (layout A/B in PARITY.md), rowmajor otherwise.
+        if lane_layout not in ("auto", "rowmajor", "morton"):
+            raise ValueError(f"unknown lane_layout {lane_layout!r}")
+        if lane_layout == "auto":
+            lane_layout = (
+                "morton"
+                if self.clusters is not None and self.regen_frames > 1
+                and sharding is None and not self.regen_sort
+                else "rowmajor"
+            )
+        if lane_layout == "morton" and (
+            self.regen_frames < 2 or sharding is not None or self.regen_sort
+        ):
+            raise ValueError(
+                "lane_layout='morton' rides the single-device regeneration "
+                "kernel (regen_frames >= 2, no sharding, no regen_sort)"
+            )
+        self.lane_layout = lane_layout
         self._lane_perm = self._lane_inv = None
         self._sharded_regen_steps: dict = {}
         # persist: the free-running lane-asynchronous kernel — every lane
@@ -953,8 +977,16 @@ class Renderer:
                     )
                     self._sharded_regen_steps[k] = step
                 self.accum = step(self.scene_arrays, self.accum, fid)
-            elif self.regen_sort:
-                self._ensure_lane_perm()
+            elif self.regen_sort or self.lane_layout == "morton":
+                if self.regen_sort:
+                    self._ensure_lane_perm()
+                else:  # morton: static Z-curve permutation, built once
+                    if self._lane_perm is None:
+                        from spectral_tpu.render.layout import morton_layout
+
+                        self._lane_perm, self._lane_inv = morton_layout(
+                            self.config.width, self.config.height
+                        )
                 self.accum = _step_regen_sorted(
                     self.scene_arrays, self.config, self.accum, fid, k,
                     self.obj_types, self.has_transmission, self.has_emission,

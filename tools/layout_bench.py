@@ -22,7 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main(config_name: str = "spheres", k: int = 100, n_frames: int = 200):
+def main(config_name: str = "spheres", k: int = 100, n_frames: int = 200,
+         tile: int = 4096, cluster_size: int = 64):
     sys.path.insert(0, "/root/repo")
     import bench
     from spectral_tpu.ops.pallas.megakernel import plan_clusters
@@ -43,7 +44,7 @@ def main(config_name: str = "spheres", k: int = 100, n_frames: int = 200):
     if config.n_objects > 64:
         clusters = plan_clusters(
             host.aabb_min, host.aabb_max,
-            obj_types, cluster_size=64,
+            obj_types, cluster_size=cluster_size,
             camera_pos=host.cam_pos[:3],
         )
 
@@ -51,7 +52,7 @@ def main(config_name: str = "spheres", k: int = 100, n_frames: int = 200):
     def step(scn, cfg, accum, first_fid, kk, ots, ht, he, perm, inv):
         return render_frames_step_pallas_regen(
             scn, cfg, accum, first_fid, ots, kk,
-            has_transmission=ht, has_emission=he, tile=4096,
+            has_transmission=ht, has_emission=he, tile=tile,
             lane_perm=perm, lane_inv=inv, clusters=clusters,
         )
 
@@ -87,6 +88,8 @@ def main(config_name: str = "spheres", k: int = 100, n_frames: int = 200):
         "config": config_name,
         "desc": desc,
         "k": k,
+        "tile": tile,
+        "cluster_size": cluster_size,
         "frames": n_frames,
         "ms_per_frame": {m: round(v, 3) for m, v in results.items()},
         "speedup_morton": round(
@@ -102,4 +105,6 @@ if __name__ == "__main__":
         a[0] if a else "spheres",
         int(a[1]) if len(a) > 1 else 100,
         int(a[2]) if len(a) > 2 else 200,
+        int(a[3]) if len(a) > 3 else 4096,
+        int(a[4]) if len(a) > 4 else 64,
     )
