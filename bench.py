@@ -402,7 +402,7 @@ def main(config_name: str = "cornell512", tile: int | None = None) -> None:
         # round-4 fixed stride (4) was a multi-HOUR replay. Keep whole
         # production tiles (each tile's walk is independent, so any tile
         # subset is exact for its lanes) and pick the stride so total work
-        # stays ~4e9 element-ops (a couple of minutes of numpy).
+        # stays ~1.5e9 element-ops (a few minutes of numpy).
         _members_cl = sum(
             (s1 - s0) for _t, s0, s1, is_cl in clusters[1] if is_cl
         )
@@ -413,7 +413,7 @@ def main(config_name: str = "cornell512", tile: int | None = None) -> None:
         )
         _tile0 = 4096
         _n_tiles = -(-n_lanes0 // _tile0)
-        stride = max(1, min(_n_tiles, int(_replay_cost // 4e9) + 1))
+        stride = max(1, min(_n_tiles, int(_replay_cost // 1.5e9) + 1))
         keep = np.arange(0, _n_tiles, stride)
         lane_idx = jnp.asarray(
             (keep[:, None] * _tile0 + np.arange(_tile0)[None, :])
